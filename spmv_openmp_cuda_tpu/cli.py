@@ -1,0 +1,141 @@
+"""CLI driver.
+
+Analog of the reference's src/main.cu:66-283:
+  usage: spmv <matrixFile.mtx[.gz|.xz|.bz2|.zip]> <vectorFile | RNDVECT> [COMPUTE_MODE]
+parses the matrix into the mode's format, loads or generates the dense vector,
+runs the selected kernel, dumps the output vector (raw + text) under TMPDIR,
+and prints computeMode / elapsed / elapsedInternal.
+
+Config comes from env (GRID_ROWS, GRID_COLS, SPMV_DTYPE, ... — the reference's
+getConfig env tier, utils.c:279-302).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .config import Config, RNDVECTORSIZE
+from .formats.convert import EllSizeError, coo_to_csr, coo_to_ell
+from .io.mmio import read_coo
+from .io.vectors import (
+    fill_rnd_vector,
+    read_vector,
+    write_vector_raw,
+    write_vector_str,
+)
+from .ops import registry
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spmv_openmp_cuda_tpu",
+        description="TPU-native SpMV (y = A @ x) on MatrixMarket matrices",
+    )
+    p.add_argument(
+        "matrix",
+        nargs="?",
+        help=".mtx file, optionally gz/xz/bz2/zip compressed",
+    )
+    p.add_argument(
+        "vector",
+        nargs="?",
+        help="dense-vector file (text or raw float64) or the literal RNDVECT",
+    )
+    p.add_argument(
+        "compute_mode",
+        nargs="?",
+        default="CSR_ROWS",
+        help=f"one of: {', '.join(registry.names())}",
+    )
+    p.add_argument("--list-modes", action="store_true", help="list kernels and exit")
+    p.add_argument("--no-dump", action="store_true", help="skip output vector dumps")
+    p.add_argument("--check", action="store_true", help="verify against serial oracle")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_argparser().parse_args(argv)
+    if args.list_modes:
+        for s in registry.all_kernels():
+            print(f"{s.name:24s} [{s.impl}/{s.fmt}] {s.doc}")
+        return 0
+    if not args.matrix or not args.vector:
+        build_argparser().error("the following arguments are required: matrix, vector")
+
+    cfg = Config.from_env()
+    try:
+        spec = registry.get(args.compute_mode)
+    except KeyError as e:
+        print(f"ERROR: {e.args[0]}", file=sys.stderr)
+        return 1
+
+    t0 = time.perf_counter()
+    coo = read_coo(args.matrix)
+    csr = coo_to_csr(coo)
+    ell = None
+    if spec.fmt == "ell":
+        try:
+            ell = coo_to_ell(coo, max_entries=cfg.ell_max_entries)
+        except EllSizeError as e:
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 1
+    parse_time = time.perf_counter() - t0
+    m, n = csr.shape
+    print(f"#matrix: {os.path.basename(args.matrix)} {m} {n} {csr.nnz} {csr.max_row_nz} (parse {parse_time:.3f}s)")
+
+    if args.vector == "RNDVECT":
+        x = fill_rnd_vector(n, seed=cfg.seed or None)
+        if not args.no_dump:
+            write_vector_raw(os.path.join(cfg.tmpdir, "rndVectorDumpRaw"), x)
+            write_vector_str(os.path.join(cfg.tmpdir, "rndVectorDump"), x)
+    else:
+        x = read_vector(args.vector)
+        if x.shape[0] != n:
+            print(
+                f"ERROR: vector size {x.shape[0]} != matrix cols {n}", file=sys.stderr
+            )
+            return 1
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    operands = spec.prepare(csr, ell, cfg)
+    f = spec.jitted(operands)
+    xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
+    y = jax.block_until_ready(f(xj))  # includes compile
+    elapsed = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    y = jax.block_until_ready(f(xj))
+    elapsed_internal = time.perf_counter() - t0
+    y_host = np.asarray(y, dtype=np.float64)[:m]
+
+    if args.check:
+        from .ops.oracle import serial_csr_spmv
+        from .utils.compare import vectors_diff
+
+        rep = vectors_diff(y_host, serial_csr_spmv(csr, x))
+        status = "OK" if rep.ok else "FAIL"
+        print(f"#check: {status} maxAbsDiff={rep.max_abs_diff:.3e}")
+        if not rep.ok:
+            return 2
+
+    if not args.no_dump:
+        write_vector_raw(os.path.join(cfg.tmpdir, "outVectorDumpRaw"), y_host)
+        write_vector_str(os.path.join(cfg.tmpdir, "outVectorDump"), y_host)
+
+    print(
+        f"computeMode:{spec.name} elapsed:{elapsed:.9f} "
+        f"elapsedInternal:{elapsed_internal:.9f} "
+        f"GFLOPS:{2.0 * csr.nnz / elapsed_internal / 1e9:.4f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""Harness, CLI, sweep, and log-reducer integration tests."""
+import io
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import spmv_openmp_cuda_tpu as S
+from spmv_openmp_cuda_tpu.bench.harness import format_log, run_all
+from spmv_openmp_cuda_tpu.bench.parse_log import parse_lines, pivot_by_matrix, write_csv
+from spmv_openmp_cuda_tpu.bench.sweep import sweep
+from spmv_openmp_cuda_tpu.cli import main as cli_main
+from spmv_openmp_cuda_tpu.config import Config
+from spmv_openmp_cuda_tpu.io.mmio import write_mtx
+from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector, write_vector_str
+from spmv_openmp_cuda_tpu.utils import synth
+
+CFG = Config(avg_times_iteration=2)
+KERNELS = ["CSR_ROWS", "ELL_ROWS", "CSR_TILES"]
+
+
+def _mat():
+    coo = synth.banded(64, 64, 4, fill=0.9, seed=3)
+    return coo, S.coo_to_csr(coo), S.coo_to_ell(coo)
+
+
+def test_run_all_and_log_roundtrip():
+    coo, csr, ell = _mat()
+    x = fill_rnd_vector(64, seed=0)
+    report = run_all(csr, ell, x, CFG, kernels=KERNELS, name="banded64")
+    assert report.all_ok
+    assert len(report.results) == len(KERNELS)
+    text = format_log(report, CFG)
+    rows = parse_lines(text.splitlines())
+    assert len(rows) == len(KERNELS)
+    assert {r["funcID"] for r in rows} == set(KERNELS)
+    assert all(r["ok"] == "1" for r in rows)
+    assert rows[0]["source"] == "banded64"
+    assert rows[0]["NNZ"] == str(csr.nnz)
+    # pivot produces one row per matrix with per-impl columns
+    piv = pivot_by_matrix(rows)
+    assert len(piv) == 1
+    assert "time_CSR_ROWS" in piv[0]
+    out = io.StringIO()
+    write_csv(rows, out)
+    assert out.getvalue().count("\n") == len(KERNELS) + 1
+
+
+def test_run_all_skips_ell_when_capped():
+    coo, csr, _ = _mat()
+    x = fill_rnd_vector(64, seed=0)
+    report = run_all(csr, None, x, CFG, kernels=KERNELS, name="nocap")
+    names = {r.kernel for r in report.results}
+    assert "ELL_ROWS" not in names and "CSR_ROWS" in names
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    coo, csr, ell = _mat()
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, coo)
+    vec = str(tmp_path / "v.txt")
+    write_vector_str(vec, fill_rnd_vector(64, seed=1))
+    os.environ["TMPDIR"] = str(tmp_path)
+    try:
+        rc = cli_main([mtx, vec, "ELL_ROWS", "--check"])
+    finally:
+        del os.environ["TMPDIR"]
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "computeMode:ELL_ROWS" in out
+    assert "#check: OK" in out
+    assert (tmp_path / "outVectorDump").exists()
+    assert (tmp_path / "outVectorDumpRaw").exists()
+
+
+def test_cli_rndvect_and_bad_mode(tmp_path, capsys):
+    coo, *_ = _mat()
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, coo)
+    rc = cli_main([mtx, "RNDVECT", "CSR_ROWS", "--no-dump", "--check"])
+    assert rc == 0
+    assert cli_main([mtx, "RNDVECT", "NOT_A_MODE"]) == 1
+    out = capsys.readouterr()
+    assert "unknown compute mode" in out.err
+
+
+def test_cli_vector_size_mismatch(tmp_path):
+    coo, *_ = _mat()
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, coo)
+    vec = str(tmp_path / "v.txt")
+    write_vector_str(vec, np.ones(7))
+    assert cli_main([mtx, vec, "CSR_ROWS"]) == 1
+
+
+def test_sweep_over_files_and_grids(tmp_path):
+    coo, *_ = _mat()
+    mtx = str(tmp_path / "a.mtx")
+    write_mtx(mtx, coo)
+    stream = io.StringIO()
+    logs, failures = sweep(
+        [mtx], grids=[(2, 2), (4, 2)], cfg_base=CFG, kernels=["CSR_ROWS"],
+        log_stream=stream,
+    )
+    assert not failures
+    rows = parse_lines(stream.getvalue().splitlines())
+    assert len(rows) == 2  # one per grid config
+    assert {r["grid"] for r in rows} == {"2x2", "4x2"}
