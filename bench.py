@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark for the driver: prints ONE JSON line.
+"""Headline benchmark for the driver: prints ONE JSON line (stdout);
+progress goes to stderr; per-matrix details land in BENCH_DETAILS.json.
 
-Protocol mirrors the reference's (BASELINE.md): mean of 25 timed reps,
+Protocol mirrors the reference's (BASELINE.md): repeated timed kernels,
 GFLOPS = 2*NNZ/time, correctness vs the serial oracle at 7e-4 tolerance with
-|x| < 3e-5 inputs. Matrix: a synthetic proxy of FEM_3D_thermal2 (147.9k^2,
-~3.4M nnz banded — SuiteSparse is unreachable here, zero egress), on which the
-reference's best CUDA kernel (Quadro RTX 5000) hit 39.14 GFLOPS — that is
-vs_baseline's denominator.
+|x| < 3e-5 inputs. Because the SuiteSparse corpus is unreachable (zero
+egress), matrices are synthetic proxies matching the headline matrices'
+dims/nnz/structure; vs_baseline is the geometric mean of (our best GFLOPS) /
+(reference best CUDA GFLOPS on the corresponding real matrix, Quadro RTX
+5000).
+
+Timing note: this TPU is reached through a tunnel with ~3.4 ms/dispatch
+latency, so per-call wall timing measures the tunnel. Kernel time is measured
+with an on-device lax.fori_loop chain of STEPS SpMVs (data-dependent so XLA
+cannot elide them), amortizing dispatch to noise.
 """
 import json
+import math
+import os
 import sys
 import time
 
@@ -19,82 +28,136 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# (preset, reference GFLOPS, candidate kernels)
+SUITE = [
+    ("fem_3d_thermal2_like", 39.14, ["DIA_ROWS", "ELL_ROWS_T", "CSR_ROWS_BINNED"]),
+    ("raefsky1_like", 46.56, ["DIA_ROWS", "ELL_ROWS_T"]),
+    ("caida_like", 10.47, ["CSR_ROWS_BINNED", "ELL_ROWS_T"]),
+]
+STEPS = 50
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    jax.devices()  # fail fast if the TPU claim failed at startup
+
     import spmv_openmp_cuda_tpu as S
     from spmv_openmp_cuda_tpu.config import Config
+    from spmv_openmp_cuda_tpu.formats.dia import DiaFillError
     from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
     from spmv_openmp_cuda_tpu.ops import registry
     from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
     from spmv_openmp_cuda_tpu.utils import synth
     from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
 
-    REFERENCE_GFLOPS = 39.14  # BASELINE.md FEM_3D_thermal2, CUDA best
-    REPS = 25
+    cfg = Config(dtype=os.environ.get("SPMV_DTYPE", "float32"))
+    suite = SUITE[:1] if os.environ.get("BENCH_FAST") else SUITE
+    log(f"backend={jax.default_backend()} devices={jax.devices()} dtype={cfg.dtype}")
 
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    t0 = time.perf_counter()
-    coo = synth.preset("fem_3d_thermal2_like", seed=0)
-    csr = S.coo_to_csr(coo)
-    ell = S.coo_to_ell(coo)
-    x = fill_rnd_vector(coo.shape[1], seed=1)
-    log(
-        f"matrix fem_3d_thermal2_like: {csr.shape[0]}x{csr.shape[1]} "
-        f"nnz={csr.nnz} maxRowNZ={csr.max_row_nz} (gen {time.perf_counter()-t0:.1f}s)"
-    )
-    oracle = serial_csr_spmv(csr, x)
-    cfg = Config(dtype="float32", avg_times_iteration=REPS)
-
-    candidates = ["ELL_ROWS", "ELL_ROWS_T", "CSR_ROWS", "ELL_ROWS_NORL"]
-    # include Pallas kernels if registered
-    candidates += [s.name for s in registry.all_kernels(impl="pallas")]
-
-    best = (None, 0.0)
-    for name in candidates:
+    details = []
+    ratios = []
+    for preset, ref_gflops, candidates in suite:
+        t0 = time.perf_counter()
+        coo = synth.preset(preset, seed=0)
+        csr = S.coo_to_csr(coo)
         try:
+            ell = S.coo_to_ell(coo)
+        except Exception:
+            ell = None
+        x = fill_rnd_vector(coo.shape[1], seed=1)
+        oracle = serial_csr_spmv(csr, x)
+        log(
+            f"[{preset}] {csr.shape[0]}x{csr.shape[1]} nnz={csr.nnz} "
+            f"maxRowNZ={csr.max_row_nz} (setup {time.perf_counter()-t0:.0f}s)"
+        )
+        best = (None, 0.0, 0.0)
+        for name in candidates:
             spec = registry.get(name)
-        except KeyError:
-            continue
-        try:
-            ops = spec.prepare(csr, ell, cfg)
-            f = spec.jitted(ops)
-            xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
-            y = jax.block_until_ready(f(xj))
-            rep = vectors_diff(
-                np.asarray(y, dtype=np.float64)[: csr.shape[0]], oracle
-            )
-            if not rep.ok:
-                log(f"{name}: FAILED tolerance ({rep.max_abs_diff:.2e}) — skipped")
+            if spec.fmt == "ell" and ell is None:
                 continue
-            # timed protocol: chained reps, device-synced once
-            for _ in range(3):
-                y = f(xj)
-            jax.block_until_ready(y)
-            t0 = time.perf_counter()
-            for _ in range(REPS):
-                y = f(xj)
-            jax.block_until_ready(y)
-            dt = (time.perf_counter() - t0) / REPS
-            gflops = 2.0 * csr.nnz / dt / 1e9
-            log(f"{name}: {dt*1e6:.1f} us -> {gflops:.2f} GFLOPS")
-            if gflops > best[1]:
-                best = (name, gflops)
-        except Exception as e:
-            log(f"{name}: ERROR {str(e)[:200]}")
+            try:
+                t0 = time.perf_counter()
+                ops = spec.prepare(csr, ell, cfg)
+                run = spec.run
+                f1 = jax.jit(run)
+                xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
+                y = jax.block_until_ready(f1(ops, xj))
+                rep = vectors_diff(
+                    np.asarray(y, dtype=np.float64)[: csr.shape[0]], oracle
+                )
+                if not rep.ok:
+                    log(f"[{preset}] {name}: TOLERANCE FAIL ({rep.max_abs_diff:.2e})")
+                    continue
 
-    if best[0] is None:
-        print(json.dumps({"metric": "spmv_gflops", "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0}))
+                @jax.jit
+                def loop(x):
+                    def body(i, x):
+                        y = run(ops, x)
+                        # un-foldable dependency so the chain can't be elided
+                        return x * (1.0 + jnp.sum(y) * 1e-30)
+
+                    return jax.lax.fori_loop(0, STEPS, body, x)
+
+                jax.block_until_ready(loop(xj))  # compile + warm
+                compile_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(xj))
+                dt = (time.perf_counter() - t0) / STEPS
+                gflops = 2.0 * csr.nnz / dt / 1e9
+                log(
+                    f"[{preset}] {name}: {dt*1e6:.1f} us -> {gflops:.2f} GFLOPS "
+                    f"(compile {compile_s:.0f}s, maxdiff {rep.max_abs_diff:.1e})"
+                )
+                if gflops > best[1]:
+                    best = (name, gflops, dt)
+            except DiaFillError as e:
+                log(f"[{preset}] {name}: DIA infeasible ({str(e)[:80]})")
+            except Exception as e:
+                log(f"[{preset}] {name}: ERROR {str(e)[:200]}")
+        if best[0] is None:
+            log(f"[{preset}] no kernel passed")
+            continue
+        ratio = best[1] / ref_gflops
+        ratios.append(ratio)
+        details.append(
+            {
+                "matrix": preset,
+                "m": csr.shape[0],
+                "n": csr.shape[1],
+                "nnz": csr.nnz,
+                "kernel": best[0],
+                "time_s": best[2],
+                "gflops": round(best[1], 3),
+                "ref_gflops": ref_gflops,
+                "ratio": round(ratio, 3),
+                "dtype": cfg.dtype,
+            }
+        )
+        log(f"[{preset}] BEST {best[0]}: {best[1]:.2f} GFLOPS = {ratio:.2f}x reference")
+
+    if not ratios:
+        print(
+            json.dumps(
+                {"metric": "spmv_gflops", "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0}
+            )
+        )
         return 1
-    log(f"best: {best[0]}")
+    geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    value = math.exp(sum(math.log(d["gflops"]) for d in details) / len(details))
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
-                "metric": "spmv_gflops_fem3d_proxy",
-                "value": round(best[1], 3),
+                "metric": "spmv_gflops_geomean_headline_proxies",
+                "value": round(value, 3),
                 "unit": "GFLOP/s",
-                "vs_baseline": round(best[1] / REFERENCE_GFLOPS, 3),
+                "vs_baseline": round(geo, 3),
             }
         )
     )

@@ -1,0 +1,120 @@
+"""High-level user-facing SpMV model with automatic format selection.
+
+The reference makes the user pick a COMPUTE_MODE per matrix and measures all
+of them to find the winner (its report's central exercise). This model
+encodes those findings as a structure-driven selection policy — the analog of
+the reference's conclusions (relazione.tex: ELL wins when padding is bounded,
+CSR when rows are skewed, transposed layouts when coalescing pays):
+
+- diagonal-concentrated -> DIA (zero-gather, no indices)
+- bounded row-length spread -> transposed ELL slabs (lane-parallel)
+- skewed row lengths / ELL cap exceeded -> row-binned width-class slabs
+
+Usage:
+    model = AutoSpMV.from_file("matrix.mtx")         # or from_coo / from_csr
+    y = model(x)                                      # jitted y = A @ x
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..formats.binned import binned_spmv, prepare_binned_csr
+from ..formats.convert import coo_to_csr
+from ..formats.dia import DiaFillError, dia_spmv, prepare_dia
+from ..formats.matrix import COOMatrix, CSRMatrix, device_ell
+from ..ops.spmv_xla import ell_rows_transposed
+
+
+def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0, ell_waste_cap: float = 1.6) -> str:
+    """Pick a storage engine from matrix structure.
+
+    Heuristics (cheap, host-side):
+    - DIA if the distinct-diagonal count keeps fill under dia_fill_cap x nnz.
+    - ELL (transposed slabs) if max_row_nz stays within ell_waste_cap x the
+      mean row length (bounded padding).
+    - binned-CSR otherwise (skewed rows; always feasible).
+    """
+    m, n = csr.shape
+    rl = csr.compute_row_lens()
+    nnz = max(csr.nnz, 1)
+    offs = np.unique(csr.indices - csr.row_ids())
+    if offs.shape[0] * m <= dia_fill_cap * nnz:
+        return "dia"
+    mean_len = nnz / max(m, 1)
+    if csr.max_row_nz <= max(ell_waste_cap * mean_len, 8):
+        return "ell_t"
+    return "binned"
+
+
+@dataclasses.dataclass
+class AutoSpMV:
+    """A prepared, jitted SpMV operator y = A @ x."""
+
+    format: str
+    shape: tuple
+    nnz: int
+    _fn: Callable
+    _operands: object
+    dtype: str = "float32"
+
+    @classmethod
+    def from_csr(
+        cls,
+        csr: CSRMatrix,
+        cfg: Optional[Config] = None,
+        format: str = "auto",
+    ) -> "AutoSpMV":
+        cfg = cfg or Config()
+        fmt = select_format(csr) if format == "auto" else format
+        if fmt == "dia":
+            try:
+                ops = prepare_dia(csr, dtype=cfg.jnp_dtype)
+                run = dia_spmv
+            except DiaFillError:
+                fmt = "binned"
+        if fmt == "ell_t":
+            from ..formats.convert import csr_to_coo, coo_to_ell, EllSizeError
+
+            try:
+                ell = coo_to_ell(csr_to_coo(csr), max_entries=cfg.ell_max_entries)
+                ops = device_ell(ell, dtype=cfg.jnp_dtype, transposed=True)
+                run = lambda mat, x: ell_rows_transposed(mat, x)
+            except EllSizeError:
+                fmt = "binned"
+        if fmt == "binned":
+            ops = prepare_binned_csr(csr, dtype=cfg.jnp_dtype)
+            run = binned_spmv
+
+        jitted = jax.jit(run)
+        m = csr.shape[0]
+
+        def fn(x):
+            return jitted(ops, jnp.asarray(x, dtype=cfg.jnp_dtype))[:m]
+
+        return cls(
+            format=fmt,
+            shape=csr.shape,
+            nnz=csr.nnz,
+            _fn=fn,
+            _operands=ops,
+            dtype=cfg.dtype,
+        )
+
+    @classmethod
+    def from_coo(cls, coo: COOMatrix, **kw) -> "AutoSpMV":
+        return cls.from_csr(coo_to_csr(coo), **kw)
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "AutoSpMV":
+        from ..io.mmio import read_coo
+
+        return cls.from_coo(read_coo(path), **kw)
+
+    def __call__(self, x) -> jax.Array:
+        return self._fn(x)

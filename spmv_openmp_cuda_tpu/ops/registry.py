@@ -240,7 +240,41 @@ def _register_xla(cfg_defaults: Config = Config()) -> None:
     )
 
 
+def _register_tpu_formats() -> None:
+    """TPU-first storage engines beyond the reference's CSR/ELL pair: the
+    row-binned jagged-ELL ("binned CSR", scatter-free CSR economics) and the
+    DIA zero-gather path for diagonal-concentrated matrices."""
+    from ..formats.binned import binned_spmv, prepare_binned_csr
+    from ..formats.dia import dia_spmv, prepare_dia
+
+    register(
+        KernelSpec(
+            name="CSR_ROWS_BINNED",
+            fmt="csr",
+            impl="xla",
+            prepare=lambda csr, ell, cfg: prepare_binned_csr(csr, dtype=cfg.jnp_dtype),
+            run=binned_spmv,
+            doc="row-binned width-class slabs — CSR memory economics with "
+            "dense lane-parallel reduces; the dynamic-scheduling/row-binning "
+            "analog (ompChunksDivide.h) as a storage transform",
+        )
+    )
+    register(
+        KernelSpec(
+            name="DIA_ROWS",
+            fmt="csr",
+            impl="xla",
+            prepare=lambda csr, ell, cfg: prepare_dia(csr, dtype=cfg.jnp_dtype),
+            run=dia_spmv,
+            doc="diagonal storage: y = sum_d diag_d * shift(x, d); no indices, "
+            "no gather — speed-of-light for banded matrices (raises "
+            "DiaFillError beyond a 3x padding budget, the ELL-cap analog)",
+        )
+    )
+
+
 _register_xla()
+_register_tpu_formats()
 
 
 def register_pallas_kernels() -> None:

@@ -45,6 +45,8 @@ def test_oracle_vs_oracle(mat_name):
 @pytest.mark.parametrize("mat_name", list(MATRICES))
 @pytest.mark.parametrize("kname", registry.names())
 def test_kernel_matches_oracle(mat_name, kname):
+    from spmv_openmp_cuda_tpu.formats.dia import DiaFillError
+
     coo = MATRICES[mat_name]
     csr, ell, x = _prep(coo)
     oracle = serial_csr_spmv(csr, x)
@@ -52,7 +54,13 @@ def test_kernel_matches_oracle(mat_name, kname):
 
     import jax, jax.numpy as jnp
 
-    operands = spec.prepare(csr, ell, CFG)
+    try:
+        operands = spec.prepare(csr, ell, CFG)
+    except DiaFillError:
+        # DIA legitimately rejects diagonal-sparse matrices (the ELL-size-cap
+        # analog); the harness records this and moves on.
+        assert kname == "DIA_ROWS"
+        return
     f = spec.jitted(operands)
     y = np.asarray(f(jnp.asarray(x, dtype=CFG.jnp_dtype)), dtype=np.float64)
     rep = vectors_diff(y[: csr.shape[0]], oracle, DOUBLE_DIFF_THRESH)
