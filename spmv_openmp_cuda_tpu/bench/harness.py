@@ -43,6 +43,7 @@ class KernelResult:
     nnz_per_s: float
     reps: int
     error: Optional[str] = None
+    deterministic: bool = True
 
     def stat_line(self) -> str:
         return (
@@ -50,7 +51,7 @@ class KernelResult:
             f"internalTimeAvg:{self.internal_time_avg:.9e} "
             f"internalTimeVar:{self.internal_time_var:.3e} "
             f"prepTime:{self.prepare_time:.3e} GFLOPS:{self.gflops:.4f} "
-            f"NNZs:{self.nnz_per_s:.4e} ok:{int(self.ok)}"
+            f"NNZs:{self.nnz_per_s:.4e} ok:{int(self.ok)} det:{int(self.deterministic)}"
         )
 
 
@@ -99,6 +100,11 @@ def run_kernel(
         )
 
     diff = vectors_diff(np.asarray(y, dtype=np.float64)[: csr.shape[0]], oracle, threshold)
+    # determinism check (the race-detection analog, SURVEY.md section 5: the
+    # reference parked an OMP reduction race; on TPU reruns must be bitwise
+    # identical — any mismatch means a nondeterministic reduction order)
+    y2 = jax.block_until_ready(f(xj))
+    deterministic = bool(np.array_equal(np.asarray(y), np.asarray(y2)))
 
     wall_times: List[float] = []
     internal_times: List[float] = []
@@ -133,6 +139,7 @@ def run_kernel(
         gflops=2.0 * nnz / best / 1e9 if best > 0 else 0.0,
         nnz_per_s=nnz / best if best > 0 else 0.0,
         reps=cfg.avg_times_iteration,
+        deterministic=deterministic,
     )
 
 

@@ -27,6 +27,7 @@ FIELDS = [
     "GFLOPS",
     "NNZs",
     "ok",
+    "det",
     "matRows",
     "matCols",
     "NNZ",
@@ -48,6 +49,7 @@ _FUNC_RE = re.compile(r"^@computing SpMV with func:(\S+)\s+(\S+)")
 _STAT_RE = re.compile(
     r"^(\S+)\s+timeAvg:(\S+)\s+timeVar:(\S+)\s+internalTimeAvg:(\S+)\s+"
     r"internalTimeVar:(\S+)\s+prepTime:(\S+)\s+GFLOPS:(\S+)\s+NNZs:(\S+)\s+ok:(\d)"
+    r"(?:\s+det:(\d))?"
 )
 _ERR_RE = re.compile(r"^(\S+)\s+ERROR:\s*(.*)")
 
@@ -98,6 +100,7 @@ def parse_lines(lines: Iterable[str]) -> List[Dict[str, str]]:
                     "GFLOPS": m.group(7),
                     "NNZs": m.group(8),
                     "ok": m.group(9),
+                    "det": m.group(10) or "",
                 }
             )
             continue

@@ -75,6 +75,9 @@ class Config:
     block_rows: int = 256
     #: Pallas grid: slab-width columns per program block (warp-size analog).
     block_width: int = 128
+    #: Pallas kernels: output rows per grid step (the CUDA launch-geometry
+    #: analog swept like the reference's 192/256/384 block configs).
+    pallas_block_n: int = 2048
     #: Compute dtype on device. float64 is kept for oracle parity but TPUs
     #: emulate it; float32 is the performance default (SURVEY.md section 7).
     dtype: str = "float32"
@@ -113,6 +116,7 @@ class Config:
             "GRID_COLS": ("grid_cols", int),
             "BLOCK_ROWS": ("block_rows", int),
             "BLOCK_WIDTH": ("block_width", int),
+            "PALLAS_BLOCK_N": ("pallas_block_n", int),
             "SPMV_DTYPE": ("dtype", str),
             "AVG_TIMES_ITERATION": ("avg_times_iteration", int),
             "SPMV_SCHEDULE": ("schedule", str),

@@ -47,14 +47,12 @@ def width_classes(max_w: int) -> List[int]:
 )
 @dataclasses.dataclass
 class BinnedCSR:
-    """Width-class slabs packed into one transposed mega-slab.
+    """Width-class slabs packed into one flat buffer.
 
-    All classes share one (W_max_class, M_total) backing array? No — widths
-    differ per class, so each class c occupies columns
-    [class_offsets[c], class_offsets[c+1]) of a (sum over classes is jagged)…
-    Instead each class slab is stored flattened in one 1D buffer and sliced
-    statically at trace time (class_offsets/class_widths are static
-    metadata), which keeps the pytree a fixed small set of arrays.
+    Class widths are jagged, so each class slab is stored flattened in one 1D
+    buffer and sliced at trace time via static metadata
+    (class_offsets/class_widths/class_layouts) — the pytree stays a fixed
+    small set of arrays regardless of class count.
     """
 
     slab_data: jax.Array  # 1D buffer: concat of per-class slabs

@@ -303,3 +303,12 @@ def device_ell(
         max_row_nz=w,
         transposed=transposed,
     )
+
+
+def is_nnz(csr: CSRMatrix, i: int, j: int) -> bool:
+    """Membership query: is (i, j) a stored nonzero? Binary search within the
+    row's column-sorted segment (reference IS_NNZ / BISECT_ARRAY analog,
+    sparseMatrix.h:54-80)."""
+    lo, hi = int(csr.indptr[i]), int(csr.indptr[i + 1])
+    k = int(np.searchsorted(csr.indices[lo:hi], j))
+    return k < hi - lo and csr.indices[lo + k] == j

@@ -1,0 +1,72 @@
+"""Pallas kernels (interpret mode on CPU) vs the oracle, across block
+geometries (the launch-config sweep analog)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import spmv_openmp_cuda_tpu as S
+from spmv_openmp_cuda_tpu.config import Config
+from spmv_openmp_cuda_tpu.formats.dia import prepare_dia
+from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+from spmv_openmp_cuda_tpu.ops import registry
+from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
+from spmv_openmp_cuda_tpu.ops.spmv_pallas import dia_spmv_pallas, ell_t_slab_pallas
+from spmv_openmp_cuda_tpu.utils import synth
+from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
+
+
+def _mats(m=700, n=700):
+    coo = synth.banded(m, n, 7, fill=0.9, seed=2)
+    csr = S.coo_to_csr(coo)
+    ell = S.coo_to_ell(coo)
+    x = fill_rnd_vector(n, seed=5)
+    return csr, ell, x, serial_csr_spmv(csr, x)
+
+
+@pytest.mark.parametrize("block_n", [128, 256, 2048])
+def test_ell_t_pallas_blocks(block_n):
+    csr, ell, x, oracle = _mats()
+    mat = S.device_ell(ell, dtype=jnp.float32, transposed=True)
+    y = np.asarray(
+        jax.jit(lambda m_, x_: ell_t_slab_pallas(m_, x_, block_n=block_n))(
+            mat, jnp.asarray(x, jnp.float32)
+        ),
+        np.float64,
+    )
+    rep = vectors_diff(y, oracle)
+    assert rep.ok, rep
+
+
+@pytest.mark.parametrize("block_n", [128, 512, 4096])
+def test_dia_pallas_blocks(block_n):
+    csr, ell, x, oracle = _mats()
+    mat = prepare_dia(csr)
+    y = np.asarray(
+        jax.jit(lambda m_, x_: dia_spmv_pallas(m_, x_, block_n=block_n))(
+            mat, jnp.asarray(x, jnp.float32)
+        ),
+        np.float64,
+    )
+    rep = vectors_diff(y, oracle)
+    assert rep.ok, rep
+
+
+def test_dia_pallas_wide_band_rejected():
+    # diagonal reach beyond the block size must raise, not corrupt
+    coo = synth.banded(600, 600, 200, fill=0.05, seed=3)
+    csr = S.coo_to_csr(coo)
+    mat = prepare_dia(csr, max_fill_ratio=1e9)
+    with pytest.raises(ValueError):
+        dia_spmv_pallas(mat, jnp.zeros(600, jnp.float32), block_n=128)
+
+
+@pytest.mark.parametrize("kname", ["PL_ELL_ROWS_T", "PL_DIA_ROWS"])
+def test_pallas_registry_modes(kname):
+    csr, ell, x, oracle = _mats(400, 400)
+    spec = registry.get(kname)
+    ops = spec.prepare(csr, ell, Config())
+    f = spec.jitted(ops)
+    y = np.asarray(f(jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y[: csr.shape[0]], oracle)
+    assert rep.ok, rep
