@@ -10,10 +10,13 @@ dims/nnz/structure; vs_baseline is the geometric mean of (our best GFLOPS) /
 (reference best CUDA GFLOPS on the corresponding real matrix, Quadro RTX
 5000).
 
-Timing note: this TPU is reached through a tunnel with ~3.4 ms/dispatch
-latency, so per-call wall timing measures the tunnel. Kernel time is measured
-with an on-device lax.fori_loop chain of STEPS SpMVs (data-dependent so XLA
-cannot elide them), amortizing dispatch to noise.
+Timing note: this TPU is reached through a tunnel with multi-ms dispatch and
+transfer overheads per call, and block_until_ready does not reliably
+synchronize on the axon backend. Kernel time is therefore measured by SLOPE:
+two on-device lax.fori_loop chains of LO and HI dependency-chained SpMVs
+(data-dependent so XLA cannot elide them), each synced by a host readback of
+a scalar; per-step = (T_HI - T_LO) / (HI - LO), which cancels every fixed
+per-call cost.
 """
 import json
 import math
@@ -30,9 +33,9 @@ def log(msg):
 
 # (preset, reference GFLOPS, candidate kernels)
 SUITE = [
-    ("fem_3d_thermal2_like", 39.14, ["DIA_ROWS", "ELL_ROWS_T", "CSR_ROWS_BINNED"]),
-    ("raefsky1_like", 46.56, ["DIA_ROWS", "ELL_ROWS_T"]),
-    ("caida_like", 10.47, ["CSR_ROWS_BINNED", "ELL_ROWS_T"]),
+    ("fem_3d_thermal2_like", 39.14, ["PL_DIA_ROWS", "DIA_ROWS"]),
+    ("raefsky1_like", 46.56, ["PL_DIA_ROWS", "DIA_ROWS"]),
+    ("caida_like", 10.47, ["CSR_ROWS_BINNED"]),
 ]
 STEPS = 50
 
@@ -91,20 +94,51 @@ def main():
                     log(f"[{preset}] {name}: TOLERANCE FAIL ({rep.max_abs_diff:.2e})")
                     continue
 
-                @jax.jit
-                def loop(x):
-                    def body(i, x):
-                        y = run(ops, x)
-                        # un-foldable dependency so the chain can't be elided
-                        return x * (1.0 + jnp.sum(y) * 1e-30)
+                def mk_loop(steps):
+                    @jax.jit
+                    def loop(x):
+                        def body(i, x):
+                            y = run(ops, x)
+                            # un-foldable dependency: the chain can't be elided
+                            return x * (1.0 + jnp.sum(y) * 1e-30)
 
-                    return jax.lax.fori_loop(0, STEPS, body, x)
+                        return jax.lax.fori_loop(0, steps, body, x, unroll=False)
 
-                jax.block_until_ready(loop(xj))  # compile + warm
+                    return loop
+
+                def timed_chain(steps):
+                    loop = mk_loop(steps)
+                    _ = float(jnp.sum(loop(xj)))  # compile + warm + sync
+                    t_best = float("inf")
+                    for _rep in range(3):
+                        t1 = time.perf_counter()
+                        _ = float(jnp.sum(loop(xj)))  # readback forces sync
+                        t_best = min(t_best, time.perf_counter() - t1)
+                    return t_best
+
+                lo_n = 10
+                t_lo = timed_chain(lo_n)
+                # pick hi so the extra steps add ~2s of device time — far
+                # above the multi-ms fixed-cost noise, bounded for slow kernels
+                est = max(t_lo / lo_n, 1e-6)
+                hi_n = lo_n + max(50, min(STEPS * 10, int(2.0 / est)))
+                t_hi = timed_chain(hi_n)
+                if t_hi - t_lo < 1.0:
+                    # extra steps drowned in fixed-cost noise (fast kernel,
+                    # t_lo dominated by dispatch): escalate the chain length
+                    # until the step signal is ~2s
+                    slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
+                    hi_n = lo_n + min(int(2.0 / slope1), 2_000_000)
+                    t_hi = timed_chain(hi_n)
                 compile_s = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                jax.block_until_ready(loop(xj))
-                dt = (time.perf_counter() - t0) / STEPS
+                dt = (t_hi - t_lo) / (hi_n - lo_n)
+                if dt <= 0:
+                    log(
+                        f"[{preset}] {name}: nonpositive slope "
+                        f"({t_lo*1e3:.2f} vs {t_hi*1e3:.2f} ms), "
+                        "skipping"
+                    )
+                    continue
                 gflops = 2.0 * csr.nnz / dt / 1e9
                 log(
                     f"[{preset}] {name}: {dt*1e6:.1f} us -> {gflops:.2f} GFLOPS "

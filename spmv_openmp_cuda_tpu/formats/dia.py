@@ -1,12 +1,21 @@
 """DIA (diagonal) device format — the zero-gather SpMV path.
 
 The reference stores banded FEM/thermal matrices (its headline benchmarks) as
-CSR/ELL and pays per-nnz index reads plus random x access. On TPU the
+CSR/ELL and pays per-nnz index reads plus random x access
+(reference: src/SpMV_ELL_OMP.c:33-67, src/SpMV_CUDA.cu:79-96). On TPU the
 idiomatic storage for such matrices is by diagonal: y = sum_d diag_d * x
 shifted by d. No column indices (half the memory traffic of ELL), no gather
 (the shift is a static slice), everything dense and lane-parallel — this is
 the speed-of-light format whenever the matrix's nnz concentrate on few
 diagonals.
+
+Layout is 2D-native: the row axis is laid out as (S, 128) sublane-rows x
+lanes, so every arithmetic op runs at full (8, 128) VPU width. A flat shift
+by `off` becomes two lane-aligned slices: with q, r = divmod(off, 128),
+  x_shifted[(s, l)] = xp[s + q, l + r]            (l + r < 128)
+                    = xp[s + q + 1, l + r - 128]  (otherwise)
+i.e. concat(lo[:, r:], hi[:, :r]) of two row-shifted views — measured at
+~500 GB/s on v5e versus ~23 GB/s for the 1D-unrolled formulation.
 
 Like the reference's ELL size cap (parser.c:223-232), conversion enforces a
 padding budget: if the dense diagonals would exceed `max_fill_ratio` x nnz,
@@ -33,21 +42,27 @@ class DiaFillError(ValueError):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["data"],
-    meta_fields=["offsets", "shape", "nnz", "pad"],
+    meta_fields=["offsets", "shape", "nnz", "pad_sub"],
 )
 @dataclasses.dataclass
 class DeviceDIA:
-    """data[d, i] = A[i, i + offsets[d]] (0 where outside the matrix).
+    """data[d, s, l] = A[i, i + offsets[d]] for flat row i = s * 128 + l
+    (0 where outside the matrix).
 
-    `pad` is the x padding (max |offset|, lane-aligned) so shifted reads are
-    in-bounds static slices of the padded vector.
+    `pad_sub` is the number of leading zero sublane-rows in the padded-x
+    layout (see pad_x_dia): ceil(max |offset| / 128), so every shifted read
+    is an in-bounds static slice.
     """
 
-    data: jax.Array  # (D, M_pad)
-    offsets: Tuple[int, ...]  # static: diagonal offsets (c - r)
+    data: jax.Array  # (D, S, LANE)
+    offsets: Tuple[int, ...]  # static: diagonal offsets (c - r), ascending
     shape: Tuple[int, int] = (0, 0)
     nnz: int = 0
-    pad: int = 0
+    pad_sub: int = 0
+
+    @property
+    def m_pad(self) -> int:
+        return self.data.shape[1] * LANE
 
 
 def prepare_dia(
@@ -66,39 +81,54 @@ def prepare_dia(
         )
     data = np.zeros((d, m_pad), dtype=np.float64)
     data[inv, rows] = csr.data
-    pad = int(max(np.abs(uniq).max(initial=0), 1))
-    pad = _ceil_to(pad, LANE)
+    pad_sub = max(1, -(-int(np.abs(uniq).max(initial=0)) // LANE))
     return DeviceDIA(
-        data=jnp.asarray(data, dtype=dtype),
+        data=jnp.asarray(data.reshape(d, m_pad // LANE, LANE), dtype=dtype),
         offsets=tuple(int(o) for o in uniq),
         shape=(m, n),
         nnz=csr.nnz,
-        pad=pad,
+        pad_sub=pad_sub,
     )
 
 
 def pad_x_dia(x: jax.Array, mat: DeviceDIA) -> jax.Array:
-    """Zero-pad x so every shifted diagonal read is a static in-bounds slice.
+    """Zero-pad x into the (S + 2*pad_sub, LANE) sublane-row layout.
 
-    Padded layout: [pad zeros | x (length n) | zeros up to M_pad + pad]."""
-    m_pad = mat.data.shape[1]
+    Padded layout: [pad_sub zero rows | x (length n, row-major over lanes) |
+    zeros up to S + 2*pad_sub rows], so x[i + off] for any |off| <=
+    pad_sub*LANE and i < S*LANE is in bounds.
+    """
+    s = mat.data.shape[1]
     n = mat.shape[1]
-    return jnp.pad(x, (mat.pad, m_pad + mat.pad - n))
+    flat = jnp.pad(
+        x.astype(mat.data.dtype), (mat.pad_sub * LANE, (s + mat.pad_sub) * LANE - n)
+    )
+    return flat.reshape(s + 2 * mat.pad_sub, LANE)
+
+
+def shifted_view(xp: jax.Array, off: int, s: int, base_sub: int) -> jax.Array:
+    """(s, LANE) view of xp holding x[i + off] for flat i in the block that
+    starts at sublane-row base_sub of xp's un-padded origin."""
+    q, r = divmod(off, LANE)
+    lo = jax.lax.slice_in_dim(xp, base_sub + q, base_sub + q + s)
+    if r == 0:
+        return lo
+    hi = jax.lax.slice_in_dim(xp, base_sub + q + 1, base_sub + q + 1 + s)
+    return jnp.concatenate([lo[:, r:], hi[:, :r]], axis=1)
 
 
 def dia_spmv_padded(mat: DeviceDIA, xp: jax.Array) -> jax.Array:
-    """y = A @ x from pre-padded xp (see pad_x_dia).
+    """y = A @ x from pre-padded xp (see pad_x_dia), pure-XLA formulation.
 
-    Each diagonal contributes data[d] * xp[pad + off_d : pad + off_d + M_pad]
-    — a static slice, unrolled over the (static) diagonal set. XLA fuses the
-    whole sum into one pass over the data slab.
+    Each diagonal contributes data[d] * (two-slice lane-shifted view of xp),
+    unrolled over the (static) diagonal set. All ops are (S, 128) 2D so the
+    VPU runs at full width; XLA fuses the sum into one pass over the slab.
     """
-    m_pad = mat.data.shape[1]
-    acc = jnp.zeros(m_pad, dtype=mat.data.dtype)
+    d, s, _ = mat.data.shape
+    acc = jnp.zeros((s, LANE), dtype=mat.data.dtype)
     for i, off in enumerate(mat.offsets):
-        seg = jax.lax.slice_in_dim(xp, mat.pad + off, mat.pad + off + m_pad)
-        acc = acc + mat.data[i] * seg.astype(mat.data.dtype)
-    return acc[: mat.shape[0]]
+        acc = acc + mat.data[i] * shifted_view(xp, off, s, mat.pad_sub)
+    return acc.reshape(-1)[: mat.shape[0]]
 
 
 def dia_spmv(mat: DeviceDIA, x: jax.Array) -> jax.Array:

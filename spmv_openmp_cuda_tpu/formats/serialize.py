@@ -53,7 +53,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "offsets": list(mat.offsets),
             "shape": list(mat.shape),
             "nnz": mat.nnz,
-            "pad": mat.pad,
+            "pad_sub": mat.pad_sub,
         }
     if isinstance(mat, DeviceELL):
         return {
@@ -87,7 +87,7 @@ def load_prepared(path: str) -> PreparedFormat:
             offsets=tuple(aux["offsets"]),
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
-            pad=aux["pad"],
+            pad_sub=aux["pad_sub"],
         )
     if kind == "DeviceELL":
         return DeviceELL(

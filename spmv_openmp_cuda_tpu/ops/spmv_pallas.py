@@ -6,17 +6,22 @@ already at the roofline — the harness A/Bs them like the reference A/B'd its
 CUDA variants against OMP).
 
 Mosaic constraints that shaped these designs (probed on v5e):
-- arbitrary gathers from a VMEM-resident vector are NOT lowerable; only
-  same-shape 2D take_along_axis (axis 0/1, 128 lanes). Hence the dense-x
-  gather stays in XLA (pre-gathered slab input) except in DIA, which needs no
-  gather at all.
-- 1D blocks lower to a single-sublane layout; kernels below therefore use
-  (8, L) output tiles.
+- arbitrary gathers from a VMEM-resident vector are NOT lowerable; the one
+  fast gather primitive is same-shape 2D `take_along_axis(..., axis=1)` —
+  each sublane-row picks freely among its 128 lanes. axis=0 take_along_axis
+  crashes the backend compiler.
+- 1D arrays occupy a single sublane per (8, 128) tile; all hot loops below
+  are therefore 2D (sublane-rows x 128 lanes). The 2D DIA formulation runs
+  at ~500 GB/s where the 1D one measured ~23 GB/s.
+- XLA-level gathers run at ~1 GB/s on v5e — any format whose SpMV needs an
+  XLA gather of x is dead on arrival; gathers must happen in-kernel via the
+  lane-gather primitive.
 
 Kernels run in interpreter mode automatically off-TPU (CPU tests).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -39,7 +44,7 @@ def _pick_block(m_pad: int, want: int) -> int:
     """Largest LANE multiple <= want that divides m_pad (m_pad is always a
     LANE multiple)."""
     f = m_pad // LANE
-    k = min(want // LANE, f)
+    k = min(max(want // LANE, 1), f)
     while f % k:
         k -= 1
     return k * LANE
@@ -51,8 +56,9 @@ def _pick_block(m_pad: int, want: int) -> int:
 
 
 def ell_t_slab_pallas(mat: DeviceELL, x: jax.Array, block_n: int = 2048) -> jax.Array:
-    """SpMV over the transposed (W, M) slab: the x gather runs in XLA (see
-    module docstring), the multiply+reduce streams (W, BN) tiles through VMEM.
+    """SpMV over the transposed (W, M) slab: the x gather runs in XLA (slow —
+    kept as the faithful ELL-transposed analog; see CSR_LANES for the fast
+    general path), the multiply+reduce streams (W, BN) tiles through VMEM.
 
     The lane-level sum over W sublanes is the warp-shuffle-reduction analog
     (reference cudaSpMVWarpPerRowCSR / reduceWarpRegs, cudaUtils.h:101-106).
@@ -82,53 +88,115 @@ def ell_t_slab_pallas(mat: DeviceELL, x: jax.Array, block_n: int = 2048) -> jax.
 
 
 # ---------------------------------------------------------------------------
-# Fused DIA kernel: one pass over the diagonal slab, x halo in VMEM
+# Fused DIA kernel — 2D sublane-row layout, two-slice lane shifts
 # ---------------------------------------------------------------------------
 
 
-def dia_spmv_pallas(mat: DeviceDIA, x: jax.Array, block_n: int = 2048) -> jax.Array:
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[],
+    meta_fields=["bs", "nblocks", "s_pad"],
+)
+@dataclasses.dataclass(frozen=True)
+class DiaPallasPlan:
+    """Static launch plan for the Pallas DIA kernel (all-static pytree so
+    kernel operands can be passed as jit arguments)."""
+
+    bs: int  # sublane-rows per output block
+    nblocks: int
+    s_pad: int  # padded sublane-row count (= bs * nblocks)
+
+
+def plan_dia(mat: DeviceDIA, vmem_budget: int = 2 << 20) -> DiaPallasPlan:
+    d, s, _ = mat.data.shape
+    # data block d*bs*LANE*4 bytes ~ vmem_budget; bs multiple of SUBLANE,
+    # and bs > pad_sub so the 3-block x window covers every shift.
+    bs = max(vmem_budget // (d * LANE * 4), mat.pad_sub + 1, SUBLANE)
+    bs = _ceil_to(bs, SUBLANE)
+    bs = min(bs, _ceil_to(s, SUBLANE))
+    s_pad = _ceil_to(s, bs)
+    return DiaPallasPlan(bs=bs, nblocks=s_pad // bs, s_pad=s_pad)
+
+
+def pad_dia_for_pallas(mat: DeviceDIA, plan: DiaPallasPlan) -> DeviceDIA:
+    """Pad the diagonal slab's sublane-row axis up to the plan's block grid
+    (one-time host-side prepare step, the upload-path analog of the
+    reference's pitched ELL device copy, cudaUtils.cu:56-98)."""
+    d, s, _ = mat.data.shape
+    if s == plan.s_pad:
+        return mat
+    data = jnp.pad(mat.data, ((0, 0), (0, plan.s_pad - s), (0, 0)))
+    return DeviceDIA(
+        data=data,
+        offsets=mat.offsets,
+        shape=mat.shape,
+        nnz=mat.nnz,
+        pad_sub=mat.pad_sub,
+    )
+
+
+def dia_spmv_pallas(
+    mat: DeviceDIA, x: jax.Array, plan: DiaPallasPlan | None = None
+) -> jax.Array:
     """y = A @ x over diagonals, fully fused in one Pallas kernel.
 
-    Grid over output blocks of BN rows. The shifted x reads come from a
-    3-block sliding window (blocks i, i+1, i+2 of the padded vector), valid
-    while pad + max|offset| <= 2*BN. Each diagonal contributes a static slice
-    of the window — no gather, no indices.
+    Grid over output blocks of BS sublane-rows (BS*128 rows). The shifted x
+    reads come from a 3-block sliding window (blocks i, i+1, i+2 of the
+    sublane-row-padded vector); each diagonal contributes a two-slice
+    lane-shifted view of the window — no gather, no indices. Measured ~500
+    GB/s of diagonal-slab traffic on v5e (the 1D formulation: ~23 GB/s).
     """
-    d, m_pad = mat.data.shape
-    bn = _pick_block(m_pad, block_n)
-    if mat.pad > bn:
-        raise ValueError("diagonal reach exceeds block size")
+    if plan is None:
+        plan = plan_dia(mat)
+        mat = pad_dia_for_pallas(mat, plan)
+    d, s_pad, _ = mat.data.shape
+    bs, ps = plan.bs, mat.pad_sub
     offsets = mat.offsets
-    pad = mat.pad
+    dtype = mat.data.dtype
 
-    xp = pad_x_dia(x, mat).astype(mat.data.dtype)
-    # extend so block i+2 exists for the last grid step
-    total = (m_pad // bn + 2) * bn
-    xp = jnp.pad(xp, (0, total - xp.shape[0]))
+    # window layout: xk rows [0, nblocks+2 blocks); xp origin (x row 0) sits
+    # at row ps; kernel block i covers out rows [i*bs, (i+1)*bs) and reads
+    # window rows [ps+q, ps+q+bs+1) for q in [-ps, ps], all inside blocks
+    # [i, i+3) of xk since ps < bs.
+    xp = pad_x_dia(x, mat)  # (s + 2*ps, LANE)
+    xk = jnp.pad(xp, ((0, (plan.nblocks + 2) * bs - xp.shape[0]), (0, 0)))
 
-    def kernel(dia_ref, x0_ref, x1_ref, x2_ref, o_ref):
-        xw = jnp.concatenate([x0_ref[0], x1_ref[0], x2_ref[0]])  # (3*BN,)
-        acc = jnp.zeros((bn,), dia_ref.dtype)
-        for k, off in enumerate(offsets):  # static unroll over diagonals
-            seg = jax.lax.slice_in_dim(xw, pad + off, pad + off + bn)
-            acc = acc + dia_ref[k, :] * seg
-        o_ref[:] = acc.reshape(o_ref.shape)
+    def kernel(x0_ref, x1_ref, x2_ref, dia_ref, o_ref, w_ref):
+        # Stage the 3-block window in a VMEM scratch *ref*: slicing the lane-
+        # shifted views out of a ref lowers to clean VMEM loads, while the
+        # same slices of a concatenated SSA value crash the Mosaic backend.
+        w_ref[0:bs] = x0_ref[:]
+        w_ref[bs : 2 * bs] = x1_ref[:]
+        w_ref[2 * bs : 3 * bs] = x2_ref[:]
+        acc = jnp.zeros((bs, LANE), dtype)
+        for k, off in enumerate(offsets):
+            q, r = divmod(off, LANE)
+            lo = w_ref[ps + q : ps + q + bs, :]
+            if r == 0:
+                sh = lo
+            else:
+                hi = w_ref[ps + q + 1 : ps + q + 1 + bs, :]
+                sh = jnp.concatenate([lo[:, r:], hi[:, :r]], axis=1)
+            acc = acc + dia_ref[k] * sh
+        o_ref[:] = acc
 
-    x2d = xp.reshape(1, -1)
     out = pl.pallas_call(
         kernel,
-        grid=(m_pad // bn,),
+        grid=(plan.nblocks,),
         in_specs=[
-            pl.BlockSpec((d, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i: (0, i + 2), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, LANE), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, LANE), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d, bs, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, m_pad), mat.data.dtype),
+        out_specs=pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_pad, LANE), dtype),
+        scratch_shapes=[pltpu.VMEM((3 * bs, LANE), dtype)],
         interpret=_interpret(),
-    )(mat.data, x2d, x2d, x2d)
-    return out[0, : mat.shape[0]]
+    )(xk, xk, xk, mat.data)
+    return out.reshape(-1)[: mat.shape[0]]
 
 
 # ---------------------------------------------------------------------------
@@ -155,18 +223,21 @@ def _register() -> None:
             "lane-level reduction = warp-shuffle analog)",
         )
     )
+
+    def _prep_dia(csr, ell, cfg):
+        mat = prepare_dia(csr, dtype=cfg.jnp_dtype)
+        plan = plan_dia(mat)
+        return (pad_dia_for_pallas(mat, plan), plan)
+
     register(
         KernelSpec(
             name="PL_DIA_ROWS",
             fmt="csr",
             impl="pallas",
-            prepare=lambda csr, ell, cfg: (
-                prepare_dia(csr, dtype=cfg.jnp_dtype),
-                cfg.pallas_block_n,
-            ),
-            run=lambda ops, x: dia_spmv_pallas(ops[0], x, block_n=ops[1]),
-            doc="Pallas fused diagonal kernel: one pass over the diagonal "
-            "slab with a 3-block sliding x window in VMEM",
+            prepare=_prep_dia,
+            run=lambda ops, x: dia_spmv_pallas(ops[0], x, ops[1]),
+            doc="Pallas fused diagonal kernel: 2D sublane-row layout, "
+            "3-block sliding x window, two-slice lane shifts (~500 GB/s)",
         )
     )
 

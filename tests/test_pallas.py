@@ -38,12 +38,16 @@ def test_ell_t_pallas_blocks(block_n):
     assert rep.ok, rep
 
 
-@pytest.mark.parametrize("block_n", [128, 512, 4096])
-def test_dia_pallas_blocks(block_n):
+@pytest.mark.parametrize("vmem_budget", [8 << 10, 64 << 10, 2 << 20])
+def test_dia_pallas_blocks(vmem_budget):
+    from spmv_openmp_cuda_tpu.ops.spmv_pallas import pad_dia_for_pallas, plan_dia
+
     csr, ell, x, oracle = _mats()
     mat = prepare_dia(csr)
+    plan = plan_dia(mat, vmem_budget=vmem_budget)
+    mat = pad_dia_for_pallas(mat, plan)
     y = np.asarray(
-        jax.jit(lambda m_, x_: dia_spmv_pallas(m_, x_, block_n=block_n))(
+        jax.jit(lambda m_, x_: dia_spmv_pallas(m_, x_, plan))(
             mat, jnp.asarray(x, jnp.float32)
         ),
         np.float64,
@@ -52,13 +56,16 @@ def test_dia_pallas_blocks(block_n):
     assert rep.ok, rep
 
 
-def test_dia_pallas_wide_band_rejected():
-    # diagonal reach beyond the block size must raise, not corrupt
-    coo = synth.banded(600, 600, 200, fill=0.05, seed=3)
+def test_dia_pallas_wide_band():
+    # diagonal reach wider than one lane-row: pad_sub > 1 forces multi-row
+    # shifts through the 3-block window
+    coo = synth.banded(600, 600, 300, fill=0.05, seed=3)
     csr = S.coo_to_csr(coo)
     mat = prepare_dia(csr, max_fill_ratio=1e9)
-    with pytest.raises(ValueError):
-        dia_spmv_pallas(mat, jnp.zeros(600, jnp.float32), block_n=128)
+    x = fill_rnd_vector(600, seed=6)
+    y = np.asarray(dia_spmv_pallas(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
 
 
 @pytest.mark.parametrize("kname", ["PL_ELL_ROWS_T", "PL_DIA_ROWS"])

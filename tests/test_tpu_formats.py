@@ -97,7 +97,7 @@ def test_dia_offsets_sound():
     assert mat.offsets == tuple(range(-4, 5))
     # diagonal data roundtrip: reconstruct dense
     dense = np.zeros((128, 128))
-    data = np.asarray(mat.data, np.float64)
+    data = np.asarray(mat.data, np.float64).reshape(len(mat.offsets), -1)
     for i, off in enumerate(mat.offsets):
         for r in range(128):
             c = r + off
