@@ -32,10 +32,13 @@ def log(msg):
 
 
 # (preset, reference GFLOPS, candidate kernels)
+# all five CUDA headline matrices of the reference (BASELINE.md)
 SUITE = [
-    ("fem_3d_thermal2_like", 39.14, ["PL_DIA_ROWS", "DIA_ROWS"]),
-    ("raefsky1_like", 46.56, ["PL_DIA_ROWS", "DIA_ROWS"]),
+    ("delaunay_n12_like", 5.81, ["PL_CSR_LANES"]),
+    ("raefsky1_like", 46.56, ["PL_DIA_ROWS", "PL_CSR_LANES"]),
     ("caida_like", 10.47, ["CSR_ROWS_BINNED"]),
+    ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),
+    ("fem_3d_thermal2_like", 39.14, ["PL_DIA_ROWS"]),
 ]
 STEPS = 50
 

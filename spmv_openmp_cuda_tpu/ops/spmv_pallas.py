@@ -241,5 +241,22 @@ def _register() -> None:
         )
     )
 
+    from ..formats.lanes import lanes_small_spmv, prepare_lanes_small
+
+    register(
+        KernelSpec(
+            name="PL_CSR_LANES",
+            fmt="csr",
+            impl="pallas",
+            prepare=lambda csr, ell, cfg: prepare_lanes_small(
+                csr, dtype=cfg.jnp_dtype
+            ),
+            run=lanes_small_spmv,
+            doc="lane-gather engine for unstructured matrices (small-G): "
+            "in-VMEM take_along_axis gather + masked group accumulate "
+            "(the 2D-tiles/warp analog for random sparsity)",
+        )
+    )
+
 
 _register()

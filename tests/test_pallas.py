@@ -77,3 +77,38 @@ def test_pallas_registry_modes(kname):
     y = np.asarray(f(jnp.asarray(x, jnp.float32)), np.float64)
     rep = vectors_diff(y[: csr.shape[0]], oracle)
     assert rep.ok, rep
+
+
+@pytest.mark.parametrize(
+    "gen,kw",
+    [
+        (synth.random_uniform, dict(m=700, n=700, density=0.004)),
+        (synth.random_uniform, dict(m=4096, n=4096, density=24500 / 4096**2)),
+        (synth.banded, dict(m=500, n=500, bandwidth=9, fill=0.8)),
+        (synth.power_law, dict(m=900, n=900, avg_nnz_per_row=4.0)),
+        (synth.random_uniform, dict(m=300, n=33000, density=0.0004)),
+    ],
+)
+def test_lanes_small_matches_oracle(gen, kw):
+    from spmv_openmp_cuda_tpu.formats.lanes import (
+        lanes_small_spmv,
+        prepare_lanes_small,
+    )
+
+    coo = gen(seed=11, **kw)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(coo.shape[1], seed=3)
+    mat = prepare_lanes_small(csr)
+    y = np.asarray(
+        jax.jit(lanes_small_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64
+    )
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_lanes_small_rejects_large_g():
+    from spmv_openmp_cuda_tpu.formats.lanes import LanesError, prepare_lanes_small
+
+    coo = synth.random_uniform(64 * 128 + 1, 100, density=0.001, seed=0)
+    with pytest.raises(LanesError):
+        prepare_lanes_small(S.coo_to_csr(coo))
