@@ -36,7 +36,7 @@ def log(msg):
 SUITE = [
     ("delaunay_n12_like", 5.81, ["PL_CSR_LANES"]),
     ("raefsky1_like", 46.56, ["PL_DIA_ROWS", "PL_CSR_LANES"]),
-    ("caida_like", 10.47, ["CSR_ROWS_BINNED"]),
+    ("caida_like", 10.47, ["PL_CSR_ROUTED"]),
     ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_DIA_ROWS"]),
 ]
@@ -60,6 +60,9 @@ def main():
 
     cfg = Config(dtype=os.environ.get("SPMV_DTYPE", "float32"))
     suite = SUITE[:1] if os.environ.get("BENCH_FAST") else SUITE
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        suite = [s for s in SUITE if s[0] in only.split(",")]
     log(f"backend={jax.default_backend()} devices={jax.devices()} dtype={cfg.dtype}")
 
     details = []

@@ -1,0 +1,345 @@
+"""Clos-routed CSR — the fully general large-G sparse engine.
+
+Pipeline (all structure static, only x flows at run time):
+
+1. *Gather phase* (Pallas): x is windowed as 128-residue x 128-panel tiles
+   (see formats/lanes.py); every nnz gets a slot with sublane = col % 128 so
+   the in-VMEM lane-gather (`take_along_axis(axis=1)`, ~50 Gelem/s) can fetch
+   its x value; lanes are packed tightly (free choice). Products come out in
+   column-panel order.
+2. *Routing phase* (ops/route.py): a planned Clos permutation moves every
+   product from panel order to its reduction slot — the TPU-native analog of
+   the scatter/atomics a GPU CSR kernel leans on.
+3. *Reduce phase*: reduction slots form width-binned transposed slabs — rows
+   are split into subrow units of <= wcap nnz, units sorted by length and
+   grouped 128 to a column-group with width = the group max (the reference's
+   row-binning / dynamic-scheduling analog, ompChunksDivide.h) — so every
+   unit sum is a dense sublane reduction. Long rows reduce over multiple
+   levels (subrow partial sums feed the next level's slabs).
+4. *Assembly*: a second (small) Clos permutation routes every row's final
+   unit sum into natural row order.
+
+Correctness-critical invariant: the routing domain is a total bijection —
+padding slots on the gather side hold val = 0 and map onto the padding slots
+of the reduction slabs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import LANE
+from ..ops.route import PlannedPermutation, apply_permutation, pick_t, plan_permutation
+from .lanes import WINDOW_ELEMS, WINDOW_PANELS
+from .matrix import CSRMatrix
+
+WCAP = LANE  # max unit width: one slab column-group spans <= 128 sublanes
+
+
+class RoutedError(ValueError):
+    """Matrix too large for the single-domain routed engine."""
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "pidx", "widx", "perm_products", "lvl_gather", "perm_out"],
+    meta_fields=["shape", "nnz", "n_windows", "rows_a", "runs", "lvl_runs", "out_t"],
+)
+@dataclasses.dataclass
+class RoutedCSR:
+    vals: jax.Array  # (rows_a, 128) dtype — gather-phase slot values
+    pidx: jax.Array  # (rows_a, 128) int32 — panel-in-window per slot
+    widx: jax.Array  # (n_tiles,) int32 — window id per 128-row tile
+    perm_products: PlannedPermutation
+    lvl_gather: Tuple[jax.Array, ...]  # per extra level: flat gather indices
+    perm_out: PlannedPermutation
+    shape: Tuple[int, int] = (0, 0)
+    nnz: int = 0
+    n_windows: int = 1
+    rows_a: int = 0
+    # level-1 reduce runs: (row0, n_groups, width, out_group0)
+    runs: Tuple[Tuple[int, int, int, int], ...] = ()
+    # per extra level: its runs tuple
+    lvl_runs: Tuple[Tuple[Tuple[int, int, int, int], ...], ...] = ()
+    out_t: int = 1
+
+
+def _group_units(lens: np.ndarray):
+    """Sort units desc by length, group 128 to a slab column-group.
+
+    Returns (order, group_row_base, runs, n_rows): order[rank] = unit id;
+    group g holds ranks [g*128, (g+1)*128) at rows
+    [group_row_base[g], +width_g); runs are (row0, n_groups, width,
+    out_group0) maximal equal-width stretches.
+    """
+    u = lens.shape[0]
+    order = np.argsort(-lens, kind="stable")
+    n_groups = -(-u // LANE)
+    widths = np.empty(n_groups, dtype=np.int64)
+    for g in range(n_groups):
+        widths[g] = max(int(lens[order[g * LANE]]), 1)  # sorted desc: first is max
+    base = np.r_[0, np.cumsum(widths)]
+    runs: List[Tuple[int, int, int, int]] = []
+    g = 0
+    while g < n_groups:
+        g2 = g
+        while g2 < n_groups and widths[g2] == widths[g]:
+            g2 += 1
+        runs.append((int(base[g]), g2 - g, int(widths[g]), g))
+        g = g2
+    return order, base, tuple(runs), int(base[-1])
+
+
+def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
+    m, n = csr.shape
+    if csr.nnz == 0 or m == 0:
+        raise RoutedError("empty matrix")
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    nnz = csr.nnz
+
+    # ---- gather-phase packing (free lanes, tight) -------------------------
+    w = cols // WINDOW_ELEMS
+    a = cols % LANE
+    p = (cols // LANE) % WINDOW_PANELS
+    nwin = int(w.max()) + 1
+    # ordinal within (w, a)
+    key = w * LANE + a
+    order = np.argsort(key, kind="stable")
+    key_sorted = key[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(key_sorted)) + 1]
+    run_id = np.zeros(nnz, dtype=np.int64)
+    run_id[starts] = 1
+    run_id = np.cumsum(run_id) - 1
+    j_sorted = np.arange(nnz) - starts[run_id]
+    j = np.empty(nnz, dtype=np.int64)
+    j[order] = j_sorted
+    lane_a = j % LANE
+    depth = j // LANE
+    tiles_per_win = np.zeros(nwin, dtype=np.int64)
+    np.maximum.at(tiles_per_win, w, depth + 1)
+    tile_base = np.r_[0, np.cumsum(tiles_per_win)]
+    n_tiles = int(tile_base[-1])
+    rows_a = n_tiles * LANE
+    slot_a = ((tile_base[w] + depth) * LANE + a) * LANE + lane_a
+
+    # ---- reduction units (multi-level row splitting) ----------------------
+    lens = np.diff(csr.indptr).astype(np.int64)
+    ordinal = np.arange(nnz) - csr.indptr[rows].astype(np.int64)
+    # level-1 units: subrows of <= WCAP nnz, in row-major order
+    n_sub = np.maximum(-(-lens // WCAP), 1)
+    sub_base = np.r_[0, np.cumsum(n_sub)]  # unit id = sub_base[r] + o//WCAP
+    u1 = int(sub_base[-1])
+    unit_of_nnz = sub_base[rows] + ordinal // WCAP
+    k_of_nnz = ordinal % WCAP
+    lens1 = np.minimum(lens[np.repeat(np.arange(m), n_sub)], WCAP).copy()
+    # exact per-unit lengths: full WCAP except each row's last subrow
+    lens1 = np.full(u1, WCAP, dtype=np.int64)
+    last = sub_base[1:] - 1
+    lens1[last] = lens - (n_sub - 1) * WCAP
+    lens1[last[lens == 0]] = 0
+
+    order1, base1, runs1, rows_c = _group_units(lens1)
+    rank1 = np.empty(u1, dtype=np.int64)
+    rank1[order1] = np.arange(u1)
+    slot_c = (
+        (base1[rank1[unit_of_nnz] // LANE] + k_of_nnz) * LANE
+        + rank1[unit_of_nnz] % LANE
+    )
+
+    # ---- products permutation --------------------------------------------
+    dom_rows = max(rows_a, rows_c)
+    try:
+        t1 = pick_t(dom_rows)
+    except ValueError as e:
+        raise RoutedError(str(e)) from e
+    dom = t1 * LANE * LANE
+    dst_of = np.full(dom, -1, dtype=np.int64)
+    dst_of[slot_a] = slot_c
+    free_src = np.flatnonzero(dst_of < 0)
+    used_dst = np.zeros(dom, dtype=bool)
+    used_dst[slot_c] = True
+    dst_of[free_src] = np.flatnonzero(~used_dst)
+    perm_products = plan_permutation(dst_of, t1)
+
+    # ---- higher levels ----------------------------------------------------
+    # level-k units reduce the partial sums of split level-(k-1) rows/units
+    lvl_gather: List[np.ndarray] = []
+    lvl_runs: List[Tuple] = []
+    # current "sum position" of unit u of the latest level, as flat index
+    # into that level's sums (group*128 + lane)
+    pos1 = (rank1 // LANE) * LANE + rank1 % LANE  # == rank1, kept explicit
+    level_sums_sizes = [len(runs1) and (runs1[-1][3] + runs1[-1][1]) * LANE]
+    # map each original row to (level, flat pos of its final sum)
+    final_level = np.zeros(m, dtype=np.int64)  # 0 = level-1 sums
+    final_pos = pos1[sub_base[:-1]]  # rows with one subrow: that unit's sum
+    parents = np.flatnonzero(n_sub > 1)  # rows needing another level
+    child_pos = pos1  # flat positions of current level's unit sums
+    child_counts = n_sub
+    child_first = sub_base[:-1]
+    level = 0
+    offset_prev = 0
+    while parents.size:
+        level += 1
+        # units of this level: one per parent, length = its child count
+        plens_full = child_counts[parents]
+        # split parents with > WCAP children into sub-units again
+        nsub2 = np.maximum(-(-plens_full // WCAP), 1)
+        sb2 = np.r_[0, np.cumsum(nsub2)]
+        u2 = int(sb2[-1])
+        lens2 = np.full(u2, WCAP, dtype=np.int64)
+        last2 = sb2[1:] - 1
+        lens2[last2] = plens_full - (nsub2 - 1) * WCAP
+        order2, base2, runs2, rows2 = _group_units(lens2)
+        rank2 = np.empty(u2, dtype=np.int64)
+        rank2[order2] = np.arange(u2)
+        n_groups2 = -(-u2 // LANE)
+        # gather indices: slab slot (row, lane) <- child sum flat position
+        gidx = np.full(rows2 * LANE, -1, dtype=np.int64)
+        for idx_p, parent in enumerate(parents):
+            cnt = child_counts[parent]
+            first = child_first[parent]
+            for su in range(nsub2[idx_p]):
+                uid = sb2[idx_p] + su
+                ln = int(lens2[uid])
+                rk = rank2[uid]
+                rws = base2[rk // LANE] + np.arange(ln)
+                gidx[rws * LANE + rk % LANE] = child_pos[first + su * WCAP : first + su * WCAP + ln]
+        lvl_gather.append(gidx)
+        lvl_runs.append(runs2)
+        pos2 = rank2
+        # parents fully reduced this level keep their (single) unit sum
+        done = nsub2 == 1
+        final_level[parents[done]] = level
+        final_pos[parents[done]] = pos2[sb2[:-1][done]] + 0
+        # recurse for parents still split
+        still = np.flatnonzero(~done)
+        parents_next = parents[still]
+        child_counts_next = np.zeros(
+            max(int(parents.max(initial=0)) + 1, m), dtype=np.int64
+        )
+        child_first_next = np.zeros_like(child_counts_next)
+        child_counts_next[parents_next] = nsub2[still]
+        child_first_next[parents_next] = sb2[:-1][still]
+        child_pos = pos2
+        child_counts = child_counts_next
+        child_first = child_first_next
+        parents = parents_next
+        level_sums_sizes.append(n_groups2 * LANE)
+        if level > 8:
+            raise RoutedError("row splitting failed to converge")
+
+    # ---- output assembly permutation -------------------------------------
+    # concat all level sums; final_pos is within-level; add level offsets
+    offs = np.r_[0, np.cumsum(level_sums_sizes)]
+    src_out = offs[final_level] + final_pos  # y[r] lives here, r in 0..m
+    total = int(offs[-1])
+    out_rows = max(-(-total // LANE), -(-m // LANE))
+    t_out = pick_t(out_rows)
+    dom_o = t_out * LANE * LANE
+    dst_out = np.full(dom_o, -1, dtype=np.int64)
+    dst_out[src_out] = np.arange(m)
+    free_s = np.flatnonzero(dst_out < 0)
+    used_d = np.zeros(dom_o, dtype=bool)
+    used_d[np.arange(m)] = True
+    dst_out[free_s] = np.flatnonzero(~used_d)
+    perm_out = plan_permutation(dst_out, t_out)
+
+    # ---- device arrays ----------------------------------------------------
+    vals = np.zeros((rows_a, LANE), dtype=np.float64)
+    pidx = np.zeros((rows_a, LANE), dtype=np.int32)
+    vals.reshape(-1)[slot_a] = csr.data
+    pidx.reshape(-1)[slot_a] = p
+    widx = np.repeat(np.arange(nwin, dtype=np.int32), tiles_per_win)
+    return RoutedCSR(
+        vals=jnp.asarray(vals, dtype=dtype),
+        pidx=jnp.asarray(pidx),
+        widx=jnp.asarray(widx),
+        perm_products=perm_products,
+        lvl_gather=tuple(jnp.asarray(g) for g in lvl_gather),
+        perm_out=perm_out,
+        shape=(m, n),
+        nnz=nnz,
+        n_windows=nwin,
+        rows_a=rows_a,
+        runs=runs1,
+        lvl_runs=tuple(lvl_runs),
+        out_t=t_out,
+    )
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _gather_products(mat: RoutedCSR, x: jax.Array) -> jax.Array:
+    """Phase 1: products in panel order, (rows_a, 128)."""
+    nwin = mat.n_windows
+    n = mat.shape[1]
+    dtype = mat.vals.dtype
+    xp = jnp.pad(x.astype(dtype), (0, nwin * WINDOW_ELEMS - n))
+    # windowT stack, flattened rows: rows [w*128, (w+1)*128) = window w
+    xw = xp.reshape(nwin, WINDOW_PANELS, LANE).transpose(0, 2, 1).reshape(
+        nwin * LANE, LANE
+    )
+    n_tiles = mat.rows_a // LANE
+
+    def kernel(widx_ref, xw_ref, vals_ref, pidx_ref, o_ref):
+        i = pl.program_id(0)
+        wt = xw_ref[pl.ds(widx_ref[i] * LANE, LANE), :]
+        o_ref[:] = vals_ref[:] * jnp.take_along_axis(wt, pidx_ref[:], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xw resident
+            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mat.rows_a, LANE), dtype),
+        interpret=_interpret(),
+    )(mat.widx, xw, mat.vals, mat.pidx)
+
+
+def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
+    """Width-binned slab -> per-group unit sums (XLA reshape-sums)."""
+    outs = []
+    for row0, n_groups, width, _g0 in runs:
+        blk = jax.lax.slice_in_dim(slab, row0, row0 + n_groups * width)
+        outs.append(blk.reshape(n_groups, width, LANE).sum(axis=1))
+    return jnp.concatenate(outs, axis=0)
+
+
+def routed_spmv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
+    dtype = mat.vals.dtype
+    pa = _gather_products(mat, x)
+    h1 = mat.perm_products.h
+    pa = jnp.pad(pa, ((0, h1 - mat.rows_a), (0, 0)))
+    slab = apply_permutation(mat.perm_products, pa)
+    sums = _reduce_runs(slab, mat.runs)
+    flats = [sums.reshape(-1)]
+    for gidx, runs in zip(mat.lvl_gather, mat.lvl_runs):
+        prev = jnp.concatenate([flats[-1], jnp.zeros((1,), dtype)])
+        safe = jnp.where(gidx < 0, prev.shape[0] - 1, gidx)
+        slab_k = prev[safe].reshape(-1, LANE)
+        flats.append(_reduce_runs(slab_k, runs).reshape(-1))
+    concat = jnp.concatenate(flats)
+    dom_o = mat.perm_out.h * LANE
+    concat = jnp.pad(concat, (0, dom_o - concat.shape[0]))
+    y = apply_permutation(mat.perm_out, concat.reshape(mat.perm_out.h, LANE))
+    return y.reshape(-1)[: mat.shape[0]]

@@ -1,0 +1,252 @@
+"""Static permutation routing for TPU: arbitrary bijections of (H, 128)
+slot arrays at VPU speed.
+
+Why this exists: Mosaic's only fast data-movement primitives are (a)
+same-shape `take_along_axis(axis=1)` — each sublane-row permutes/gathers
+freely among its 128 lanes (~50 Gelem/s) — and (b) 128x128 tile transposes
+(~300 Gelem/s). XLA's general gather runs at ~1 GB/s, unusable for routing
+nnz-scale data. This module decomposes ANY static bijection of an
+(H = T*128, 128) slot array (T a power of two <= 128) into stages built only
+from those primitives:
+
+  R1 (lane perm) . W1 (in-tile sublane perm) . SW (row-grid swap)
+  . W2 . SW^-1 . W3 . R3 (lane perm)
+
+- R-stages are per-row lane permutations (one taa each).
+- W-stages are per-lane sublane permutations within 128-row tiles,
+  implemented as transpose . taa . transpose per tile.
+- SW is the row-grid transpose (t*128+s -> s*T+t), a lane-preserving
+  reshape/swapaxes handled by XLA between kernels.
+
+Routing (host, all static): by König's theorem a 128-regular bipartite
+multigraph is 128-edge-colorable; the color picked for each element is the
+"middle lane" it rides through the column stage (classic 3-stage Clos
+rearrangeability). The same theorem routes each lane's tile-to-tile movement
+through a "middle sublane". Colorings are computed by recursive Euler
+splitting, vectorized with numpy pointer jumping (no Python-loop graph
+walks).
+
+This is the communication substrate of the general sparse engine (the role
+warp shuffles play in the reference's CUDA path, reference
+src/commons/cudaUtils.h:101-106) — and is exposed as a first-class op:
+route.plan_permutation / route.apply_permutation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import LANE
+
+
+# ---------------------------------------------------------------------------
+# bipartite 128-edge-coloring via vectorized Euler splitting
+# ---------------------------------------------------------------------------
+
+
+def _euler_split(left: np.ndarray, right: np.ndarray, cls: np.ndarray) -> np.ndarray:
+    """One Euler-split level: within each color class (even-regular bipartite
+    multigraph), 2-color edges so every (node, class) sees an exact half
+    split. Returns the new bit (0/1) per edge. Vectorized: pair incident
+    edge-slots per (class, node), walk the alternating pairing cycles by
+    pointer jumping."""
+    e = left.shape[0]
+    # pair consecutive edges per (class, left-node): L involution
+    # (single-key stable argsort beats lexsort)
+    nl = int(left.max()) + 1 if e else 1
+    order_l = np.argsort(cls * nl + left, kind="stable")
+    lpair = np.empty(e, dtype=np.int64)
+    a, b = order_l[0::2], order_l[1::2]
+    lpair[a], lpair[b] = b, a
+    # pair per (class, right-node): R involution
+    nr = int(right.max()) + 1 if e else 1
+    order_r = np.argsort(cls * nr + right, kind="stable")
+    rpair = np.empty(e, dtype=np.int64)
+    a, b = order_r[0::2], order_r[1::2]
+    rpair[a], rpair[b] = b, a
+    # orbits of m = lpair(rpair(.)) are exactly the same-color classes of the
+    # alternating cycle; e and rpair(e) get opposite colors.
+    m = lpair[rpair]
+    # pointer-jumped orbit minimum
+    f = m.copy()
+    val = np.arange(e, dtype=np.int64)
+    steps = max(1, int(np.ceil(np.log2(max(e, 2)))))
+    for _ in range(steps):
+        val = np.minimum(val, val[f])
+        f = f[f]
+    # color: my orbit-min vs my R-partner's orbit-min (the two orbits of the
+    # cycle); deterministic tie-free since orbits are disjoint edge sets
+    return (val < val[rpair]).astype(np.int8)
+
+
+def color_bipartite_pow2(
+    left: np.ndarray, right: np.ndarray, n_colors: int
+) -> np.ndarray:
+    """Proper n_colors-edge-coloring (n_colors a power of two) of a bipartite
+    multigraph that is exactly n_colors-regular on every node that appears.
+
+    Edges sharing a left node get distinct colors, likewise right nodes.
+    """
+    e = left.shape[0]
+    assert n_colors & (n_colors - 1) == 0
+    cls = np.zeros(e, dtype=np.int64)
+    bits = int(np.log2(n_colors))
+    for _ in range(bits):
+        bit = _euler_split(left, right, cls)
+        cls = cls * 2 + bit
+    return cls
+
+
+# ---------------------------------------------------------------------------
+# Clos plan
+# ---------------------------------------------------------------------------
+
+
+def pick_t(rows: int) -> int:
+    """Smallest power-of-two tile count T <= 128 with T*128 >= rows."""
+    t = 1
+    while t * LANE < rows:
+        t *= 2
+    if t > LANE:
+        raise ValueError(f"{rows} rows exceed the {LANE * LANE}-row domain")
+    return t
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["r1", "w1", "w2", "w3", "r3"],
+    meta_fields=["t"],
+)
+@dataclasses.dataclass
+class PlannedPermutation:
+    """Stage index arrays (all (T*128, 128) int32, values < 128)."""
+
+    r1: jax.Array
+    w1: jax.Array
+    w2: jax.Array
+    w3: jax.Array
+    r3: jax.Array
+    t: int = LANE
+
+    @property
+    def h(self) -> int:
+        return self.t * LANE
+
+
+def plan_permutation(dst_of: np.ndarray, t: int | None = None) -> PlannedPermutation:
+    """Plan the bijection slot -> dst_of[slot] on an (H=T*128, 128) domain.
+
+    Slots are flat ids row*128 + lane; dst_of must be a permutation of
+    arange(H*128). T (power of two <= 128) defaults to the smallest domain
+    that fits.
+    """
+    n = dst_of.shape[0]
+    if t is None:
+        t = pick_t(n // LANE)
+    h = t * LANE
+    assert n == h * LANE, (n, h)
+    src = np.arange(n, dtype=np.int64)
+    hs, ls = src // LANE, src % LANE
+    hd, ld = dst_of // LANE, dst_of % LANE
+    ts, ss = hs // LANE, hs % LANE
+    td, sd = hd // LANE, hd % LANE
+
+    # middle lane: big coloring over (src row -> dst row); exactly
+    # 128-regular since dst_of is a bijection on full rows
+    m = color_bipartite_pow2(hs, hd, LANE)
+
+    # per-lane colorings over (src tile -> dst tile): exactly 128-regular
+    # per (m, tile) node — all lanes colored in one call
+    sigma = color_bipartite_pow2(m * t + ts, m * t + td, LANE)
+
+    # stage index arrays, taa semantics out[i, j] = in[i, idx[i, j]]
+    r1 = np.empty((h, LANE), dtype=np.int32)
+    r1[hs, m] = ls
+    # W1: within tile ts, lane m: sublane ss -> sigma. After the in-kernel
+    # transpose the tile is (lane, in-tile pos): out[m, sigma] = in[m, ss]
+    w1 = np.empty((h, LANE), dtype=np.int32)  # rows = tile*128 + lane m
+    w1[ts * LANE + m, sigma] = ss
+    # SW: (ts, sigma) -> row sigma*T + ts; runs of T stay inside one
+    # 128-row tile because T | 128
+    mid = lambda sg, tt: sg * t + tt  # noqa: E731  row in the swapped grid
+    w2 = np.empty((h, LANE), dtype=np.int32)
+    w2[(mid(sigma, td) // LANE) * LANE + m, mid(sigma, td) % LANE] = (
+        mid(sigma, ts) % LANE
+    )
+    # SW^-1: -> row td*128 + sigma
+    w3 = np.empty((h, LANE), dtype=np.int32)
+    w3[td * LANE + m, sd] = sigma
+    # R3: out[hd, ld] = in[hd, m]
+    r3 = np.empty((h, LANE), dtype=np.int32)
+    r3[hd, ld] = m
+    return PlannedPermutation(
+        r1=jnp.asarray(r1),
+        w1=jnp.asarray(w1),
+        w2=jnp.asarray(w2),
+        w3=jnp.asarray(w3),
+        r3=jnp.asarray(r3),
+        t=t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply kernels
+# ---------------------------------------------------------------------------
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _row_and_tile_kernel(x_ref, r_ref, w_ref, o_ref):
+    """taa lane-perm with r_ref, then in-tile per-lane sublane perm with
+    w_ref (transpose . taa . transpose). One 128-row tile per grid step."""
+    x1 = jnp.take_along_axis(x_ref[:], r_ref[:], axis=1)
+    xt = x1.T  # (lane, in-tile pos)
+    x2t = jnp.take_along_axis(xt, w_ref[:], axis=1)
+    o_ref[:] = x2t.T
+
+
+def _tile_kernel(x_ref, w_ref, o_ref):
+    xt = x_ref[:].T
+    x2t = jnp.take_along_axis(xt, w_ref[:], axis=1)
+    o_ref[:] = x2t.T
+
+
+def _tile_and_row_kernel(x_ref, w_ref, r_ref, o_ref):
+    xt = x_ref[:].T
+    x2t = jnp.take_along_axis(xt, w_ref[:], axis=1)
+    o_ref[:] = jnp.take_along_axis(x2t.T, r_ref[:], axis=1)
+
+
+def _tiled_call(kernel, n_in: int, t: int, dtype):
+    specs = [
+        pl.BlockSpec((LANE, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(n_in)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((LANE, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t * LANE, LANE), dtype),
+        interpret=_interpret(),
+    )
+
+
+def apply_permutation(plan: PlannedPermutation, x: jax.Array) -> jax.Array:
+    """y[dst_of[slot]] = x[slot] for the planned bijection; x is (H, 128)."""
+    t = plan.t
+    dtype = x.dtype
+    x2 = _tiled_call(_row_and_tile_kernel, 3, t, dtype)(x, plan.r1, plan.w1)
+    x3 = x2.reshape(t, LANE, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
+    x4 = _tiled_call(_tile_kernel, 2, t, dtype)(x3, plan.w2)
+    x5 = x4.reshape(LANE, t, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
+    return _tiled_call(_tile_and_row_kernel, 3, t, dtype)(x5, plan.w3, plan.r3)

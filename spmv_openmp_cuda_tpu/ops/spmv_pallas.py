@@ -258,5 +258,21 @@ def _register() -> None:
         )
     )
 
+    from ..formats.routed import prepare_routed, routed_spmv
+
+    register(
+        KernelSpec(
+            name="PL_CSR_ROUTED",
+            fmt="csr",
+            impl="pallas",
+            prepare=lambda csr, ell, cfg: prepare_routed(csr, dtype=cfg.jnp_dtype),
+            run=routed_spmv,
+            doc="Clos-routed CSR: lane-gather products in panel order, "
+            "static Clos permutation to width-binned reduction slabs, "
+            "multi-level dense sublane reduces — the fully general "
+            "large-G engine for unstructured/power-law matrices",
+        )
+    )
+
 
 _register()

@@ -1,0 +1,89 @@
+"""Clos routing machinery + routed CSR engine vs the oracle (CPU interpret).
+
+Reference parity: this is the TPU-native general-sparsity engine standing in
+for the reference's CSR scalar/warp kernels (SpMV_CSR_OMP.c, SpMV_CUDA.cu).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import spmv_openmp_cuda_tpu as S
+from spmv_openmp_cuda_tpu.config import LANE
+from spmv_openmp_cuda_tpu.formats.routed import prepare_routed, routed_spmv
+from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
+from spmv_openmp_cuda_tpu.ops.route import (
+    apply_permutation,
+    color_bipartite_pow2,
+    plan_permutation,
+)
+from spmv_openmp_cuda_tpu.utils import synth
+from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
+
+
+@pytest.mark.parametrize("t", [1, 4, 16])
+def test_permutation_roundtrip(t):
+    rng = np.random.default_rng(t)
+    n = t * LANE * LANE
+    perm = rng.permutation(n)
+    plan = plan_permutation(perm, t)
+    x = rng.standard_normal((t * LANE, LANE)).astype(np.float32)
+    y = np.asarray(apply_permutation(plan, jnp.asarray(x)))
+    want = np.empty(n, np.float32)
+    want[perm] = x.reshape(-1)
+    assert np.array_equal(y.reshape(-1), want)
+
+
+def test_coloring_proper():
+    rng = np.random.default_rng(0)
+    # random 32-regular bipartite multigraph
+    nl = 40
+    left = np.repeat(np.arange(nl), 32)
+    right = left.copy()
+    rng.shuffle(right)
+    cls = color_bipartite_pow2(left, right, 32)
+    for side in (left, right):
+        pairs = set(zip(side.tolist(), cls.tolist()))
+        assert len(pairs) == side.shape[0], "color collision on a node"
+
+
+@pytest.mark.parametrize(
+    "gen,kw",
+    [
+        (synth.random_uniform, dict(m=2500, n=2500, density=0.003)),
+        (synth.power_law, dict(m=4000, n=4000, avg_nnz_per_row=5.0, alpha=1.6)),
+        (synth.banded, dict(m=1500, n=1500, bandwidth=6, fill=0.9)),
+        (synth.random_uniform, dict(m=500, n=40000, density=0.0005)),
+        (synth.power_law, dict(m=3000, n=3000, avg_nnz_per_row=8.0, alpha=1.3)),
+    ],
+)
+def test_routed_matches_oracle(gen, kw):
+    coo = gen(seed=17, **kw)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(coo.shape[1], seed=4)
+    mat = prepare_routed(csr)
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_routed_multilevel_heavy_row():
+    # one row with ~20k nnz forces at least two reduction levels
+    rng = np.random.default_rng(5)
+    m, n = 3000, 30000
+    heavy_cols = rng.choice(n, size=20000, replace=False)
+    rows = np.r_[np.zeros(20000, np.int64), rng.integers(0, m, 5000)]
+    cols = np.r_[heavy_cols, rng.integers(0, n, 5000)]
+    vals = rng.standard_normal(rows.shape[0])
+    from spmv_openmp_cuda_tpu.formats.matrix import COOMatrix
+    from spmv_openmp_cuda_tpu.formats.convert import sort_coo
+
+    coo = sort_coo(COOMatrix((m, n), rows, cols, vals))
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(n, seed=6)
+    mat = prepare_routed(csr)
+    assert len(mat.lvl_runs) >= 1
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
