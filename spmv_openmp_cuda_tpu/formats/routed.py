@@ -36,7 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LANE
-from ..ops.route import PlannedPermutation, apply_permutation, pick_t, plan_permutation
+from ..ops.route import (
+    PlannedPermutation,
+    apply_permutation,
+    pick_t,
+    plan_permutation,
+    plan_row_to_slot,
+)
 from .lanes import WINDOW_ELEMS, WINDOW_PANELS
 from .matrix import CSRMatrix
 
@@ -49,7 +55,10 @@ class RoutedError(ValueError):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "pidx", "widx", "perm_products", "lvl_gather", "perm_out"],
+    data_fields=[
+        "vals", "pidx", "widx", "perm_products", "lvl_perms", "lvl_masks",
+        "perm_out",
+    ],
     meta_fields=["shape", "nnz", "n_windows", "rows_a", "runs", "lvl_runs", "out_t"],
 )
 @dataclasses.dataclass
@@ -57,9 +66,12 @@ class RoutedCSR:
     vals: jax.Array  # (rows_a, 128) dtype — gather-phase slot values
     pidx: jax.Array  # (rows_a, 128) int32 — panel-in-window per slot
     widx: jax.Array  # (n_tiles,) int32 — window id per 128-row tile
-    perm_products: PlannedPermutation
-    lvl_gather: Tuple[jax.Array, ...]  # per extra level: flat gather indices
-    perm_out: PlannedPermutation
+    perm_products: PlannedPermutation  # r1 folded: vals sit in middle lanes
+    lvl_perms: Tuple[PlannedPermutation, ...]  # prev sums -> level slab
+    # 0/1 masks zeroing slab slots that are padding inside reduce runs —
+    # the level perms backfill them with leftover (nonzero) sums
+    lvl_masks: Tuple[jax.Array, ...] = ()
+    perm_out: PlannedPermutation = None
     shape: Tuple[int, int] = (0, 0)
     nnz: int = 0
     n_windows: int = 1
@@ -105,7 +117,7 @@ def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
     cols = csr.indices.astype(np.int64)
     nnz = csr.nnz
 
-    # ---- gather-phase packing (free lanes, tight) -------------------------
+    # ---- gather-phase packing (rows fixed, lanes assigned by the router) --
     w = cols // WINDOW_ELEMS
     a = cols % LANE
     p = (cols // LANE) % WINDOW_PANELS
@@ -121,14 +133,13 @@ def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
     j_sorted = np.arange(nnz) - starts[run_id]
     j = np.empty(nnz, dtype=np.int64)
     j[order] = j_sorted
-    lane_a = j % LANE
     depth = j // LANE
     tiles_per_win = np.zeros(nwin, dtype=np.int64)
     np.maximum.at(tiles_per_win, w, depth + 1)
     tile_base = np.r_[0, np.cumsum(tiles_per_win)]
     n_tiles = int(tile_base[-1])
     rows_a = n_tiles * LANE
-    slot_a = ((tile_base[w] + depth) * LANE + a) * LANE + lane_a
+    row_a = (tile_base[w] + depth) * LANE + a  # slot row per nnz; lane TBD
 
     # ---- reduction units (multi-level row splitting) ----------------------
     lens = np.diff(csr.indptr).astype(np.int64)
@@ -154,24 +165,28 @@ def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
         + rank1[unit_of_nnz] % LANE
     )
 
-    # ---- products permutation --------------------------------------------
+    # ---- products permutation (source lanes assigned by the router) -------
     dom_rows = max(rows_a, rows_c)
     try:
         t1 = pick_t(dom_rows)
     except ValueError as e:
         raise RoutedError(str(e)) from e
-    dom = t1 * LANE * LANE
-    dst_of = np.full(dom, -1, dtype=np.int64)
-    dst_of[slot_a] = slot_c
-    free_src = np.flatnonzero(dst_of < 0)
+    h1 = t1 * LANE
+    dom = h1 * LANE
+    # element list: nnz first, then pads filling every row to 128 elements
+    cnt_row = np.zeros(h1, dtype=np.int64)
+    np.add.at(cnt_row, row_a, 1)
+    pad_rows = np.repeat(np.arange(h1), LANE - cnt_row)
+    src_row_all = np.r_[row_a, pad_rows]
     used_dst = np.zeros(dom, dtype=bool)
     used_dst[slot_c] = True
-    dst_of[free_src] = np.flatnonzero(~used_dst)
-    perm_products = plan_permutation(dst_of, t1)
+    dst_all = np.r_[slot_c, np.flatnonzero(~used_dst)]
+    perm_products, m_all = plan_row_to_slot(src_row_all, dst_all, t1)
+    lane_a = m_all[:nnz]  # the router's lane assignment for each nnz
 
     # ---- higher levels ----------------------------------------------------
     # level-k units reduce the partial sums of split level-(k-1) rows/units
-    lvl_gather: List[np.ndarray] = []
+    lvl_gather: List = []  # PlannedPermutation per extra level
     lvl_runs: List[Tuple] = []
     # current "sum position" of unit u of the latest level, as flat index
     # into that level's sums (group*128 + lane)
@@ -201,10 +216,9 @@ def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
         rank2 = np.empty(u2, dtype=np.int64)
         rank2[order2] = np.arange(u2)
         n_groups2 = -(-u2 // LANE)
-        # gather indices: slab slot (row, lane) <- child sum flat position
+        # slab slot (row, lane) <- child sum flat position, as a routed perm
         gidx = np.full(rows2 * LANE, -1, dtype=np.int64)
         for idx_p, parent in enumerate(parents):
-            cnt = child_counts[parent]
             first = child_first[parent]
             for su in range(nsub2[idx_p]):
                 uid = sb2[idx_p] + su
@@ -212,7 +226,19 @@ def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
                 rk = rank2[uid]
                 rws = base2[rk // LANE] + np.arange(ln)
                 gidx[rws * LANE + rk % LANE] = child_pos[first + su * WCAP : first + su * WCAP + ln]
-        lvl_gather.append(gidx)
+        prev_rows = -(-int(level_sums_sizes[-1]) // LANE)
+        t_k = pick_t(max(prev_rows, rows2))
+        dom_k = t_k * LANE * LANE
+        dst_k = np.full(dom_k, -1, dtype=np.int64)
+        real = gidx >= 0
+        dst_k[gidx[real]] = np.flatnonzero(real)
+        used_k = np.zeros(dom_k, dtype=bool)
+        used_k[np.flatnonzero(real)] = True
+        free_src_k = np.flatnonzero(dst_k < 0)
+        dst_k[free_src_k] = np.flatnonzero(~used_k)
+        mask_k = np.zeros((t_k * LANE, LANE), dtype=np.float32)
+        mask_k.reshape(-1)[np.flatnonzero(real)] = 1.0
+        lvl_gather.append((plan_permutation(dst_k, t_k), mask_k))
         lvl_runs.append(runs2)
         pos2 = rank2
         # parents fully reduced this level keep their (single) unit sum
@@ -255,15 +281,16 @@ def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
     # ---- device arrays ----------------------------------------------------
     vals = np.zeros((rows_a, LANE), dtype=np.float64)
     pidx = np.zeros((rows_a, LANE), dtype=np.int32)
-    vals.reshape(-1)[slot_a] = csr.data
-    pidx.reshape(-1)[slot_a] = p
+    vals[row_a, lane_a] = csr.data
+    pidx[row_a, lane_a] = p
     widx = np.repeat(np.arange(nwin, dtype=np.int32), tiles_per_win)
     return RoutedCSR(
         vals=jnp.asarray(vals, dtype=dtype),
         pidx=jnp.asarray(pidx),
         widx=jnp.asarray(widx),
         perm_products=perm_products,
-        lvl_gather=tuple(jnp.asarray(g) for g in lvl_gather),
+        lvl_perms=tuple(pk for pk, _mk in lvl_gather),
+        lvl_masks=tuple(jnp.asarray(mk, dtype=dtype) for _pk, mk in lvl_gather),
         perm_out=perm_out,
         shape=(m, n),
         nnz=nnz,
@@ -333,10 +360,10 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
     slab = apply_permutation(mat.perm_products, pa)
     sums = _reduce_runs(slab, mat.runs)
     flats = [sums.reshape(-1)]
-    for gidx, runs in zip(mat.lvl_gather, mat.lvl_runs):
-        prev = jnp.concatenate([flats[-1], jnp.zeros((1,), dtype)])
-        safe = jnp.where(gidx < 0, prev.shape[0] - 1, gidx)
-        slab_k = prev[safe].reshape(-1, LANE)
+    for perm_k, mask_k, runs in zip(mat.lvl_perms, mat.lvl_masks, mat.lvl_runs):
+        prev2d = flats[-1].reshape(-1, LANE)
+        prev2d = jnp.pad(prev2d, ((0, perm_k.h - prev2d.shape[0]), (0, 0)))
+        slab_k = apply_permutation(perm_k, prev2d) * mask_k
         flats.append(_reduce_runs(slab_k, runs).reshape(-1))
     concat = jnp.concatenate(flats)
     dom_o = mat.perm_out.h * LANE

@@ -126,9 +126,13 @@ def pick_t(rows: int) -> int:
 )
 @dataclasses.dataclass
 class PlannedPermutation:
-    """Stage index arrays (all (T*128, 128) int32, values < 128)."""
+    """Stage index arrays (all (T*128, 128) int8, values < 128).
 
-    r1: jax.Array
+    r1 is None when the source lane assignment was folded into the producer
+    (plan_row_to_slot): elements are emitted directly in their middle lane.
+    """
+
+    r1: jax.Array | None
     w1: jax.Array
     w2: jax.Array
     w3: jax.Array
@@ -138,6 +142,47 @@ class PlannedPermutation:
     @property
     def h(self) -> int:
         return self.t * LANE
+
+
+def _stages_from_routing(hs, hd, ld, m, t: int, with_r1, ls=None):
+    """Common stage-array construction given the big coloring m."""
+    h = t * LANE
+    ts, ss = hs // LANE, hs % LANE
+    td, sd = hd // LANE, hd % LANE
+    # per-lane colorings over (src tile -> dst tile): exactly 128-regular
+    # per (m, tile) node — all lanes colored in one call
+    sigma = color_bipartite_pow2(m * t + ts, m * t + td, LANE)
+
+    # stage index arrays, taa semantics out[i, j] = in[i, idx[i, j]]
+    r1 = None
+    if with_r1:
+        r1 = np.empty((h, LANE), dtype=np.int8)
+        r1[hs, m] = ls
+    # W1: within tile ts, lane m: sublane ss -> sigma. After the in-kernel
+    # transpose the tile is (lane, in-tile pos): out[m, sigma] = in[m, ss]
+    w1 = np.empty((h, LANE), dtype=np.int8)  # rows = tile*128 + lane m
+    w1[ts * LANE + m, sigma] = ss
+    # SW: (ts, sigma) -> row sigma*T + ts; runs of T stay inside one
+    # 128-row tile because T | 128
+    mid = lambda sg, tt: sg * t + tt  # noqa: E731  row in the swapped grid
+    w2 = np.empty((h, LANE), dtype=np.int8)
+    w2[(mid(sigma, td) // LANE) * LANE + m, mid(sigma, td) % LANE] = (
+        mid(sigma, ts) % LANE
+    )
+    # SW^-1: -> row td*128 + sigma
+    w3 = np.empty((h, LANE), dtype=np.int8)
+    w3[td * LANE + m, sd] = sigma
+    # R3: out[hd, ld] = in[hd, m]
+    r3 = np.empty((h, LANE), dtype=np.int8)
+    r3[hd, ld] = m
+    return PlannedPermutation(
+        r1=None if r1 is None else jnp.asarray(r1),
+        w1=jnp.asarray(w1),
+        w2=jnp.asarray(w2),
+        w3=jnp.asarray(w3),
+        r3=jnp.asarray(r3),
+        t=t,
+    )
 
 
 def plan_permutation(dst_of: np.ndarray, t: int | None = None) -> PlannedPermutation:
@@ -155,45 +200,29 @@ def plan_permutation(dst_of: np.ndarray, t: int | None = None) -> PlannedPermuta
     src = np.arange(n, dtype=np.int64)
     hs, ls = src // LANE, src % LANE
     hd, ld = dst_of // LANE, dst_of % LANE
-    ts, ss = hs // LANE, hs % LANE
-    td, sd = hd // LANE, hd % LANE
-
     # middle lane: big coloring over (src row -> dst row); exactly
     # 128-regular since dst_of is a bijection on full rows
     m = color_bipartite_pow2(hs, hd, LANE)
+    return _stages_from_routing(hs, hd, ld, m, t, with_r1=True, ls=ls)
 
-    # per-lane colorings over (src tile -> dst tile): exactly 128-regular
-    # per (m, tile) node — all lanes colored in one call
-    sigma = color_bipartite_pow2(m * t + ts, m * t + td, LANE)
 
-    # stage index arrays, taa semantics out[i, j] = in[i, idx[i, j]]
-    r1 = np.empty((h, LANE), dtype=np.int32)
-    r1[hs, m] = ls
-    # W1: within tile ts, lane m: sublane ss -> sigma. After the in-kernel
-    # transpose the tile is (lane, in-tile pos): out[m, sigma] = in[m, ss]
-    w1 = np.empty((h, LANE), dtype=np.int32)  # rows = tile*128 + lane m
-    w1[ts * LANE + m, sigma] = ss
-    # SW: (ts, sigma) -> row sigma*T + ts; runs of T stay inside one
-    # 128-row tile because T | 128
-    mid = lambda sg, tt: sg * t + tt  # noqa: E731  row in the swapped grid
-    w2 = np.empty((h, LANE), dtype=np.int32)
-    w2[(mid(sigma, td) // LANE) * LANE + m, mid(sigma, td) % LANE] = (
-        mid(sigma, ts) % LANE
-    )
-    # SW^-1: -> row td*128 + sigma
-    w3 = np.empty((h, LANE), dtype=np.int32)
-    w3[td * LANE + m, sd] = sigma
-    # R3: out[hd, ld] = in[hd, m]
-    r3 = np.empty((h, LANE), dtype=np.int32)
-    r3[hd, ld] = m
-    return PlannedPermutation(
-        r1=jnp.asarray(r1),
-        w1=jnp.asarray(w1),
-        w2=jnp.asarray(w2),
-        w3=jnp.asarray(w3),
-        r3=jnp.asarray(r3),
-        t=t,
-    )
+def plan_row_to_slot(
+    src_row: np.ndarray, dst_of: np.ndarray, t: int
+) -> Tuple[PlannedPermutation, np.ndarray]:
+    """Plan a routing where each element has a fixed source ROW but a free
+    source lane (the producer can emit into any lane, e.g. the gather phase's
+    slot packing). Returns (plan with r1 folded away, src_lane per element):
+    the producer must place element i at (src_row[i], src_lane[i]).
+
+    src_row must list each row of the (T*128)-row domain exactly 128 times;
+    dst_of must be a bijection onto the domain's slots.
+    """
+    h = t * LANE
+    assert src_row.shape[0] == h * LANE
+    hd, ld = dst_of // LANE, dst_of % LANE
+    m = color_bipartite_pow2(src_row, hd, LANE)
+    plan = _stages_from_routing(src_row, hd, ld, m, t, with_r1=False)
+    return plan, m
 
 
 # ---------------------------------------------------------------------------
@@ -205,25 +234,29 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _i32(ref):
+    return ref[:].astype(jnp.int32)
+
+
 def _row_and_tile_kernel(x_ref, r_ref, w_ref, o_ref):
     """taa lane-perm with r_ref, then in-tile per-lane sublane perm with
     w_ref (transpose . taa . transpose). One 128-row tile per grid step."""
-    x1 = jnp.take_along_axis(x_ref[:], r_ref[:], axis=1)
+    x1 = jnp.take_along_axis(x_ref[:], _i32(r_ref), axis=1)
     xt = x1.T  # (lane, in-tile pos)
-    x2t = jnp.take_along_axis(xt, w_ref[:], axis=1)
+    x2t = jnp.take_along_axis(xt, _i32(w_ref), axis=1)
     o_ref[:] = x2t.T
 
 
 def _tile_kernel(x_ref, w_ref, o_ref):
     xt = x_ref[:].T
-    x2t = jnp.take_along_axis(xt, w_ref[:], axis=1)
+    x2t = jnp.take_along_axis(xt, _i32(w_ref), axis=1)
     o_ref[:] = x2t.T
 
 
 def _tile_and_row_kernel(x_ref, w_ref, r_ref, o_ref):
     xt = x_ref[:].T
-    x2t = jnp.take_along_axis(xt, w_ref[:], axis=1)
-    o_ref[:] = jnp.take_along_axis(x2t.T, r_ref[:], axis=1)
+    x2t = jnp.take_along_axis(xt, _i32(w_ref), axis=1)
+    o_ref[:] = jnp.take_along_axis(x2t.T, _i32(r_ref), axis=1)
 
 
 def _tiled_call(kernel, n_in: int, t: int, dtype):
@@ -245,7 +278,10 @@ def apply_permutation(plan: PlannedPermutation, x: jax.Array) -> jax.Array:
     """y[dst_of[slot]] = x[slot] for the planned bijection; x is (H, 128)."""
     t = plan.t
     dtype = x.dtype
-    x2 = _tiled_call(_row_and_tile_kernel, 3, t, dtype)(x, plan.r1, plan.w1)
+    if plan.r1 is None:  # source lanes pre-assigned by the producer
+        x2 = _tiled_call(_tile_kernel, 2, t, dtype)(x, plan.w1)
+    else:
+        x2 = _tiled_call(_row_and_tile_kernel, 3, t, dtype)(x, plan.r1, plan.w1)
     x3 = x2.reshape(t, LANE, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
     x4 = _tiled_call(_tile_kernel, 2, t, dtype)(x3, plan.w2)
     x5 = x4.reshape(LANE, t, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)

@@ -87,3 +87,33 @@ def test_routed_multilevel_heavy_row():
     y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
     rep = vectors_diff(y, serial_csr_spmv(csr, x))
     assert rep.ok, rep
+
+
+def test_routed_level_slab_padding_not_corrupted():
+    # Split rows whose level-2 units share a group with differing lengths:
+    # the shorter unit's column has in-run padding slots; the level perm
+    # backfills those with leftover (nonzero) sums, which must be masked out
+    # of the reduction. Regression: caida proxy rows were off by ~1e-3.
+    rng = np.random.default_rng(8)
+    m, n = 4000, 20000
+    rows_l, cols_l = [], []
+    for i, ln in enumerate([385, 129, 500, 130, 257, 650, 131] * 3):
+        r = i * 37
+        rows_l.append(np.full(ln, r))
+        cols_l.append(rng.choice(n, ln, replace=False))
+    rows_l.append(rng.integers(0, m, 8000))
+    cols_l.append(rng.integers(0, n, 8000))
+    from spmv_openmp_cuda_tpu.formats.matrix import COOMatrix
+    from spmv_openmp_cuda_tpu.formats.convert import sort_coo
+
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = rng.standard_normal(rows.shape[0])
+    coo = sort_coo(COOMatrix((m, n), rows, cols, vals))
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(n, seed=9)
+    mat = prepare_routed(csr)
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    d = np.abs(y - serial_csr_spmv(csr, x))
+    # corruption shows up at ~1e-4; fp32 noise is ~1e-9
+    assert d.max() < 1e-6, d.max()
