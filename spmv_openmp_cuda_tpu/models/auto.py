@@ -6,9 +6,14 @@ encodes those findings as a structure-driven selection policy — the analog of
 the reference's conclusions (relazione.tex: ELL wins when padding is bounded,
 CSR when rows are skewed, transposed layouts when coalescing pays):
 
-- diagonal-concentrated -> DIA (zero-gather, no indices)
-- bounded row-length spread -> transposed ELL slabs (lane-parallel)
-- skewed row lengths / ELL cap exceeded -> row-binned width-class slabs
+- diagonal-concentrated -> DIA (zero-gather, no indices; fused Pallas
+  kernel at ~500 GB/s)
+- small/medium unstructured (<= 8192 rows) -> lane-gather engine
+  (in-VMEM take_along_axis + masked group accumulate)
+- everything else -> Clos-routed CSR (panel gather + planned permutation +
+  width-binned reduces; fully general)
+- explicit formats remain available: ell_t (transposed slabs) and binned
+  (width-class slabs), the faithful reference-shaped layouts
 
 Usage:
     model = AutoSpMV.from_file("matrix.mtx")         # or from_coo / from_csr
@@ -26,30 +31,29 @@ import numpy as np
 from ..config import Config
 from ..formats.binned import binned_spmv, prepare_binned_csr
 from ..formats.convert import coo_to_csr
-from ..formats.dia import DiaFillError, dia_spmv, prepare_dia
+from ..formats.dia import DiaFillError, prepare_dia
+from ..formats.lanes import LanesError, lanes_small_spmv, prepare_lanes_small
 from ..formats.matrix import COOMatrix, CSRMatrix, device_ell
+from ..formats.routed import RoutedError, prepare_routed, routed_spmv
 from ..ops.spmv_xla import ell_rows_transposed
 
 
-def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0, ell_waste_cap: float = 1.6) -> str:
+def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
     """Pick a storage engine from matrix structure.
 
     Heuristics (cheap, host-side):
     - DIA if the distinct-diagonal count keeps fill under dia_fill_cap x nnz.
-    - ELL (transposed slabs) if max_row_nz stays within ell_waste_cap x the
-      mean row length (bounded padding).
-    - binned-CSR otherwise (skewed rows; always feasible).
+    - lane-gather engine for small/medium matrices (<= 64 row groups).
+    - Clos-routed CSR otherwise (fully general).
     """
     m, n = csr.shape
-    rl = csr.compute_row_lens()
     nnz = max(csr.nnz, 1)
     offs = np.unique(csr.indices - csr.row_ids())
     if offs.shape[0] * m <= dia_fill_cap * nnz:
         return "dia"
-    mean_len = nnz / max(m, 1)
-    if csr.max_row_nz <= max(ell_waste_cap * mean_len, 8):
-        return "ell_t"
-    return "binned"
+    if m <= 64 * 128:
+        return "lanes"
+    return "routed"
 
 
 @dataclasses.dataclass
@@ -73,10 +77,26 @@ class AutoSpMV:
         cfg = cfg or Config()
         fmt = select_format(csr) if format == "auto" else format
         if fmt == "dia":
+            from ..ops.spmv_pallas import dia_spmv_pallas, pad_dia_for_pallas, plan_dia
+
             try:
-                ops = prepare_dia(csr, dtype=cfg.jnp_dtype)
-                run = dia_spmv
+                mat = prepare_dia(csr, dtype=cfg.jnp_dtype)
+                plan = plan_dia(mat)
+                ops = (pad_dia_for_pallas(mat, plan), plan)
+                run = lambda o, x: dia_spmv_pallas(o[0], x, o[1])
             except DiaFillError:
+                fmt = "lanes" if csr.shape[0] <= 64 * 128 else "routed"
+        if fmt == "lanes":
+            try:
+                ops = prepare_lanes_small(csr, dtype=cfg.jnp_dtype)
+                run = lanes_small_spmv
+            except LanesError:
+                fmt = "routed"
+        if fmt == "routed":
+            try:
+                ops = prepare_routed(csr, dtype=cfg.jnp_dtype)
+                run = routed_spmv
+            except RoutedError:
                 fmt = "binned"
         if fmt == "ell_t":
             from ..formats.convert import csr_to_coo, coo_to_ell, EllSizeError

@@ -327,3 +327,106 @@ def pad_x_for_ring(x: np.ndarray, op: RingELL, mesh: Mesh, dtype):
     xp = np.zeros(op.x_pad, dtype=np.float64)
     xp[: x.shape[0]] = x
     return jax.device_put(jnp.asarray(xp, dtype=dtype), NamedSharding(mesh, P(ROWS)))
+
+
+# ---------------------------------------------------------------------------
+# 4) Row-sharded DIA with ppermute halo exchange — the banded flagship path
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["offsets", "shape", "nnz", "pad_sub", "s_local"],
+)
+@dataclasses.dataclass
+class ShardedDIA:
+    """Diagonal slab row-sharded over the mesh; x is row-sharded too and the
+    shift reach (pad_sub sublane-rows) crosses shard boundaries via a
+    one-step ppermute halo exchange — the halo/ring north star of SURVEY.md
+    section 5 applied to the banded engine.
+
+    Out-of-range x at the global edges is covered by the format invariant
+    that diagonal data is zero wherever i + offset falls outside the matrix,
+    so wrap-around halo junk multiplies zero coefficients.
+    """
+
+    data: jax.Array  # (D, S_pad, LANE) sharded P(None, rows, None)
+    offsets: Tuple[int, ...]
+    shape: Tuple[int, int] = (0, 0)
+    nnz: int = 0
+    pad_sub: int = 0
+    s_local: int = 0
+
+
+def prepare_dia_sharded(mat, mesh: Mesh) -> ShardedDIA:
+    """Shard a DeviceDIA's sublane-row axis across mesh[ROWS]."""
+    import numpy as _np
+
+    nd = mesh.shape[ROWS]
+    d, s, _ = mat.data.shape
+    s_pad = _ceil_to(max(s, nd * SUBLANE), nd * SUBLANE)
+    s_local = s_pad // nd
+    if mat.pad_sub > s_local:
+        raise ValueError(
+            f"diagonal reach {mat.pad_sub} rows exceeds local shard {s_local}"
+        )
+    data = jnp.pad(mat.data, ((0, 0), (0, s_pad - s), (0, 0)))
+    sh = NamedSharding(mesh, P(None, ROWS, None))
+    return ShardedDIA(
+        data=jax.device_put(data, sh),
+        offsets=mat.offsets,
+        shape=mat.shape,
+        nnz=mat.nnz,
+        pad_sub=mat.pad_sub,
+        s_local=s_local,
+    )
+
+
+def pad_x_for_dia_sharded(x, op: ShardedDIA, mesh: Mesh, dtype):
+    """x -> (S_pad, LANE) sublane-row layout, row-sharded."""
+    nd = mesh.shape[ROWS]
+    s_pad = op.s_local * nd
+    xp = jnp.pad(jnp.asarray(x, dtype), (0, s_pad * LANE - x.shape[0]))
+    return jax.device_put(
+        xp.reshape(s_pad, LANE), NamedSharding(mesh, P(ROWS, None))
+    )
+
+
+def make_dia_sharded(mesh: Mesh, op_meta: ShardedDIA):
+    """y = A @ x, both row-sharded; halo via one ppermute per direction."""
+    from ..formats.dia import shifted_view
+
+    nd = mesh.shape[ROWS]
+    ps = op_meta.pad_sub
+    offsets = op_meta.offsets
+    s_local = op_meta.s_local
+
+    def local(data, x_loc):
+        # left halo: my x rows [-ps:] go to my right neighbor; I receive my
+        # left neighbor's tail (device 0 receives wrap junk, masked by the
+        # zero diagonal coefficients at the global edge)
+        left = jax.lax.ppermute(
+            x_loc[-ps:], ROWS, [(j, (j + 1) % nd) for j in range(nd)]
+        )
+        right = jax.lax.ppermute(
+            x_loc[:ps], ROWS, [(j, (j - 1) % nd) for j in range(nd)]
+        )
+        xp = jnp.concatenate([left, x_loc, right], axis=0)
+        acc = jnp.zeros((s_local, LANE), data.dtype)
+        for k, off in enumerate(offsets):
+            acc = acc + data[k] * shifted_view(xp, off, s_local, ps)
+        return acc
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, ROWS, None), P(ROWS, None)),
+        out_specs=P(ROWS, None),
+    )
+
+    @jax.jit
+    def spmv(op: ShardedDIA, x_padded):
+        return f(op.data, x_padded)
+
+    return spmv

@@ -82,3 +82,24 @@ def test_ring_prepare_covers_all_nnz():
                         dense[dev * m_loc + r, s * cw + cols[dev, r, s, k]] += v
     ref = csr.to_dense()
     np.testing.assert_allclose(dense[: csr.shape[0], : csr.shape[1]], ref)
+
+
+def test_dia_sharded_halo():
+    from spmv_openmp_cuda_tpu.formats.dia import prepare_dia
+    from spmv_openmp_cuda_tpu.parallel.sharded import (
+        make_dia_sharded,
+        pad_x_for_dia_sharded,
+        prepare_dia_sharded,
+    )
+
+    mesh = M.make_mesh((8, 1))
+    coo = synth.banded(5000, 5000, 140, fill=0.3, seed=7)  # pad_sub = 2
+    csr = S.coo_to_csr(coo)
+    mat = prepare_dia(csr, max_fill_ratio=1e9)
+    x = fill_rnd_vector(5000, seed=8)
+    op = prepare_dia_sharded(mat, mesh)
+    xs = pad_x_for_dia_sharded(np.asarray(x), op, mesh, jnp.float32)
+    y = np.asarray(make_dia_sharded(mesh, op)(op, xs), np.float64)
+    y = y.reshape(-1)[: csr.shape[0]]
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
