@@ -271,6 +271,64 @@ int spmv_coo_to_ell(int64_t m, int64_t nnz, const int64_t* rows,
   return SPMV_OK;
 }
 
-int spmv_native_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Bipartite edge coloring via recursive Euler splitting — the host planner
+// core for the Clos permutation router (ops/route.py). A 2^bits-regular
+// bipartite multigraph is 2^bits-edge-colorable (Konig); each level pairs
+// incident edge slots per (class, node) and 2-colors the alternating pairing
+// cycles. All O(E) per level with counting sorts.
+// ---------------------------------------------------------------------------
+int spmv_color_bipartite(int64_t e, const int64_t* left, const int64_t* right,
+                         int64_t n_left, int64_t n_right, int bits,
+                         int64_t* colors) {
+  if (e <= 0) return SPMV_OK;
+  if (e & 1) return SPMV_ERR_ENTRY;  // degrees must be even
+  std::vector<int64_t> cls(e, 0), order(e), lpair(e), rpair(e), m(e),
+      orbmin(e), counts;
+  std::vector<uint8_t> visited(e);
+  for (int lvl = 0; lvl < bits; ++lvl) {
+    // pair per (class, left node): stable counting sort by key
+    auto pair_side = [&](const int64_t* node, int64_t n_nodes,
+                         std::vector<int64_t>& pair_out) -> int {
+      int64_t n_keys = (int64_t(1) << lvl) * n_nodes;
+      counts.assign(static_cast<size_t>(n_keys) + 1, 0);
+      for (int64_t i = 0; i < e; ++i) counts[cls[i] * n_nodes + node[i] + 1]++;
+      for (int64_t k = 0; k < n_keys; ++k) counts[k + 1] += counts[k];
+      for (int64_t i = 0; i < e; ++i)
+        order[counts[cls[i] * n_nodes + node[i]]++] = i;
+      for (int64_t k = 0; k + 1 < e; k += 2) {
+        int64_t a = order[k], b = order[k + 1];
+        pair_out[a] = b;
+        pair_out[b] = a;
+      }
+      return SPMV_OK;
+    };
+    pair_side(left, n_left, lpair);
+    pair_side(right, n_right, rpair);
+    for (int64_t i = 0; i < e; ++i) m[i] = lpair[rpair[i]];
+    // orbit minima of m (cycle walking)
+    std::fill(visited.begin(), visited.end(), 0);
+    for (int64_t i = 0; i < e; ++i) {
+      if (visited[i]) continue;
+      int64_t mn = i, j = i;
+      do {
+        if (j < mn) mn = j;
+        visited[j] = 1;
+        j = m[j];
+      } while (j != i);
+      j = i;
+      do {
+        orbmin[j] = mn;
+        j = m[j];
+      } while (j != i);
+    }
+    for (int64_t i = 0; i < e; ++i)
+      cls[i] = cls[i] * 2 + (orbmin[i] < orbmin[rpair[i]] ? 1 : 0);
+  }
+  std::memcpy(colors, cls.data(), sizeof(int64_t) * static_cast<size_t>(e));
+  return SPMV_OK;
+}
+
+int spmv_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -2,9 +2,10 @@
 
 The reference's closest analog is raw/text vector dumps for offline reuse
 (SURVEY.md section 5 checkpoint/resume, utils.c:135-168). Here the expensive
-artifact is the *prepared device format* (binning/diagonal extraction over
-hundred-million-nnz matrices), so we serialize those to .npz and restore them
-without re-running preparation.
+artifact is the *prepared device format* (binning / diagonal extraction /
+Clos routing over hundred-million-nnz matrices — routing a power-law matrix
+costs seconds of host planning), so we serialize those to .npz and restore
+them without re-running preparation.
 """
 from __future__ import annotations
 
@@ -16,27 +17,30 @@ import numpy as np
 
 from .binned import BinnedCSR
 from .dia import DeviceDIA
+from .lanes import LanesSmall
 from .matrix import DeviceCSR, DeviceELL
+from .routed import RoutedCSR
+from ..ops.route import PlannedPermutation
 
-_KINDS = {"BinnedCSR": BinnedCSR, "DeviceDIA": DeviceDIA, "DeviceELL": DeviceELL, "DeviceCSR": DeviceCSR}
-
-PreparedFormat = Union[BinnedCSR, DeviceDIA, DeviceELL, DeviceCSR]
+PreparedFormat = Union[
+    BinnedCSR, DeviceDIA, DeviceELL, DeviceCSR, LanesSmall, RoutedCSR
+]
 
 
 def save_prepared(path: str, mat: PreparedFormat) -> None:
     import jax
 
-    leaves, treedef = jax.tree_util.tree_flatten(mat)
-    meta = {
-        "kind": type(mat).__name__,
-        # static pytree aux data (offsets/shapes/flags) serialized as JSON
-        "aux": _aux_of(mat),
-    }
+    leaves, _treedef = jax.tree_util.tree_flatten(mat)
+    meta = {"kind": type(mat).__name__, "aux": _aux_of(mat)}
     np.savez_compressed(
         path,
         __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
+
+
+def _perm_aux(p: PlannedPermutation) -> dict:
+    return {"t": p.t, "has_r1": p.r1 is not None}
 
 
 def _aux_of(mat: PreparedFormat) -> dict:
@@ -64,17 +68,58 @@ def _aux_of(mat: PreparedFormat) -> dict:
         }
     if isinstance(mat, DeviceCSR):
         return {"shape": list(mat.shape), "nnz": mat.nnz}
+    if isinstance(mat, LanesSmall):
+        return {
+            "window_tiles": [list(wt) for wt in mat.window_tiles],
+            "shape": list(mat.shape),
+            "nnz": mat.nnz,
+            "n_groups": mat.n_groups,
+        }
+    if isinstance(mat, RoutedCSR):
+        return {
+            "shape": list(mat.shape),
+            "nnz": mat.nnz,
+            "n_windows": mat.n_windows,
+            "rows_a": mat.rows_a,
+            "runs": [list(r) for r in mat.runs],
+            "lvl_runs": [[list(r) for r in rs] for rs in mat.lvl_runs],
+            "out_t": mat.out_t,
+            "perm_products": _perm_aux(mat.perm_products),
+            "lvl_perms": [_perm_aux(p) for p in mat.lvl_perms],
+            "perm_out": _perm_aux(mat.perm_out),
+            "n_lvl_masks": len(mat.lvl_masks),
+        }
     raise TypeError(type(mat))
+
+
+class _LeafReader:
+    def __init__(self, z):
+        self.z = z
+        self.i = 0
+
+    def take(self, n: int):
+        out = [jnp.asarray(self.z[f"leaf{self.i + k}"]) for k in range(n)]
+        self.i += n
+        return out
+
+
+def _read_perm(r: _LeafReader, aux: dict) -> PlannedPermutation:
+    n = 5 if aux["has_r1"] else 4
+    leaves = r.take(n)
+    r1 = leaves.pop(0) if aux["has_r1"] else None
+    w1, w2, w3, r3 = leaves
+    return PlannedPermutation(r1=r1, w1=w1, w2=w2, w3=w3, r3=r3, t=aux["t"])
 
 
 def load_prepared(path: str) -> PreparedFormat:
     z = np.load(path)
     meta = json.loads(bytes(z["__meta__"]).decode())
     kind, aux = meta["kind"], meta["aux"]
-    leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(len(z.files) - 1)]
+    r = _LeafReader(z)
+    n_leaves = len(z.files) - 1
     if kind == "BinnedCSR":
         return BinnedCSR(
-            *leaves,
+            *r.take(n_leaves),
             class_offsets=tuple(aux["class_offsets"]),
             class_widths=tuple(tuple(w) for w in aux["class_widths"]),
             class_layouts=tuple(aux["class_layouts"]),
@@ -83,7 +128,7 @@ def load_prepared(path: str) -> PreparedFormat:
         )
     if kind == "DeviceDIA":
         return DeviceDIA(
-            *leaves,
+            *r.take(n_leaves),
             offsets=tuple(aux["offsets"]),
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
@@ -91,12 +136,44 @@ def load_prepared(path: str) -> PreparedFormat:
         )
     if kind == "DeviceELL":
         return DeviceELL(
-            *leaves,
+            *r.take(n_leaves),
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
             max_row_nz=aux["max_row_nz"],
             transposed=aux["transposed"],
         )
     if kind == "DeviceCSR":
-        return DeviceCSR(*leaves, shape=tuple(aux["shape"]), nnz=aux["nnz"])
+        return DeviceCSR(*r.take(n_leaves), shape=tuple(aux["shape"]), nnz=aux["nnz"])
+    if kind == "LanesSmall":
+        return LanesSmall(
+            *r.take(n_leaves),
+            window_tiles=tuple(tuple(wt) for wt in aux["window_tiles"]),
+            shape=tuple(aux["shape"]),
+            nnz=aux["nnz"],
+            n_groups=aux["n_groups"],
+        )
+    if kind == "RoutedCSR":
+        # leaf order follows the registered dataclass data_fields:
+        # vals, pidx, widx, perm_products.*, lvl_perms.*, lvl_masks.*, perm_out.*
+        vals, pidx, widx = r.take(3)
+        perm_products = _read_perm(r, aux["perm_products"])
+        lvl_perms = tuple(_read_perm(r, pa) for pa in aux["lvl_perms"])
+        lvl_masks = tuple(r.take(aux["n_lvl_masks"]))
+        perm_out = _read_perm(r, aux["perm_out"])
+        return RoutedCSR(
+            vals=vals,
+            pidx=pidx,
+            widx=widx,
+            perm_products=perm_products,
+            lvl_perms=lvl_perms,
+            lvl_masks=lvl_masks,
+            perm_out=perm_out,
+            shape=tuple(aux["shape"]),
+            nnz=aux["nnz"],
+            n_windows=aux["n_windows"],
+            rows_a=aux["rows_a"],
+            runs=tuple(tuple(x) for x in aux["runs"]),
+            lvl_runs=tuple(tuple(tuple(x) for x in rs) for rs in aux["lvl_runs"]),
+            out_t=aux["out_t"],
+        )
     raise ValueError(f"unknown kind {kind}")

@@ -155,3 +155,35 @@ def coo_to_ell_native(coo: COOMatrix, max_entries: Optional[int] = None) -> ELLM
     if rc != 0:
         raise ValueError(f"native COO->ELL failed: {_ERRORS.get(rc, rc)}")
     return ELLMatrix(coo.shape, ja, data, max_row_nz=w, nnz=coo.nnz, row_lens=rl)
+
+
+def color_bipartite_native(
+    left: np.ndarray, right: np.ndarray, n_colors: int
+) -> Optional[np.ndarray]:
+    """Edge-color a bipartite multigraph with the native Euler-split router
+    (planning core of ops/route.py). Returns None when the library is not
+    built (caller falls back to the numpy implementation)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if not hasattr(lib, "spmv_color_bipartite"):
+        return None
+    fn = lib.spmv_color_bipartite
+    fn.restype = ctypes.c_int
+    e = left.shape[0]
+    left = np.ascontiguousarray(left, dtype=np.int64)
+    right = np.ascontiguousarray(right, dtype=np.int64)
+    out = np.empty(e, dtype=np.int64)
+    bits = int(n_colors).bit_length() - 1
+    rc = fn(
+        ctypes.c_int64(e),
+        left.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        right.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(int(left.max()) + 1 if e else 1),
+        ctypes.c_int64(int(right.max()) + 1 if e else 1),
+        ctypes.c_int(bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out

@@ -93,9 +93,19 @@ def color_bipartite_pow2(
     multigraph that is exactly n_colors-regular on every node that appears.
 
     Edges sharing a left node get distinct colors, likewise right nodes.
+    Uses the native C++ Euler-split router when built (native/), the
+    vectorized numpy implementation otherwise.
     """
     e = left.shape[0]
     assert n_colors & (n_colors - 1) == 0
+    try:
+        from ..io.native import color_bipartite_native
+
+        out = color_bipartite_native(left, right, n_colors)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     cls = np.zeros(e, dtype=np.int64)
     bits = int(np.log2(n_colors))
     for _ in range(bits):

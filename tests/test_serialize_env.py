@@ -62,3 +62,35 @@ def test_is_nnz():
     for i in (0, 10, 49):
         for j in (0, 9, 12, 49):
             assert is_nnz(csr, i, j) == (dense[i, j] != 0)
+
+
+def test_serialize_roundtrip_lanes(tmp_path):
+    from spmv_openmp_cuda_tpu.formats.lanes import lanes_small_spmv, prepare_lanes_small
+    from spmv_openmp_cuda_tpu.formats.serialize import load_prepared, save_prepared
+
+    coo = synth.random_uniform(600, 600, 0.01, seed=3)
+    csr = S.coo_to_csr(coo)
+    mat = prepare_lanes_small(csr)
+    p = str(tmp_path / "lanes.npz")
+    save_prepared(p, mat)
+    mat2 = load_prepared(p)
+    x = fill_rnd_vector(600, seed=4)
+    y1 = np.asarray(lanes_small_spmv(mat, jnp.asarray(x, jnp.float32)))
+    y2 = np.asarray(lanes_small_spmv(mat2, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_serialize_roundtrip_routed(tmp_path):
+    from spmv_openmp_cuda_tpu.formats.routed import prepare_routed, routed_spmv
+    from spmv_openmp_cuda_tpu.formats.serialize import load_prepared, save_prepared
+
+    coo = synth.power_law(3000, 3000, 5.0, seed=5)
+    csr = S.coo_to_csr(coo)
+    mat = prepare_routed(csr)
+    p = str(tmp_path / "routed.npz")
+    save_prepared(p, mat)
+    mat2 = load_prepared(p)
+    x = fill_rnd_vector(3000, seed=6)
+    y1 = np.asarray(routed_spmv(mat, jnp.asarray(x, jnp.float32)))
+    y2 = np.asarray(routed_spmv(mat2, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_array_equal(y1, y2)
