@@ -57,9 +57,12 @@ class RoutedError(ValueError):
     jax.tree_util.register_dataclass,
     data_fields=[
         "vals", "pidx", "widx", "perm_products", "lvl_perms", "lvl_masks",
-        "perm_out",
+        "perm_out", "hvals", "hpidx", "hwidx", "hreduce",
     ],
-    meta_fields=["shape", "nnz", "n_windows", "rows_a", "runs", "lvl_runs", "out_t"],
+    meta_fields=[
+        "shape", "nnz", "n_windows", "rows_a", "runs", "lvl_runs", "out_t",
+        "heavy_rows",
+    ],
 )
 @dataclasses.dataclass
 class RoutedCSR:
@@ -81,6 +84,12 @@ class RoutedCSR:
     # per extra level: its runs tuple
     lvl_runs: Tuple[Tuple[Tuple[int, int, int, int], ...], ...] = ()
     out_t: int = 1
+    # residue-dual heavy-row path (rows >= HEAVY_THRESHOLD nnz)
+    hvals: jax.Array | None = None  # (128 * n_heavy_tiles, 128)
+    hpidx: jax.Array | None = None
+    hwidx: jax.Array | None = None  # (n_heavy_tiles,) window per tile
+    hreduce: jax.Array | None = None  # (n_heavy, n_tiles*128) 0/1 lane->row
+    heavy_rows: Tuple[int, ...] = ()
 
 
 def _group_units(lens: np.ndarray):
@@ -109,19 +118,176 @@ def _group_units(lens: np.ndarray):
     return order, base, tuple(runs), int(base[-1])
 
 
-def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
+#: rows with at least this many nnz bypass the routed pipeline entirely via
+#: the residue-dual heavy path (dense per-(row, window) gather tiles + full
+#: reductions — no permutation); equals the nnz count that would force a
+#: third reduction level
+HEAVY_THRESHOLD = WCAP * LANE
+
+
+def _build_heavy(rows_h, csr: CSRMatrix):
+    """Residue-dual gather tiles for heavy rows, packed per window.
+
+    Tile layout (128, 128): sublane a holds nnz with col % 128 == a
+    (gatherable from the transposed window); each heavy row's per-residue
+    column stack occupies a contiguous lane range, several rows sharing a
+    tile when they fit. Per-tile per-lane sublane-sums are mapped back to
+    rows by one static (n_heavy, n_tiles*128) 0/1 matmul — reduction without
+    any routing.
+    """
+    hvals_l, hpidx_l, hwidx_l, owner_l = [], [], [], []
+
+    def new_tile(wv):
+        hvals_l.append(np.zeros((LANE, LANE), dtype=np.float64))
+        hpidx_l.append(np.zeros((LANE, LANE), dtype=np.int32))
+        hwidx_l.append(int(wv))
+        owner_l.append(np.full(LANE, -1, dtype=np.int64))
+
+    # group heavy nnz by window, then pack row-by-row
+    all_w = sorted(
+        {
+            int(wv)
+            for r in rows_h
+            for wv in np.unique(
+                csr.indices[csr.indptr[r] : csr.indptr[r + 1]] // WINDOW_ELEMS
+            )
+        }
+    )
+    for wv in all_w:
+        cursor = LANE  # force a fresh tile per window
+        for ri, r in enumerate(rows_h):
+            i0, i1 = int(csr.indptr[r]), int(csr.indptr[r + 1])
+            cols_r = csr.indices[i0:i1].astype(np.int64)
+            sel = cols_r // WINDOW_ELEMS == wv
+            if not sel.any():
+                continue
+            data_r = csr.data[i0:i1][sel]
+            a = cols_r[sel] % LANE
+            pp = (cols_r[sel] // LANE) % WINDOW_PANELS
+            order = np.argsort(a, kind="stable")
+            a_s, p_s, d_s = a[order], pp[order], data_r[order]
+            starts = np.r_[0, np.flatnonzero(np.diff(a_s)) + 1]
+            rid = np.zeros(a_s.shape[0], dtype=np.int64)
+            rid[starts] = 1
+            rid = np.cumsum(rid) - 1
+            j = np.arange(a_s.shape[0]) - starts[rid]  # per-residue ordinal
+            c = int(j.max(initial=0)) + 1  # lanes this row needs (<=128)
+            if cursor + c > LANE:
+                new_tile(wv)
+                cursor = 0
+            hvals_l[-1][a_s, cursor + j] = d_s
+            hpidx_l[-1][a_s, cursor + j] = p_s
+            owner_l[-1][cursor : cursor + c] = ri
+            cursor += c
+    owner = np.stack(owner_l)  # (n_tiles, LANE)
+    reduce_mat = np.zeros((len(rows_h), owner.size), dtype=np.float64)
+    flat = owner.reshape(-1)
+    valid = flat >= 0
+    reduce_mat[flat[valid], np.flatnonzero(valid)] = 1.0
+    return (
+        np.concatenate(hvals_l, axis=0),
+        np.concatenate(hpidx_l, axis=0),
+        np.asarray(hwidx_l, dtype=np.int32),
+        reduce_mat,
+    )
+
+
+def _pick_heavy_threshold(csr: CSRMatrix, lens_full: np.ndarray) -> int:
+    """Choose the heavy/light split minimizing a taa-pass cost model.
+
+    The routed permutation costs ~4 taa passes over the whole power-of-two
+    domain, so pushing skewed rows into the (padded but unrouted) heavy path
+    pays off exactly when it drops the domain a power of two. Costs are slot
+    counts (taa throughput is slot-proportional).
+    """
+    m, n = csr.shape
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    w = cols // WINDOW_ELEMS
+    a = cols % LANE
+    nwin = max(int(w.max(initial=0)) + 1, 1)
+    best_thr, best_cost = HEAVY_THRESHOLD, None
+    for thr in (HEAVY_THRESHOLD, 8192, 4096, 2048, 1024, 512):
+        heavy = lens_full >= thr
+        if heavy.sum() == m:
+            heavy[np.argmin(lens_full)] = False
+        light = ~heavy[rows]
+        # light gather rows: sum over windows of 128 * max_a ceil(cnt/128)
+        cell = w[light] * LANE + a[light]
+        cnt = np.bincount(cell, minlength=nwin * LANE).reshape(nwin, LANE)
+        rows_a = int((128 * np.ceil(cnt / LANE).max(axis=1)).sum())
+        # light reduce-slab rows (exact unit grouping)
+        lens_l = np.where(heavy, 0, lens_full)
+        n_sub = np.maximum(-(-lens_l // WCAP), 1)
+        u1 = int(n_sub.sum())
+        lens1 = np.full(u1, WCAP, dtype=np.int64)
+        last = np.cumsum(n_sub) - 1
+        lens1[last] = lens_l - (n_sub - 1) * WCAP
+        srt = np.sort(lens1)[::-1]
+        widths = np.maximum(srt[:: LANE], 1)
+        rows_c = int(widths.sum())
+        try:
+            t1 = pick_t(max(rows_a, rows_c))
+        except ValueError:
+            continue
+        # heavy slots: per (row, window): 128 * (max per-residue count),
+        # packed into shared 128-lane tiles per window
+        hcost = 0
+        if heavy.any():
+            hsel = heavy[rows]
+            hr = np.searchsorted(np.flatnonzero(heavy), rows[hsel])
+            key = (hr * nwin + w[hsel]) * LANE + a[hsel]
+            kcnt = np.bincount(key)
+            kcnt = kcnt[kcnt > 0]
+            # group back to (row, window): max over residues
+            kidx = np.flatnonzero(np.bincount(key) > 0) // LANE
+            cmax = np.zeros(kidx.max() + 1, dtype=np.int64)
+            np.maximum.at(cmax, kidx, kcnt)
+            hcost = int(128 * cmax.sum())  # ~lanes consumed * 128 sublanes
+        cost = hcost + rows_a * LANE + 4 * t1 * LANE * LANE
+        if best_cost is None or cost < best_cost:
+            best_thr, best_cost = thr, cost
+    return best_thr
+
+
+def prepare_routed(
+    csr: CSRMatrix, dtype=jnp.float32, heavy_threshold: int | None = None
+) -> RoutedCSR:
     m, n = csr.shape
     if csr.nnz == 0 or m == 0:
         raise RoutedError("empty matrix")
     rows = csr.row_ids().astype(np.int64)
     cols = csr.indices.astype(np.int64)
-    nnz = csr.nnz
+    data = csr.data
+    indptr = csr.indptr.astype(np.int64)
+    lens_full = np.diff(indptr)
+
+    # ---- heavy-row split --------------------------------------------------
+    if heavy_threshold is None:
+        heavy_threshold = _pick_heavy_threshold(csr, lens_full)
+    heavy_sel = lens_full >= heavy_threshold
+    if heavy_sel.sum() == m:  # keep at least one row in the routed pipeline
+        heavy_sel[np.argmin(lens_full)] = False
+    rows_h = np.flatnonzero(heavy_sel)
+    if rows_h.size:
+        hvals, hpidx, hwidx, hreduce = _build_heavy(rows_h, csr)
+        keep = ~heavy_sel[rows]
+        rows, cols, data = rows[keep], cols[keep], data[keep]
+        lens_light = np.where(heavy_sel, 0, lens_full)
+        indptr = np.r_[0, np.cumsum(lens_light)]
+        csr = CSRMatrix(
+            shape=(m, n),
+            indptr=indptr,
+            indices=cols,
+            data=data,
+        )
+    nnz = cols.shape[0]
 
     # ---- gather-phase packing (rows fixed, lanes assigned by the router) --
     w = cols // WINDOW_ELEMS
     a = cols % LANE
     p = (cols // LANE) % WINDOW_PANELS
-    nwin = int(w.max()) + 1
+    nwin = max(int(w.max(initial=0)) + 1, -(-n // WINDOW_ELEMS))
     # ordinal within (w, a)
     key = w * LANE + a
     order = np.argsort(key, kind="stable")
@@ -288,6 +454,11 @@ def prepare_routed(csr: CSRMatrix, dtype=jnp.float32) -> RoutedCSR:
         vals=jnp.asarray(vals, dtype=dtype),
         pidx=jnp.asarray(pidx),
         widx=jnp.asarray(widx),
+        hvals=jnp.asarray(hvals, dtype=dtype) if rows_h.size else None,
+        hpidx=jnp.asarray(hpidx) if rows_h.size else None,
+        hwidx=jnp.asarray(hwidx) if rows_h.size else None,
+        hreduce=jnp.asarray(hreduce, dtype=dtype) if rows_h.size else None,
+        heavy_rows=tuple(int(r) for r in rows_h),
         perm_products=perm_products,
         lvl_perms=tuple(pk for pk, _mk in lvl_gather),
         lvl_masks=tuple(jnp.asarray(mk, dtype=dtype) for _pk, mk in lvl_gather),
@@ -306,16 +477,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _gather_products(mat: RoutedCSR, x: jax.Array) -> jax.Array:
-    """Phase 1: products in panel order, (rows_a, 128)."""
+def _pack_xw(mat: RoutedCSR, x: jax.Array) -> jax.Array:
+    """x -> transposed window stack, flattened rows: rows [w*128, (w+1)*128)
+    = window w."""
     nwin = mat.n_windows
     n = mat.shape[1]
     dtype = mat.vals.dtype
     xp = jnp.pad(x.astype(dtype), (0, nwin * WINDOW_ELEMS - n))
-    # windowT stack, flattened rows: rows [w*128, (w+1)*128) = window w
-    xw = xp.reshape(nwin, WINDOW_PANELS, LANE).transpose(0, 2, 1).reshape(
+    return xp.reshape(nwin, WINDOW_PANELS, LANE).transpose(0, 2, 1).reshape(
         nwin * LANE, LANE
     )
+
+
+def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
+    """Phase 1: products in panel order, (rows_a, 128)."""
+    dtype = mat.vals.dtype
     n_tiles = mat.rows_a // LANE
 
     def kernel(widx_ref, xw_ref, vals_ref, pidx_ref, o_ref):
@@ -343,6 +519,43 @@ def _gather_products(mat: RoutedCSR, x: jax.Array) -> jax.Array:
     )(mat.widx, xw, mat.vals, mat.pidx)
 
 
+def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
+    """Residue-dual heavy path: per-tile gather + full sum, then static
+    per-row totals over each row's (contiguous) tiles."""
+    dtype = mat.hvals.dtype
+    n_tiles = mat.hvals.shape[0] // LANE
+
+    def kernel(hwidx_ref, xw_ref, vals_ref, pidx_ref, o_ref):
+        i = pl.program_id(0)
+        wt = xw_ref[pl.ds(hwidx_ref[i] * LANE, LANE), :]
+        prod = vals_ref[:] * jnp.take_along_axis(wt, pidx_ref[:], axis=1)
+        s = jnp.sum(prod, axis=0).reshape(1, LANE)
+        # (8, LANE) block: sublane-aligned output tile, row 0 carries the sum
+        o_ref[:] = jnp.broadcast_to(s, (8, LANE))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    partials = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, LANE), dtype),
+        interpret=_interpret(),
+    )(mat.hwidx, xw, mat.hvals, mat.hpidx)
+    lane_sums = partials.reshape(n_tiles, 8, LANE)[:, 0, :]  # (T, 128)
+    # one static 0/1 matmul maps per-lane sums back to their heavy rows
+    return mat.hreduce @ lane_sums.reshape(-1)
+
+
 def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
     """Width-binned slab -> per-group unit sums (XLA reshape-sums)."""
     outs = []
@@ -354,7 +567,8 @@ def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
 
 def routed_spmv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
     dtype = mat.vals.dtype
-    pa = _gather_products(mat, x)
+    xw = _pack_xw(mat, x)
+    pa = _gather_products(mat, xw)
     h1 = mat.perm_products.h
     pa = jnp.pad(pa, ((0, h1 - mat.rows_a), (0, 0)))
     slab = apply_permutation(mat.perm_products, pa)
@@ -369,4 +583,9 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
     dom_o = mat.perm_out.h * LANE
     concat = jnp.pad(concat, (0, dom_o - concat.shape[0]))
     y = apply_permutation(mat.perm_out, concat.reshape(mat.perm_out.h, LANE))
-    return y.reshape(-1)[: mat.shape[0]]
+    y = y.reshape(-1)[: mat.shape[0]]
+    if mat.hvals is not None:
+        hsums = _heavy_sums(mat, xw)
+        # heavy rows carry no light nnz, so their y is exactly zero here
+        y = y.at[jnp.asarray(mat.heavy_rows)].add(hsums.astype(y.dtype))
+    return y

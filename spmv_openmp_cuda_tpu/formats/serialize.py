@@ -88,6 +88,8 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "lvl_perms": [_perm_aux(p) for p in mat.lvl_perms],
             "perm_out": _perm_aux(mat.perm_out),
             "n_lvl_masks": len(mat.lvl_masks),
+            "has_heavy": mat.hvals is not None,
+            "heavy_rows": list(mat.heavy_rows),
         }
     raise TypeError(type(mat))
 
@@ -160,6 +162,9 @@ def load_prepared(path: str) -> PreparedFormat:
         lvl_perms = tuple(_read_perm(r, pa) for pa in aux["lvl_perms"])
         lvl_masks = tuple(r.take(aux["n_lvl_masks"]))
         perm_out = _read_perm(r, aux["perm_out"])
+        hvals = hpidx = hwidx = hreduce = None
+        if aux.get("has_heavy"):
+            hvals, hpidx, hwidx, hreduce = r.take(4)
         return RoutedCSR(
             vals=vals,
             pidx=pidx,
@@ -168,6 +173,11 @@ def load_prepared(path: str) -> PreparedFormat:
             lvl_perms=lvl_perms,
             lvl_masks=lvl_masks,
             perm_out=perm_out,
+            hvals=hvals,
+            hpidx=hpidx,
+            hwidx=hwidx,
+            hreduce=hreduce,
+            heavy_rows=tuple(aux.get("heavy_rows", ())),
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
             n_windows=aux["n_windows"],

@@ -68,22 +68,36 @@ def test_routed_matches_oracle(gen, kw):
     assert rep.ok, rep
 
 
-def test_routed_multilevel_heavy_row():
-    # one row with ~20k nnz forces at least two reduction levels
-    rng = np.random.default_rng(5)
-    m, n = 3000, 30000
-    heavy_cols = rng.choice(n, size=20000, replace=False)
-    rows = np.r_[np.zeros(20000, np.int64), rng.integers(0, m, 5000)]
-    cols = np.r_[heavy_cols, rng.integers(0, n, 5000)]
+def _make_spiked(m, n, spike_nnz, bg_nnz, seed):
+    rng = np.random.default_rng(seed)
+    heavy_cols = rng.choice(n, size=spike_nnz, replace=False)
+    rows = np.r_[np.zeros(spike_nnz, np.int64), rng.integers(0, m, bg_nnz)]
+    cols = np.r_[heavy_cols, rng.integers(0, n, bg_nnz)]
     vals = rng.standard_normal(rows.shape[0])
     from spmv_openmp_cuda_tpu.formats.matrix import COOMatrix
     from spmv_openmp_cuda_tpu.formats.convert import sort_coo
 
-    coo = sort_coo(COOMatrix((m, n), rows, cols, vals))
-    csr = S.coo_to_csr(coo)
-    x = fill_rnd_vector(n, seed=6)
+    return S.coo_to_csr(sort_coo(COOMatrix((m, n), rows, cols, vals)))
+
+
+def test_routed_multilevel_split_row():
+    # a ~3k-nnz row stays below HEAVY_THRESHOLD and forces a second
+    # reduction level through the routed pipeline
+    csr = _make_spiked(3000, 30000, 3000, 5000, seed=5)
+    x = fill_rnd_vector(30000, seed=6)
     mat = prepare_routed(csr)
-    assert len(mat.lvl_runs) >= 1
+    assert len(mat.lvl_runs) >= 1 and not mat.heavy_rows
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_routed_heavy_row_residue_path():
+    # a 20k-nnz row rides the residue-dual heavy path (no permutation)
+    csr = _make_spiked(3000, 30000, 20000, 5000, seed=5)
+    x = fill_rnd_vector(30000, seed=6)
+    mat = prepare_routed(csr)
+    assert mat.heavy_rows == (0,)
     y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
     rep = vectors_diff(y, serial_csr_spmv(csr, x))
     assert rep.ok, rep

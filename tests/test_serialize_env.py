@@ -94,3 +94,20 @@ def test_serialize_roundtrip_routed(tmp_path):
     y1 = np.asarray(routed_spmv(mat, jnp.asarray(x, jnp.float32)))
     y2 = np.asarray(routed_spmv(mat2, jnp.asarray(x, jnp.float32)))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_serialize_roundtrip_routed_heavy(tmp_path):
+    from spmv_openmp_cuda_tpu.formats.routed import prepare_routed, routed_spmv
+    from spmv_openmp_cuda_tpu.formats.serialize import load_prepared, save_prepared
+    from tests.test_routed import _make_spiked
+
+    csr = _make_spiked(2500, 25000, 18000, 4000, seed=9)
+    mat = prepare_routed(csr)
+    assert mat.heavy_rows
+    p = str(tmp_path / "routedh.npz")
+    save_prepared(p, mat)
+    mat2 = load_prepared(p)
+    x = fill_rnd_vector(25000, seed=10)
+    y1 = np.asarray(routed_spmv(mat, jnp.asarray(x, jnp.float32)))
+    y2 = np.asarray(routed_spmv(mat2, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_array_equal(y1, y2)
