@@ -101,6 +101,12 @@ class Config:
 
     @property
     def jnp_dtype(self):
+        if self.dtype == "float64":
+            # double precision (the reference's native dtype) needs the x64
+            # flag or jnp silently degrades to f32; XLA emulates f64 on TPU
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
         return _DTYPES[self.dtype]
 
     @classmethod

@@ -589,3 +589,94 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
         # heavy rows carry no light nnz, so their y is exactly zero here
         y = y.at[jnp.asarray(mat.heavy_rows)].add(hsums.astype(y.dtype))
     return y
+
+
+# ---------------------------------------------------------------------------
+# Chunked wrapper: matrices beyond the single permutation domain
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["chunks"],
+    meta_fields=["bounds", "shape", "nnz"],
+)
+@dataclasses.dataclass
+class RoutedChunks:
+    """Row-block decomposition into independent routed engines — the scale
+    path for matrices whose nnz exceed one (128*128)-row routing domain
+    (webbase/Cube_Coup-class inputs; the reference's only recourse there was
+    CSR because the ELL cap tripped, parser.c:223-232). Row blocks are also
+    the unit of multi-chip sharding."""
+
+    chunks: Tuple[RoutedCSR, ...]
+    bounds: Tuple[int, ...]  # row boundaries, len = n_chunks + 1
+    shape: Tuple[int, int] = (0, 0)
+    nnz: int = 0
+
+
+def _sub_csr(csr: CSRMatrix, r0: int, r1: int) -> CSRMatrix:
+    i0, i1 = int(csr.indptr[r0]), int(csr.indptr[r1])
+    return CSRMatrix(
+        shape=(r1 - r0, csr.shape[1]),
+        indptr=(csr.indptr[r0 : r1 + 1] - i0).astype(np.int64),
+        indices=csr.indices[i0:i1],
+        data=csr.data[i0:i1],
+    )
+
+
+def prepare_routed_chunked(
+    csr: CSRMatrix, dtype=jnp.float32, chunk_nnz: int = 1_200_000
+) -> RoutedChunks:
+    """Split rows greedily into blocks of <= chunk_nnz light nnz and prepare
+    a routed engine per block (recursive halving if a block still exceeds
+    its routing domain)."""
+    m = csr.shape[0]
+    lens = np.diff(csr.indptr)
+    bounds = [0]
+    acc = 0
+    for r in range(m):
+        ln = int(lens[r])
+        if acc + min(ln, HEAVY_THRESHOLD) > chunk_nnz and r > bounds[-1]:
+            bounds.append(r)
+            acc = 0
+        acc += min(ln, HEAVY_THRESHOLD)
+    bounds.append(m)
+    chunks = []
+    final_bounds = [0]
+    stack = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)][::-1]
+    while stack:
+        r0, r1 = stack.pop()
+        try:
+            chunks.append(prepare_routed(_sub_csr(csr, r0, r1), dtype=dtype))
+            final_bounds.append(r1)
+        except RoutedError:
+            if r1 - r0 <= 1:
+                raise
+            mid = (r0 + r1) // 2
+            stack.append((mid, r1))
+            stack.append((r0, mid))
+    return RoutedChunks(
+        chunks=tuple(chunks),
+        bounds=tuple(final_bounds),
+        shape=csr.shape,
+        nnz=csr.nnz,
+    )
+
+
+def routed_chunked_spmv(mat: RoutedChunks, x: jax.Array) -> jax.Array:
+    return jnp.concatenate([routed_spmv(c, x) for c in mat.chunks])
+
+
+def prepare_routed_auto(csr: CSRMatrix, dtype=jnp.float32):
+    """RoutedCSR when one domain suffices, RoutedChunks otherwise."""
+    try:
+        return prepare_routed(csr, dtype=dtype)
+    except RoutedError:
+        return prepare_routed_chunked(csr, dtype=dtype)
+
+
+def routed_auto_spmv(mat, x: jax.Array) -> jax.Array:
+    if isinstance(mat, RoutedChunks):
+        return routed_chunked_spmv(mat, x)
+    return routed_spmv(mat, x)

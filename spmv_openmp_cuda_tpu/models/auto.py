@@ -34,7 +34,7 @@ from ..formats.convert import coo_to_csr
 from ..formats.dia import DiaFillError, prepare_dia
 from ..formats.lanes import LanesError, lanes_small_spmv, prepare_lanes_small
 from ..formats.matrix import COOMatrix, CSRMatrix, device_ell
-from ..formats.routed import RoutedError, prepare_routed, routed_spmv
+from ..formats.routed import RoutedError, prepare_routed_auto, routed_auto_spmv
 from ..ops.spmv_xla import ell_rows_transposed
 
 
@@ -94,8 +94,8 @@ class AutoSpMV:
                 fmt = "routed"
         if fmt == "routed":
             try:
-                ops = prepare_routed(csr, dtype=cfg.jnp_dtype)
-                run = routed_spmv
+                ops = prepare_routed_auto(csr, dtype=cfg.jnp_dtype)
+                run = routed_auto_spmv
             except RoutedError:
                 fmt = "binned"
         if fmt == "ell_t":

@@ -258,15 +258,17 @@ def _register() -> None:
         )
     )
 
-    from ..formats.routed import prepare_routed, routed_spmv
+    from ..formats.routed import prepare_routed_auto, routed_auto_spmv
 
     register(
         KernelSpec(
             name="PL_CSR_ROUTED",
             fmt="csr",
             impl="pallas",
-            prepare=lambda csr, ell, cfg: prepare_routed(csr, dtype=cfg.jnp_dtype),
-            run=routed_spmv,
+            prepare=lambda csr, ell, cfg: prepare_routed_auto(
+                csr, dtype=cfg.jnp_dtype
+            ),
+            run=routed_auto_spmv,
             doc="Clos-routed CSR: lane-gather products in panel order, "
             "static Clos permutation to width-binned reduction slabs, "
             "multi-level dense sublane reduces — the fully general "

@@ -81,6 +81,9 @@ PRESETS = {
     "fem_3d_thermal2_like": (banded, dict(m=147900, n=147900, bandwidth=12, fill=0.95)),
     "thermal2_like": (banded, dict(m=1228045, n=1228045, bandwidth=3, fill=1.0)),
     "caida_like": (power_law, dict(m=192244, n=192244, avg_nnz_per_row=6.3, alpha=1.7)),
+    # the reference's OpenMP-baseline matrices (BASELINE.md)
+    "west2021_like": (random_uniform, dict(m=2021, n=2021, density=7310 / 2021**2)),
+    "webbase_like": (power_law, dict(m=1000005, n=1000005, avg_nnz_per_row=3.1, alpha=1.9)),
 }
 
 

@@ -131,3 +131,24 @@ def test_routed_level_slab_padding_not_corrupted():
     d = np.abs(y - serial_csr_spmv(csr, x))
     # corruption shows up at ~1e-4; fp32 noise is ~1e-9
     assert d.max() < 1e-6, d.max()
+
+
+def test_routed_chunked_large():
+    from spmv_openmp_cuda_tpu.formats.routed import (
+        RoutedChunks,
+        prepare_routed_auto,
+        routed_auto_spmv,
+    )
+
+    # ~2.5M uniformly spread nnz (no heavy rows to offload) exceed one
+    # routing domain -> chunked engine
+    coo = synth.random_uniform(500_000, 500_000, 5.0 / 500_000, seed=23)
+    csr = S.coo_to_csr(coo)
+    mat = prepare_routed_auto(csr)
+    assert isinstance(mat, RoutedChunks) and len(mat.chunks) >= 2
+    x = fill_rnd_vector(csr.shape[1], seed=24)
+    y = np.asarray(
+        jax.jit(routed_auto_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64
+    )
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
