@@ -109,11 +109,12 @@ class DiaPallasPlan:
 
 def plan_dia(mat: DeviceDIA, vmem_budget: int = 2 << 20) -> DiaPallasPlan:
     d, s, _ = mat.data.shape
-    # data block d*bs*LANE*4 bytes ~ vmem_budget; bs multiple of SUBLANE,
-    # and bs > pad_sub so the 3-block x window covers every shift.
-    bs = max(vmem_budget // (d * LANE * 4), mat.pad_sub + 1, SUBLANE)
-    bs = _ceil_to(bs, SUBLANE)
-    bs = min(bs, _ceil_to(s, SUBLANE))
+    # data block d*bs*LANE*4 bytes ~ vmem_budget; bs a multiple of 16 (the
+    # bf16 sublane tile height, also valid for f32), and bs > pad_sub so the
+    # 3-block x window covers every shift.
+    bs = max(vmem_budget // (d * LANE * 4), mat.pad_sub + 1, 2 * SUBLANE)
+    bs = _ceil_to(bs, 2 * SUBLANE)
+    bs = min(bs, _ceil_to(s, 2 * SUBLANE))
     s_pad = _ceil_to(s, bs)
     return DiaPallasPlan(bs=bs, nblocks=s_pad // bs, s_pad=s_pad)
 
@@ -154,11 +155,16 @@ def dia_spmv_pallas(
     offsets = mat.offsets
     dtype = mat.data.dtype
 
+    # bf16 mode: only the big diagonal slab stays bf16 (the HBM win); the x
+    # window and all in-kernel slicing run in f32 — sub-16-row bf16 slices
+    # crash the Mosaic backend
+    acc_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
     # window layout: xk rows [0, nblocks+2 blocks); xp origin (x row 0) sits
     # at row ps; kernel block i covers out rows [i*bs, (i+1)*bs) and reads
     # window rows [ps+q, ps+q+bs+1) for q in [-ps, ps], all inside blocks
     # [i, i+3) of xk since ps < bs.
-    xp = pad_x_dia(x, mat)  # (s + 2*ps, LANE)
+    xp = pad_x_dia(x, mat).astype(acc_dtype)  # (s + 2*ps, LANE)
     xk = jnp.pad(xp, ((0, (plan.nblocks + 2) * bs - xp.shape[0]), (0, 0)))
 
     def kernel(x0_ref, x1_ref, x2_ref, dia_ref, o_ref, w_ref):
@@ -168,7 +174,7 @@ def dia_spmv_pallas(
         w_ref[0:bs] = x0_ref[:]
         w_ref[bs : 2 * bs] = x1_ref[:]
         w_ref[2 * bs : 3 * bs] = x2_ref[:]
-        acc = jnp.zeros((bs, LANE), dtype)
+        acc = jnp.zeros((bs, LANE), acc_dtype)
         for k, off in enumerate(offsets):
             q, r = divmod(off, LANE)
             lo = w_ref[ps + q : ps + q + bs, :]
@@ -177,9 +183,8 @@ def dia_spmv_pallas(
             else:
                 hi = w_ref[ps + q + 1 : ps + q + 1 + bs, :]
                 sh = jnp.concatenate([lo[:, r:], hi[:, :r]], axis=1)
-            acc = acc + dia_ref[k] * sh
+            acc = acc + dia_ref[k].astype(acc_dtype) * sh
         o_ref[:] = acc
-
     out = pl.pallas_call(
         kernel,
         grid=(plan.nblocks,),
@@ -192,8 +197,8 @@ def dia_spmv_pallas(
             ),
         ],
         out_specs=pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s_pad, LANE), dtype),
-        scratch_shapes=[pltpu.VMEM((3 * bs, LANE), dtype)],
+        out_shape=jax.ShapeDtypeStruct((s_pad, LANE), acc_dtype),
+        scratch_shapes=[pltpu.VMEM((3 * bs, LANE), acc_dtype)],
         interpret=_interpret(),
     )(xk, xk, xk, mat.data)
     return out.reshape(-1)[: mat.shape[0]]
@@ -224,20 +229,35 @@ def _register() -> None:
         )
     )
 
-    def _prep_dia(csr, ell, cfg):
-        mat = prepare_dia(csr, dtype=cfg.jnp_dtype)
-        plan = plan_dia(mat)
-        return (pad_dia_for_pallas(mat, plan), plan)
+    def _mk_prep_dia(force_dtype=None):
+        def _prep(csr, ell, cfg):
+            mat = prepare_dia(csr, dtype=force_dtype or cfg.jnp_dtype)
+            plan = plan_dia(mat)
+            return (pad_dia_for_pallas(mat, plan), plan)
+
+        return _prep
 
     register(
         KernelSpec(
             name="PL_DIA_ROWS",
             fmt="csr",
             impl="pallas",
-            prepare=_prep_dia,
+            prepare=_mk_prep_dia(),
             run=lambda ops, x: dia_spmv_pallas(ops[0], x, ops[1]),
             doc="Pallas fused diagonal kernel: 2D sublane-row layout, "
             "3-block sliding x window, two-slice lane shifts (~500 GB/s)",
+        )
+    )
+    register(
+        KernelSpec(
+            name="PL_DIA_BF16",
+            fmt="csr",
+            impl="pallas",
+            prepare=_mk_prep_dia(jnp.bfloat16),
+            run=lambda ops, x: dia_spmv_pallas(ops[0], x, ops[1]),
+            doc="bf16 diagonal slab (f32 accumulate): halves HBM traffic on "
+            "the bandwidth-bound banded path; valid inside the reference "
+            "7e-4 tolerance for bounded-band matrices",
         )
     )
 
