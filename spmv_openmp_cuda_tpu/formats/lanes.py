@@ -38,7 +38,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LANE
-from .matrix import CSRMatrix, _ceil_to
+from ..utils.pallas_env import interpret as _interp
+from ..utils.pallas_env import n_windows_for, pack_x_windows_flat
+from .matrix import CSRMatrix
 
 WINDOW_PANELS = LANE  # panels per window (taa width cap = 128 lanes)
 WINDOW_ELEMS = LANE * WINDOW_PANELS  # 16384 x values per window
@@ -75,7 +77,7 @@ def prepare_lanes_small(
     csr: CSRMatrix,
     dtype=jnp.float32,
     max_groups: int = 64,
-    max_slots: int = 1 << 20,
+    max_slots: int = 1 << 20,  # total slots (slot-rows * 128)
 ) -> LanesSmall:
     m, n = csr.shape
     g_count = -(-m // LANE)
@@ -104,13 +106,13 @@ def prepare_lanes_small(
     depth = np.empty_like(depth_sorted)
     depth[order] = depth_sorted
 
-    nwin = int(w.max()) + 1 if cols.size else 1
+    nwin = n_windows_for(n, int(w.max(initial=0)) if cols.size else 0, WINDOW_ELEMS)
     tiles_per_win = np.zeros(nwin, dtype=np.int64)
     np.maximum.at(tiles_per_win, w, depth + 1)
     tile_base = np.r_[0, np.cumsum(tiles_per_win)]
     ks = int(tile_base[-1]) * LANE
-    if ks * LANE > max_slots * LANE or ks > max_slots:
-        raise LanesError(f"{ks * LANE} slots exceed cap {max_slots * LANE}")
+    if ks * LANE > max_slots:  # cap on total slots (VMEM residency)
+        raise LanesError(f"{ks * LANE} slots exceed cap {max_slots}")
 
     vals = np.zeros((max(ks, LANE), LANE), dtype=np.float64)
     pidx = np.zeros((max(ks, LANE), LANE), dtype=np.int32)
@@ -133,16 +135,12 @@ def prepare_lanes_small(
     )
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def pack_x_windows(x: jax.Array, mat: LanesSmall) -> jax.Array:
     """x -> (nwin, 128 residues, 128 panels) transposed window stack."""
     nwin = len(mat.window_tiles)
-    n = mat.shape[1]
-    xp = jnp.pad(x.astype(mat.vals.dtype), (0, nwin * WINDOW_ELEMS - n))
-    return xp.reshape(nwin, WINDOW_PANELS, LANE).transpose(0, 2, 1)
+    return pack_x_windows_flat(
+        x, nwin, mat.shape[1], mat.vals.dtype, WINDOW_PANELS
+    ).reshape(nwin, LANE, WINDOW_PANELS)
 
 
 def lanes_small_spmv(mat: LanesSmall, x: jax.Array) -> jax.Array:
@@ -175,6 +173,6 @@ def lanes_small_spmv(mat: LanesSmall, x: jax.Array) -> jax.Array:
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((g_count, LANE), dtype)],
-        interpret=_interpret(),
+        interpret=_interp(),
     )(xw, mat.vals, mat.pidx, mat.gid)
     return out.reshape(-1)[: mat.shape[0]]

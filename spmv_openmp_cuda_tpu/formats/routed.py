@@ -43,6 +43,8 @@ from ..ops.route import (
     plan_permutation,
     plan_row_to_slot,
 )
+from ..utils.pallas_env import interpret as _interp
+from ..utils.pallas_env import n_windows_for, pack_x_windows_flat
 from .lanes import WINDOW_ELEMS, WINDOW_PANELS
 from .matrix import CSRMatrix
 
@@ -143,29 +145,27 @@ def _build_heavy(rows_h, csr: CSRMatrix):
         hwidx_l.append(int(wv))
         owner_l.append(np.full(LANE, -1, dtype=np.int64))
 
-    # group heavy nnz by window, then pack row-by-row
-    all_w = sorted(
-        {
-            int(wv)
-            for r in rows_h
-            for wv in np.unique(
-                csr.indices[csr.indptr[r] : csr.indptr[r + 1]] // WINDOW_ELEMS
+    # one pass per heavy row: its sorted columns split into contiguous
+    # window segments (O(total heavy nnz)), grouped per window for packing
+    by_window: dict = {}
+    for ri, r in enumerate(rows_h):
+        i0, i1 = int(csr.indptr[r]), int(csr.indptr[r + 1])
+        cols_r = csr.indices[i0:i1].astype(np.int64)
+        data_r = csr.data[i0:i1]
+        wins = cols_r // WINDOW_ELEMS
+        seg = np.r_[0, np.flatnonzero(np.diff(wins)) + 1, cols_r.shape[0]]
+        for k in range(seg.shape[0] - 1):
+            s0, s1 = int(seg[k]), int(seg[k + 1])
+            by_window.setdefault(int(wins[s0]), []).append(
+                (ri, cols_r[s0:s1], data_r[s0:s1])
             )
-        }
-    )
-    for wv in all_w:
+    for wv in sorted(by_window):
         cursor = LANE  # force a fresh tile per window
-        for ri, r in enumerate(rows_h):
-            i0, i1 = int(csr.indptr[r]), int(csr.indptr[r + 1])
-            cols_r = csr.indices[i0:i1].astype(np.int64)
-            sel = cols_r // WINDOW_ELEMS == wv
-            if not sel.any():
-                continue
-            data_r = csr.data[i0:i1][sel]
-            a = cols_r[sel] % LANE
-            pp = (cols_r[sel] // LANE) % WINDOW_PANELS
+        for ri, cols_seg, data_seg in by_window[wv]:
+            a = cols_seg % LANE
+            pp = (cols_seg // LANE) % WINDOW_PANELS
             order = np.argsort(a, kind="stable")
-            a_s, p_s, d_s = a[order], pp[order], data_r[order]
+            a_s, p_s, d_s = a[order], pp[order], data_seg[order]
             starts = np.r_[0, np.flatnonzero(np.diff(a_s)) + 1]
             rid = np.zeros(a_s.shape[0], dtype=np.int64)
             rid[starts] = 1
@@ -237,12 +237,10 @@ def _pick_heavy_threshold(csr: CSRMatrix, lens_full: np.ndarray) -> int:
             hsel = heavy[rows]
             hr = np.searchsorted(np.flatnonzero(heavy), rows[hsel])
             key = (hr * nwin + w[hsel]) * LANE + a[hsel]
-            kcnt = np.bincount(key)
-            kcnt = kcnt[kcnt > 0]
-            # group back to (row, window): max over residues
-            kidx = np.flatnonzero(np.bincount(key) > 0) // LANE
-            cmax = np.zeros(kidx.max() + 1, dtype=np.int64)
-            np.maximum.at(cmax, kidx, kcnt)
+            uniq, kcnt = np.unique(key, return_counts=True)  # sparse keys
+            rw, inv = np.unique(uniq // LANE, return_inverse=True)
+            cmax = np.zeros(rw.shape[0], dtype=np.int64)
+            np.maximum.at(cmax, inv, kcnt)
             hcost = int(128 * cmax.sum())  # ~lanes consumed * 128 sublanes
         cost = hcost + rows_a * LANE + 4 * t1 * LANE * LANE
         if best_cost is None or cost < best_cost:
@@ -266,8 +264,12 @@ def prepare_routed(
     if heavy_threshold is None:
         heavy_threshold = _pick_heavy_threshold(csr, lens_full)
     heavy_sel = lens_full >= heavy_threshold
-    if heavy_sel.sum() == m:  # keep at least one row in the routed pipeline
-        heavy_sel[np.argmin(lens_full)] = False
+    while heavy_sel.any() and lens_full[~heavy_sel].sum() == 0:
+        # the routed pipeline needs at least one light nnz (a zero-row
+        # gather domain would emit an empty pallas grid): demote the
+        # smallest heavy row
+        cand = np.flatnonzero(heavy_sel)
+        heavy_sel[cand[np.argmin(lens_full[cand])]] = False
     rows_h = np.flatnonzero(heavy_sel)
     if rows_h.size:
         hvals, hpidx, hwidx, hreduce = _build_heavy(rows_h, csr)
@@ -287,7 +289,7 @@ def prepare_routed(
     w = cols // WINDOW_ELEMS
     a = cols % LANE
     p = (cols // LANE) % WINDOW_PANELS
-    nwin = max(int(w.max(initial=0)) + 1, -(-n // WINDOW_ELEMS))
+    nwin = n_windows_for(n, int(w.max(initial=0)), WINDOW_ELEMS)
     # ordinal within (w, a)
     key = w * LANE + a
     order = np.argsort(key, kind="stable")
@@ -316,12 +318,11 @@ def prepare_routed(
     u1 = int(sub_base[-1])
     unit_of_nnz = sub_base[rows] + ordinal // WCAP
     k_of_nnz = ordinal % WCAP
-    lens1 = np.minimum(lens[np.repeat(np.arange(m), n_sub)], WCAP).copy()
     # exact per-unit lengths: full WCAP except each row's last subrow
+    # (zero-length rows get a single length-0 unit)
     lens1 = np.full(u1, WCAP, dtype=np.int64)
     last = sub_base[1:] - 1
     lens1[last] = lens - (n_sub - 1) * WCAP
-    lens1[last[lens == 0]] = 0
 
     order1, base1, runs1, rows_c = _group_units(lens1)
     rank1 = np.empty(u1, dtype=np.int64)
@@ -382,16 +383,22 @@ def prepare_routed(
         rank2 = np.empty(u2, dtype=np.int64)
         rank2[order2] = np.arange(u2)
         n_groups2 = -(-u2 // LANE)
-        # slab slot (row, lane) <- child sum flat position, as a routed perm
+        # slab slot (row, lane) <- child sum flat position, fully vectorized:
+        # one element per (unit, k<len) pair in unit-major order
+        el_unit = np.repeat(np.arange(u2), lens2)  # unit of each element
+        el_start = np.r_[0, np.cumsum(lens2)]
+        el_k = np.arange(int(el_start[-1])) - el_start[el_unit]
+        # source: child_pos[first(parent) + (unit - sb2[parent])*WCAP + k]
+        unit_parent = np.repeat(np.arange(parents.shape[0]), nsub2)
+        src = (
+            child_first[parents][unit_parent[el_unit]]
+            + (el_unit - sb2[unit_parent[el_unit]]) * WCAP
+            + el_k
+        )
+        rk = rank2[el_unit]
+        dst_rows = base2[rk // LANE] + el_k
         gidx = np.full(rows2 * LANE, -1, dtype=np.int64)
-        for idx_p, parent in enumerate(parents):
-            first = child_first[parent]
-            for su in range(nsub2[idx_p]):
-                uid = sb2[idx_p] + su
-                ln = int(lens2[uid])
-                rk = rank2[uid]
-                rws = base2[rk // LANE] + np.arange(ln)
-                gidx[rws * LANE + rk % LANE] = child_pos[first + su * WCAP : first + su * WCAP + ln]
+        gidx[dst_rows * LANE + rk % LANE] = child_pos[src]
         prev_rows = -(-int(level_sums_sizes[-1]) // LANE)
         t_k = pick_t(max(prev_rows, rows2))
         dom_k = t_k * LANE * LANE
@@ -473,19 +480,11 @@ def prepare_routed(
     )
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
 def _pack_xw(mat: RoutedCSR, x: jax.Array) -> jax.Array:
     """x -> transposed window stack, flattened rows: rows [w*128, (w+1)*128)
     = window w."""
-    nwin = mat.n_windows
-    n = mat.shape[1]
-    dtype = mat.vals.dtype
-    xp = jnp.pad(x.astype(dtype), (0, nwin * WINDOW_ELEMS - n))
-    return xp.reshape(nwin, WINDOW_PANELS, LANE).transpose(0, 2, 1).reshape(
-        nwin * LANE, LANE
+    return pack_x_windows_flat(
+        x, mat.n_windows, mat.shape[1], mat.vals.dtype, WINDOW_PANELS
     )
 
 
@@ -515,7 +514,7 @@ def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mat.rows_a, LANE), dtype),
-        interpret=_interpret(),
+        interpret=_interp(),
     )(mat.widx, xw, mat.vals, mat.pidx)
 
 
@@ -549,7 +548,7 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, LANE), dtype),
-        interpret=_interpret(),
+        interpret=_interp(),
     )(mat.hwidx, xw, mat.hvals, mat.hpidx)
     lane_sums = partials.reshape(n_tiles, 8, LANE)[:, 0, :]  # (T, 128)
     # one static 0/1 matmul maps per-lane sums back to their heavy rows
@@ -565,9 +564,10 @@ def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
     return jnp.concatenate(outs, axis=0)
 
 
-def routed_spmv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
+def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> jax.Array:
     dtype = mat.vals.dtype
-    xw = _pack_xw(mat, x)
+    if xw is None:
+        xw = _pack_xw(mat, x)
     pa = _gather_products(mat, xw)
     h1 = mat.perm_products.h
     pa = jnp.pad(pa, ((0, h1 - mat.rows_a), (0, 0)))
@@ -665,7 +665,9 @@ def prepare_routed_chunked(
 
 
 def routed_chunked_spmv(mat: RoutedChunks, x: jax.Array) -> jax.Array:
-    return jnp.concatenate([routed_spmv(c, x) for c in mat.chunks])
+    # all chunks share shape[1], so the window stack is identical: pack once
+    xw = _pack_xw(mat.chunks[0], x)
+    return jnp.concatenate([routed_spmv(c, x, xw=xw) for c in mat.chunks])
 
 
 def prepare_routed_auto(csr: CSRMatrix, dtype=jnp.float32):

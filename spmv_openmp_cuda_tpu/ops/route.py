@@ -50,6 +50,21 @@ from ..config import LANE
 # bipartite 128-edge-coloring via vectorized Euler splitting
 # ---------------------------------------------------------------------------
 
+_NATIVE_COLOR = ()  # lazily resolved once: (fn,) or (None,)
+
+
+def _native_color():
+    """Cached handle to the native C++ router (None when not built)."""
+    global _NATIVE_COLOR
+    if _NATIVE_COLOR == ():
+        try:
+            from ..io.native import color_bipartite_native
+
+            _NATIVE_COLOR = (color_bipartite_native,)
+        except ImportError:
+            _NATIVE_COLOR = (None,)
+    return _NATIVE_COLOR[0]
+
 
 def _euler_split(left: np.ndarray, right: np.ndarray, cls: np.ndarray) -> np.ndarray:
     """One Euler-split level: within each color class (even-regular bipartite
@@ -98,14 +113,9 @@ def color_bipartite_pow2(
     """
     e = left.shape[0]
     assert n_colors & (n_colors - 1) == 0
-    try:
-        from ..io.native import color_bipartite_native
-
-        out = color_bipartite_native(left, right, n_colors)
-        if out is not None:
-            return out
-    except Exception:
-        pass
+    out = _native_color()(left, right, n_colors) if _native_color() else None
+    if out is not None:
+        return out
     cls = np.zeros(e, dtype=np.int64)
     bits = int(np.log2(n_colors))
     for _ in range(bits):

@@ -112,3 +112,26 @@ def test_lanes_small_rejects_large_g():
     coo = synth.random_uniform(64 * 128 + 1, 100, density=0.001, seed=0)
     with pytest.raises(LanesError):
         prepare_lanes_small(S.coo_to_csr(coo))
+
+
+def test_lanes_small_trailing_empty_columns():
+    # nnz confined to the first window of a 20000-column matrix: window
+    # count must still cover all columns (regression: negative pad crash)
+    from spmv_openmp_cuda_tpu.formats.lanes import (
+        lanes_small_spmv,
+        prepare_lanes_small,
+    )
+
+    rng = np.random.default_rng(31)
+    from spmv_openmp_cuda_tpu.formats.matrix import COOMatrix
+    from spmv_openmp_cuda_tpu.formats.convert import sort_coo
+
+    rows = rng.integers(0, 1000, 600)
+    cols = rng.integers(0, 16000, 600)
+    coo = sort_coo(COOMatrix((1000, 20000), rows, cols, rng.standard_normal(600)))
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(20000, seed=32)
+    mat = prepare_lanes_small(csr)
+    y = np.asarray(jax.jit(lanes_small_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep

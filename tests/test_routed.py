@@ -152,3 +152,24 @@ def test_routed_chunked_large():
     )
     rep = vectors_diff(y, serial_csr_spmv(csr, x))
     assert rep.ok, rep
+
+
+def test_routed_all_nnz_heavy():
+    # every nnz sits in rows above the heavy threshold (plus empty rows):
+    # the engine must demote a heavy row rather than emit an empty gather
+    rng = np.random.default_rng(33)
+    from spmv_openmp_cuda_tpu.formats.matrix import COOMatrix
+    from spmv_openmp_cuda_tpu.formats.convert import sort_coo
+
+    m, n = 200, 40000
+    cols0 = rng.choice(n, 17000, replace=False)
+    cols1 = rng.choice(n, 16500, replace=False)
+    rows = np.r_[np.zeros(17000, np.int64), np.full(16500, 7, np.int64)]
+    cols = np.r_[cols0, cols1]
+    coo = sort_coo(COOMatrix((m, n), rows, cols, rng.standard_normal(rows.shape[0])))
+    csr = S.coo_to_csr(coo)
+    mat = prepare_routed(csr, heavy_threshold=16384)
+    x = fill_rnd_vector(n, seed=34)
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
