@@ -107,19 +107,51 @@ def run_kernel(
     deterministic = bool(np.array_equal(np.asarray(y), np.asarray(y2)))
 
     wall_times: List[float] = []
-    internal_times: List[float] = []
     for _ in range(cfg.avg_times_iteration):
         t0 = time.perf_counter()
         y = jax.block_until_ready(f(xj))
         wall_times.append(time.perf_counter() - t0)
-    # internal time: tight loop over the compiled computation (the
-    # ElapsedInternal analog — excludes host-side call overhead by averaging
-    # a chained batch)
-    t0 = time.perf_counter()
-    for _ in range(cfg.avg_times_iteration):
-        y = f(xj)
-    jax.block_until_ready(y)
-    chained = (time.perf_counter() - t0) / cfg.avg_times_iteration
+    # internal time (the ElapsedInternal analog): slope between two on-device
+    # dependency-chained rep counts, synced by scalar readback — cancels the
+    # fixed per-call dispatch/tunnel cost, which dominates wall time here
+    # (see bench.py docstring; block_until_ready alone does not synchronize
+    # on every backend)
+    run = spec.run
+
+    def mk_chain(steps):
+        @jax.jit
+        def chain(xv):
+            def body(i, xv):
+                yv = run(operands, xv)
+                return xv * (1.0 + jnp.sum(yv) * 1e-30)
+
+            return jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+
+        return chain
+
+    def timed_chain(steps):
+        ch = mk_chain(steps)
+        _ = float(jnp.sum(ch(xj)))  # compile + warm + sync
+        best_t = float("inf")
+        for _rep in range(cfg.avg_times_iteration):
+            t1 = time.perf_counter()
+            _ = float(jnp.sum(ch(xj)))
+            best_t = min(best_t, time.perf_counter() - t1)
+        return best_t
+
+    lo_n = 3
+    t_lo = timed_chain(lo_n)
+    hi_n = lo_n + max(20, min(500, int(1.0 / max(t_lo / lo_n, 1e-6))))
+    t_hi = timed_chain(hi_n)
+    if t_hi - t_lo < 0.5:
+        # step signal drowned in fixed-cost noise: escalate the chain until
+        # the extra steps add ~1 s of device time
+        slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
+        hi_n = lo_n + min(int(1.0 / slope1), 1_000_000)
+        t_hi = timed_chain(hi_n)
+    chained = (t_hi - t_lo) / (hi_n - lo_n)
+    if chained <= 0:  # still noise-bound: report the conservative bound
+        chained = t_hi / hi_n
     internal_times = [chained] * cfg.avg_times_iteration
 
     t_avg, t_var = stats_avg_var(wall_times)
