@@ -34,4 +34,30 @@ from .formats.convert import (
 )
 from .io.mmio import mm_to_csr, mm_to_ell, read_coo, write_mtx
 
+
+def __getattr__(name):
+    # lazy engine exports (they pull in jax.experimental.pallas)
+    if name == "AutoSpMV":
+        from .models.auto import AutoSpMV
+
+        return AutoSpMV
+    if name in ("prepare_dia", "DiaFillError"):
+        from .formats import dia
+
+        return getattr(dia, name)
+    if name in ("prepare_routed_auto", "routed_auto_spmv", "RoutedError"):
+        from .formats import routed
+
+        return getattr(routed, name)
+    if name in ("prepare_lanes_small", "lanes_small_spmv", "LanesError"):
+        from .formats import lanes
+
+        return getattr(lanes, name)
+    if name in ("save_prepared", "load_prepared"):
+        from .formats import serialize
+
+        return getattr(serialize, name)
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"

@@ -430,3 +430,65 @@ def make_dia_sharded(mesh: Mesh, op_meta: ShardedDIA):
         return f(op.data, x_padded)
 
     return spmv
+
+
+# ---------------------------------------------------------------------------
+# 5) Multi-device chunked routed engine — heterogeneous row blocks
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MultiDeviceRouted:
+    """Row-block routed engines pinned round-robin to devices.
+
+    The Clos-routed engine's per-chunk structures are heterogeneous (their
+    permutation domains differ), so they cannot ride one shard_map; instead
+    each chunk's operands live on its own device and the per-device jitted
+    computations are dispatched asynchronously — the single-controller
+    multi-device DP pattern. x is replicated per device at placement time.
+    """
+
+    chunks: Tuple  # RoutedCSR per block, device-resident
+    devices: Tuple
+    fns: Tuple  # jitted per-chunk spmv
+    bounds: Tuple[int, ...]
+    shape: Tuple[int, int]
+    nnz: int
+
+
+def prepare_routed_multidevice(csr: CSRMatrix, devices=None, dtype=jnp.float32):
+    """Split rows into one routed chunk per device (fair by nnz)."""
+    from ..formats.routed import (
+        prepare_routed_chunked,
+        routed_spmv,
+    )
+
+    devices = tuple(devices if devices is not None else jax.devices())
+    nd = len(devices)
+    target = max(int(np.ceil(csr.nnz / nd)), 1)
+    rc = prepare_routed_chunked(csr, dtype=dtype, chunk_nnz=target)
+    placed = []
+    for i, chunk in enumerate(rc.chunks):
+        placed.append(jax.device_put(chunk, devices[i % nd]))
+    # computation follows its operands' device; one jit per chunk (their
+    # static structures differ, so each compiles separately anyway)
+    fns = tuple(jax.jit(routed_spmv) for _ in placed)
+    return MultiDeviceRouted(
+        chunks=tuple(placed),
+        devices=devices,
+        fns=fns,
+        bounds=rc.bounds,
+        shape=csr.shape,
+        nnz=csr.nnz,
+    )
+
+
+def routed_multidevice_spmv(op: MultiDeviceRouted, x) -> np.ndarray:
+    """y = A @ x with chunks computing concurrently on their devices."""
+    xs = [
+        jax.device_put(jnp.asarray(x), op.chunks[i].vals.devices().pop())
+        for i in range(len(op.chunks))
+    ]
+    # async dispatch: all devices run their chunk before any host sync
+    ys = [f(c, xi) for f, c, xi in zip(op.fns, op.chunks, xs)]
+    return np.concatenate([np.asarray(y) for y in ys])

@@ -103,3 +103,19 @@ def test_dia_sharded_halo():
     y = y.reshape(-1)[: csr.shape[0]]
     rep = vectors_diff(y, serial_csr_spmv(csr, x))
     assert rep.ok, rep
+
+
+def test_routed_multidevice_chunks():
+    from spmv_openmp_cuda_tpu.parallel.sharded import (
+        prepare_routed_multidevice,
+        routed_multidevice_spmv,
+    )
+
+    coo = synth.power_law(60_000, 60_000, 6.0, alpha=1.6, seed=41)
+    csr = S.coo_to_csr(coo)
+    op = prepare_routed_multidevice(csr, devices=jax.devices()[:4])
+    assert len(op.chunks) >= 2
+    x = fill_rnd_vector(csr.shape[1], seed=42)
+    y = routed_multidevice_spmv(op, np.asarray(x, np.float32))
+    rep = vectors_diff(y.astype(np.float64), serial_csr_spmv(csr, x))
+    assert rep.ok, rep
