@@ -35,10 +35,10 @@ def log(msg):
 # all five CUDA headline matrices of the reference (BASELINE.md)
 SUITE = [
     ("delaunay_n12_like", 5.81, ["PL_CSR_LANES"]),
-    ("raefsky1_like", 46.56, ["PL_DIA_BF16", "PL_DIA_ROWS"]),
+    ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
     ("caida_like", 10.47, ["PL_CSR_ROUTED"]),
-    ("thermal2_like", 26.34, ["PL_DIA_BF16", "PL_DIA_ROWS"]),
-    ("fem_3d_thermal2_like", 39.14, ["PL_DIA_BF16", "PL_DIA_ROWS"]),
+    ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),
+    ("fem_3d_thermal2_like", 39.14, ["PL_DIA_BF16"]),
 ]
 STEPS = 50
 
