@@ -55,6 +55,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--list-modes", action="store_true", help="list kernels and exit")
     p.add_argument("--no-dump", action="store_true", help="skip output vector dumps")
     p.add_argument("--check", action="store_true", help="verify against serial oracle")
+    p.add_argument(
+        "--save-prepared",
+        metavar="PATH",
+        help="serialize the prepared device format to PATH (.npz) after the "
+        "run (checkpoint: skips re-preparation next time)",
+    )
+    p.add_argument(
+        "--load-prepared",
+        metavar="PATH",
+        help="load a previously saved prepared format instead of preparing "
+        "(the matrix file is still read for shape/oracle checks)",
+    )
     return p
 
 
@@ -105,7 +117,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
-    operands = spec.prepare(csr, ell, cfg)
+    if args.load_prepared:
+        from .formats.serialize import load_prepared
+
+        operands = load_prepared(args.load_prepared)
+    else:
+        operands = spec.prepare(csr, ell, cfg)
+    if args.save_prepared:
+        from .formats.serialize import save_prepared
+
+        try:
+            save_prepared(args.save_prepared, operands)
+            print(f"#prepared saved: {args.save_prepared}")
+        except TypeError:
+            print(
+                f"#prepared not serializable for mode {spec.name}",
+                file=sys.stderr,
+            )
     f = spec.jitted(operands)
     xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
     y = jax.block_until_ready(f(xj))  # includes compile

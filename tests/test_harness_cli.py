@@ -108,3 +108,21 @@ def test_sweep_over_files_and_grids(tmp_path):
     rows = parse_lines(stream.getvalue().splitlines())
     assert len(rows) == 2  # one per grid config
     assert {r["grid"] for r in rows} == {"2x2", "4x2"}
+
+
+def test_cli_save_load_prepared(tmp_path, capsys):
+    from spmv_openmp_cuda_tpu.cli import main
+    from spmv_openmp_cuda_tpu.io.mmio import write_mtx
+    from spmv_openmp_cuda_tpu.utils import synth
+
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, synth.power_law(600, 600, 4.0, seed=3))
+    prep = str(tmp_path / "prep.npz")
+    rc = main([mtx, "RNDVECT", "PL_CSR_ROUTED", "--check", "--no-dump",
+               f"--save-prepared={prep}"])
+    assert rc == 0
+    rc = main([mtx, "RNDVECT", "PL_CSR_ROUTED", "--check", "--no-dump",
+               f"--load-prepared={prep}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "#check: OK" in out
