@@ -156,7 +156,9 @@ def run_kernel(
 
     t_avg, t_var = stats_avg_var(wall_times)
     it_avg, it_var = stats_avg_var(internal_times)
-    best = min(it_avg, t_avg)
+    # throughput from the slope-measured internal time only: wall time is
+    # dispatch-dominated and not a valid bound on this backend (CLAUDE.md)
+    best = it_avg
     return KernelResult(
         kernel=spec.name,
         impl=spec.impl,
@@ -224,7 +226,7 @@ def format_log(report: MatrixReport, cfg: Config) -> str:
     for r in report.results:
         lines.append(f"@computing SpMV with func:{r.impl} {r.kernel}")
         if r.error is not None:
-            lines.append(f"{r.kernel} ERROR: {r.error.splitlines()[0][:200]}")
+            lines.append(f"{r.kernel} ERROR: {(r.error.splitlines() or ['<no message>'])[0][:200]}")
         else:
             lines.append(r.stat_line())
     return "\n".join(lines)

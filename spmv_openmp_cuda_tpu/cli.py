@@ -90,7 +90,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     coo = read_coo(args.matrix)
     csr = coo_to_csr(coo)
     ell = None
-    if spec.fmt == "ell":
+    if spec.fmt == "ell" and not args.load_prepared:
         try:
             ell = coo_to_ell(coo, max_entries=cfg.ell_max_entries)
         except EllSizeError as e:
@@ -138,9 +138,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
     y = jax.block_until_ready(f(xj))  # includes compile
     elapsed = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    y = jax.block_until_ready(f(xj))
-    elapsed_internal = time.perf_counter() - t0
+    # internal time by chain slope (block_until_ready does not synchronize
+    # on every backend and single calls carry fixed dispatch cost)
+    run = spec.run
+
+    def timed_chain(steps):
+        @jax.jit
+        def chain(xv):
+            def body(i, xv):
+                yv = run(operands, xv)
+                return xv * (1.0 + jnp.sum(yv) * 1e-30)
+
+            return jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+
+        r = chain(xj)
+        _ = float(jnp.sum(r))
+        t1 = time.perf_counter()
+        r = chain(xj)
+        _ = float(jnp.sum(r))
+        return time.perf_counter() - t1
+
+    lo_n, hi_n = 2, 2 + max(cfg.avg_times_iteration, 10)
+    t_lo, t_hi = timed_chain(lo_n), timed_chain(hi_n)
+    elapsed_internal = (t_hi - t_lo) / (hi_n - lo_n)
+    if elapsed_internal <= 0:
+        elapsed_internal = t_hi / hi_n  # noise-bound: conservative bound
     y_host = np.asarray(y, dtype=np.float64)[:m]
 
     if args.check:

@@ -99,9 +99,12 @@ def pad_x_dia(x: jax.Array, mat: DeviceDIA) -> jax.Array:
     pad_sub*LANE and i < S*LANE is in bounds.
     """
     s = mat.data.shape[1]
-    n = mat.shape[1]
+    # x entries beyond row-reach s*LANE + pad_sub*LANE are never read by any
+    # shifted view (wide matrices, n >> m): clip before padding
+    limit = (s + mat.pad_sub) * LANE
+    xc = x[:limit]
     flat = jnp.pad(
-        x.astype(mat.data.dtype), (mat.pad_sub * LANE, (s + mat.pad_sub) * LANE - n)
+        xc.astype(mat.data.dtype), (mat.pad_sub * LANE, limit - xc.shape[0])
     )
     return flat.reshape(s + 2 * mat.pad_sub, LANE)
 

@@ -48,8 +48,17 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
     """
     m, n = csr.shape
     nnz = max(csr.nnz, 1)
+    # DIA needs distinct-offset count <= dia_fill_cap*nnz/m; for huge
+    # matrices first reject cheaply from a sample (a sample undercounts
+    # distinct offsets, so exceeding the cap on the sample is conclusive)
+    max_offs = int(dia_fill_cap * nnz / max(m, 1))
+    if csr.nnz > 4_000_000:
+        idx = np.linspace(0, csr.nnz - 1, 200_000).astype(np.int64)
+        rows_s = np.searchsorted(csr.indptr, idx, side="right") - 1
+        if np.unique(csr.indices[idx] - rows_s).shape[0] > max_offs:
+            return "lanes" if m <= 64 * 128 else "routed"
     offs = np.unique(csr.indices - csr.row_ids())
-    if offs.shape[0] * m <= dia_fill_cap * nnz:
+    if offs.shape[0] <= max_offs:
         return "dia"
     if m <= 64 * 128:
         return "lanes"
@@ -110,8 +119,13 @@ class AutoSpMV:
         if fmt == "binned":
             ops = prepare_binned_csr(csr, dtype=cfg.jnp_dtype)
             run = binned_spmv
-
-        jitted = jax.jit(run)
+        try:
+            jitted = jax.jit(run)
+        except UnboundLocalError:
+            raise ValueError(
+                f"unknown format {format!r}; expected auto, dia, lanes, "
+                "routed, ell_t or binned"
+            ) from None
         m = csr.shape[0]
 
         def fn(x):

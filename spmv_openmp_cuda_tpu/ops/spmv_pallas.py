@@ -112,9 +112,12 @@ def plan_dia(mat: DeviceDIA, vmem_budget: int = 2 << 20) -> DiaPallasPlan:
     # data block d*bs*LANE*4 bytes ~ vmem_budget; bs a multiple of 16 (the
     # bf16 sublane tile height, also valid for f32), and bs > pad_sub so the
     # 3-block x window covers every shift.
-    bs = max(vmem_budget // (d * LANE * 4), mat.pad_sub + 1, 2 * SUBLANE)
+    bs = max(vmem_budget // (d * LANE * 4), 2 * SUBLANE)
     bs = _ceil_to(bs, 2 * SUBLANE)
     bs = min(bs, _ceil_to(s, 2 * SUBLANE))
+    # the 3-block window invariant bs > pad_sub outranks the s clamp (wide
+    # bands on short matrices: shifts reach far beyond one block of rows)
+    bs = max(bs, _ceil_to(mat.pad_sub + 1, 2 * SUBLANE))
     s_pad = _ceil_to(s, bs)
     return DiaPallasPlan(bs=bs, nblocks=s_pad // bs, s_pad=s_pad)
 

@@ -41,7 +41,6 @@ except ImportError:  # pragma: no cover
 
 from ..config import LANE, SUBLANE
 from ..formats.matrix import CSRMatrix, ELLMatrix, _ceil_to
-from ..partition.partitioners import cols_offsets_partitioning
 from .mesh import COLS, ROWS
 
 
@@ -78,7 +77,10 @@ def prepare_row_sharded_ell(
     rl = np.zeros(m_pad, dtype=np.int32)
     data[:m, : ell.max_row_nz] = ell.data
     cols[:m, : ell.max_row_nz] = ell.ja
-    rl[:m] = ell.row_lens if ell.row_lens is not None else (ell.data != 0).sum(1)
+    # without explicit row_lens, treat rows as full width: padded slots hold
+    # value 0 so they cannot perturb sums (counting nonzeros would wrongly
+    # truncate rows containing explicitly stored zeros)
+    rl[:m] = ell.row_lens if ell.row_lens is not None else ell.max_row_nz
     sh2 = NamedSharding(mesh, P(ROWS, None))
     sh1 = NamedSharding(mesh, P(ROWS))
     return RowShardedELL(
@@ -361,8 +363,6 @@ class ShardedDIA:
 
 def prepare_dia_sharded(mat, mesh: Mesh) -> ShardedDIA:
     """Shard a DeviceDIA's sublane-row axis across mesh[ROWS]."""
-    import numpy as _np
-
     nd = mesh.shape[ROWS]
     d, s, _ = mat.data.shape
     s_pad = _ceil_to(max(s, nd * SUBLANE), nd * SUBLANE)
@@ -470,13 +470,13 @@ def prepare_routed_multidevice(csr: CSRMatrix, devices=None, dtype=jnp.float32):
     placed = []
     for i, chunk in enumerate(rc.chunks):
         placed.append(jax.device_put(chunk, devices[i % nd]))
-    # computation follows its operands' device; one jit per chunk (their
-    # static structures differ, so each compiles separately anyway)
-    fns = tuple(jax.jit(routed_spmv) for _ in placed)
+    # computation follows its operands' device; the jit cache compiles once
+    # per distinct chunk structure
+    fn = jax.jit(routed_spmv)
     return MultiDeviceRouted(
         chunks=tuple(placed),
         devices=devices,
-        fns=fns,
+        fns=(fn,) * len(placed),
         bounds=rc.bounds,
         shape=csr.shape,
         nnz=csr.nnz,
@@ -485,10 +485,9 @@ def prepare_routed_multidevice(csr: CSRMatrix, devices=None, dtype=jnp.float32):
 
 def routed_multidevice_spmv(op: MultiDeviceRouted, x) -> np.ndarray:
     """y = A @ x with chunks computing concurrently on their devices."""
-    xs = [
-        jax.device_put(jnp.asarray(x), op.chunks[i].vals.devices().pop())
-        for i in range(len(op.chunks))
-    ]
+    xj = jnp.asarray(x)
+    per_dev = {d: jax.device_put(xj, d) for d in op.devices}  # one copy/device
+    xs = [per_dev[c.vals.devices().pop()] for c in op.chunks]
     # async dispatch: all devices run their chunk before any host sync
     ys = [f(c, xi) for f, c, xi in zip(op.fns, op.chunks, xs)]
     return np.concatenate([np.asarray(y) for y in ys])

@@ -135,3 +135,37 @@ def test_lanes_small_trailing_empty_columns():
     y = np.asarray(jax.jit(lanes_small_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
     rep = vectors_diff(y, serial_csr_spmv(csr, x))
     assert rep.ok, rep
+
+
+def test_dia_pallas_wide_matrix_far_band():
+    # short matrix, far-off diagonal (pad_sub >> s): the block plan must
+    # honor the window invariant and pad_x_dia must clip n >> row reach
+    # (regression: negative pads / broken 3-block window)
+    from spmv_openmp_cuda_tpu.ops.spmv_pallas import pad_dia_for_pallas, plan_dia
+
+    m, n = 2560, 65536
+    rows = np.arange(m)
+    cols = rows + 60000
+    ok = cols < n
+    from spmv_openmp_cuda_tpu.formats.matrix import COOMatrix
+    from spmv_openmp_cuda_tpu.formats.convert import sort_coo
+
+    rng = np.random.default_rng(44)
+    coo = sort_coo(COOMatrix((m, n), rows[ok], cols[ok], rng.standard_normal(ok.sum())))
+    csr = S.coo_to_csr(coo)
+    mat = prepare_dia(csr, max_fill_ratio=1e9)
+    plan = plan_dia(mat)
+    mat = pad_dia_for_pallas(mat, plan)
+    x = fill_rnd_vector(n, seed=45)
+    y = np.asarray(dia_spmv_pallas(mat, jnp.asarray(x, jnp.float32), plan), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_auto_spmv_unknown_format():
+    import pytest as _pytest
+    from spmv_openmp_cuda_tpu.models.auto import AutoSpMV
+
+    csr = S.coo_to_csr(synth.banded(200, 200, 3, seed=1))
+    with _pytest.raises(ValueError, match="unknown format"):
+        AutoSpMV.from_csr(csr, format="csr")
