@@ -119,3 +119,12 @@ def test_routed_multidevice_chunks():
     y = routed_multidevice_spmv(op, np.asarray(x, np.float32))
     rep = vectors_diff(y.astype(np.float64), serial_csr_spmv(csr, x))
     assert rep.ok, rep
+
+
+def test_scaling_harness_smoke(capsys):
+    from spmv_openmp_cuda_tpu.bench.scaling import run_scaling
+
+    rc = run_scaling("cavity10_like", [1, 2], "dia_halo")
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("devices,time_s,efficiency,ok")
