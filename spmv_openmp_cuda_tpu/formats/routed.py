@@ -555,6 +555,46 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     return mat.hreduce @ lane_sums.reshape(-1)
 
 
+#: fused-reduce VMEM budget: slab f32 + r3 int8 + gathered temp must fit
+_FUSED_REDUCE_MAX_ROWS = 8192
+
+
+def _reduce_runs_fused(slab: jax.Array, r3, runs, mask=None) -> jax.Array:
+    """Width-binned reduce with the routing's final lane-perm (R3) fused in:
+    one in-VMEM taa followed by static reshape-sums — saves a full memory
+    pass over the product slab versus applying R3 as its own stage. The
+    optional mask zeroes in-run padding slots (level slabs; applied AFTER
+    the lane perm, matching `apply_permutation(...) * mask`)."""
+    n_groups_total = runs[-1][3] + runs[-1][1]
+    g_pad = max(-(-n_groups_total // 8) * 8, 8)
+
+    def kernel(*refs):
+        if mask is None:
+            slab_ref, r3_ref, o_ref = refs
+        else:
+            slab_ref, r3_ref, mask_ref, o_ref = refs
+        g = jnp.take_along_axis(
+            slab_ref[:], r3_ref[:].astype(jnp.int32), axis=1
+        )
+        if mask is not None:
+            g = g * mask_ref[:]
+        for row0, n_groups, width, g0 in runs:
+            seg = g[row0 : row0 + n_groups * width, :]
+            o_ref[g0 : g0 + n_groups, :] = seg.reshape(
+                n_groups, width, LANE
+            ).sum(axis=1)
+
+    args = (slab, r3) if mask is None else (slab, r3, mask)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g_pad, LANE), slab.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interp(),
+    )(*args)
+    return out[:n_groups_total]
+
+
 def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
     """Width-binned slab -> per-group unit sums (XLA reshape-sums)."""
     outs = []
@@ -571,14 +611,25 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     pa = _gather_products(mat, xw)
     h1 = mat.perm_products.h
     pa = jnp.pad(pa, ((0, h1 - mat.rows_a), (0, 0)))
-    slab = apply_permutation(mat.perm_products, pa)
-    sums = _reduce_runs(slab, mat.runs)
+    if h1 <= _FUSED_REDUCE_MAX_ROWS:
+        slab = apply_permutation(mat.perm_products, pa, skip_r3=True)
+        sums = _reduce_runs_fused(slab, mat.perm_products.r3, mat.runs)
+    else:  # slab too large for the single-block fused kernel
+        slab = apply_permutation(mat.perm_products, pa)
+        sums = _reduce_runs(slab, mat.runs)
     flats = [sums.reshape(-1)]
     for perm_k, mask_k, runs in zip(mat.lvl_perms, mat.lvl_masks, mat.lvl_runs):
         prev2d = flats[-1].reshape(-1, LANE)
         prev2d = jnp.pad(prev2d, ((0, perm_k.h - prev2d.shape[0]), (0, 0)))
-        slab_k = apply_permutation(perm_k, prev2d) * mask_k
-        flats.append(_reduce_runs(slab_k, runs).reshape(-1))
+        if perm_k.h <= _FUSED_REDUCE_MAX_ROWS:
+            slab_k = apply_permutation(perm_k, prev2d, skip_r3=True)
+            flats.append(
+                _reduce_runs_fused(slab_k, perm_k.r3, runs, mask=mask_k)
+                .reshape(-1)
+            )
+        else:
+            slab_k = apply_permutation(perm_k, prev2d) * mask_k
+            flats.append(_reduce_runs(slab_k, runs).reshape(-1))
     concat = jnp.concatenate(flats)
     dom_o = mat.perm_out.h * LANE
     concat = jnp.pad(concat, (0, dom_o - concat.shape[0]))

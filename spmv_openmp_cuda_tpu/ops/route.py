@@ -294,8 +294,16 @@ def _tiled_call(kernel, n_in: int, t: int, dtype):
     )
 
 
-def apply_permutation(plan: PlannedPermutation, x: jax.Array) -> jax.Array:
-    """y[dst_of[slot]] = x[slot] for the planned bijection; x is (H, 128)."""
+def apply_permutation(
+    plan: PlannedPermutation, x: jax.Array, skip_r3: bool = False
+) -> jax.Array:
+    """y[dst_of[slot]] = x[slot] for the planned bijection; x is (H, 128).
+
+    With skip_r3=True the final per-row lane permutation is left to the
+    caller (who applies plan.r3 itself, e.g. fused into a reduction): the
+    returned array holds each element in its middle lane m, i.e.
+    true[h, l] == returned[h, r3[h, l]].
+    """
     t = plan.t
     dtype = x.dtype
     if plan.r1 is None:  # source lanes pre-assigned by the producer
@@ -305,4 +313,6 @@ def apply_permutation(plan: PlannedPermutation, x: jax.Array) -> jax.Array:
     x3 = x2.reshape(t, LANE, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
     x4 = _tiled_call(_tile_kernel, 2, t, dtype)(x3, plan.w2)
     x5 = x4.reshape(LANE, t, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
+    if skip_r3:
+        return _tiled_call(_tile_kernel, 2, t, dtype)(x5, plan.w3)
     return _tiled_call(_tile_and_row_kernel, 3, t, dtype)(x5, plan.w3, plan.r3)
