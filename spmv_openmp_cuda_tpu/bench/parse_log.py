@@ -38,6 +38,7 @@ FIELDS = [
     "sampleSize",
     "devices",
     "backend",
+    "error",
 ]
 
 _MATRIX_RE = re.compile(r"^#matrix:\s+(\S+)\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)")
@@ -85,6 +86,22 @@ def parse_lines(lines: Iterable[str]) -> List[Dict[str, str]]:
         if m:
             impl = m.group(1)
             continue
+        m = _ERR_RE.match(line)
+        if m and " timeAvg:" not in line:
+            rows.append(
+                {
+                    **ctx,
+                    "funcID": m.group(1),
+                    "impl": impl,
+                    "timeAvg": "", "timeVar": "",
+                    "internalTimeAvg": "", "internalTimeVar": "",
+                    "prepTime": "", "GFLOPS": "", "NNZs": "",
+                    "ok": "0",
+                    "det": "",
+                    "error": m.group(2),
+                }
+            )
+            continue
         m = _STAT_RE.match(line)
         if m:
             rows.append(
@@ -101,6 +118,7 @@ def parse_lines(lines: Iterable[str]) -> List[Dict[str, str]]:
                     "NNZs": m.group(8),
                     "ok": m.group(9),
                     "det": m.group(10) or "",
+                    "error": "",
                 }
             )
             continue

@@ -53,6 +53,7 @@ def sweep(
     failures: List[str] = []
     logs: List[str] = []
     for spec in matrices:
+        name = os.path.basename(spec) if os.path.exists(spec) else spec
         try:
             name, coo = load_matrix(spec)
             csr = coo_to_csr(coo)
@@ -62,18 +63,22 @@ def sweep(
                 print(f"#ell-skipped: {name}: {e}", file=log_stream)
                 ell = None
             x = fill_rnd_vector(coo.shape[1], seed=0)
+            import dataclasses as _dc
+
             for gr, gc in grids:
-                cfg = cfg_base or Config()
-                cfg.grid_rows, cfg.grid_cols = gr, gc
+                cfg = _dc.replace(
+                    cfg_base or Config(), grid_rows=gr, grid_cols=gc
+                )
                 report = run_all(csr, ell, x, cfg, kernels=kernels, name=name)
                 text = format_log(report, cfg)
                 logs.append(text)
                 print(text, file=log_stream, flush=True)
-                if not report.all_ok:
+                if not report.all_ok and name not in failures:
                     failures.append(name)
         except Exception:
             # the sweep records failures and continues (testAll.sh:17,25)
-            failures.append(spec)
+            if name not in failures:
+                failures.append(name)
             traceback.print_exc(file=sys.stderr)
     return logs, failures
 

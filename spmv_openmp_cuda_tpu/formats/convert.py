@@ -64,8 +64,8 @@ def coo_to_csr(coo: COOMatrix, consistency_checks: bool = True) -> CSRMatrix:
     return CSRMatrix(
         shape=coo.shape,
         indptr=indptr,
-        indices=coo.cols.astype(np.int64).copy(),
-        data=coo.vals.astype(np.float64).copy(),
+        indices=coo.cols.astype(np.int64),
+        data=coo.vals.astype(np.float64),
         row_lens=row_lens.copy(),
     )
 

@@ -143,13 +143,25 @@ class ELLMatrix:
     """
 
     shape: Tuple[int, int]
-    ja: np.ndarray  # (M, W) int
-    data: np.ndarray  # (M, W) float
+    ja: np.ndarray  # (M, W) int — or (W, M) when slab_transposed
+    data: np.ndarray  # (M, W) float — or (W, M) when slab_transposed
     max_row_nz: int
     nnz: int
     row_lens: Optional[np.ndarray] = None
+    #: slabs stored (W, M) (host-side ellTranspose analog); device_ell
+    #: performs its own transposition and expects (M, W) input
+    slab_transposed: bool = False
 
     def to_dense(self) -> np.ndarray:
+        if self.slab_transposed:
+            import dataclasses as _dc
+
+            return _dc.replace(
+                self,
+                ja=self.ja.T.copy(),
+                data=self.data.T.copy(),
+                slab_transposed=False,
+            ).to_dense()
         d = np.zeros(self.shape, dtype=np.float64)
         m, w = self.ja.shape
         rl = self.row_lens
@@ -275,6 +287,9 @@ def device_ell(
       the one that avoids a large physical padding blowup — the TPU
       counterpart of the reference's coalescing-motivated ellTranspose.
     """
+    assert not getattr(ell, "slab_transposed", False), (
+        "pass the untransposed host ELL; device_ell transposes itself"
+    )
     m, _ = ell.shape
     w = ell.max_row_nz
     if transposed:

@@ -145,6 +145,8 @@ def read_coo(path: str, sort: bool = True) -> COOMatrix:
         raise MMError("entry index out of bounds")
 
     if header.is_symmetric:
+        if m != n:
+            raise MMError(f"symmetric matrix must be square, got {m}x{n}")
         off = rows != cols
         mirr_r, mirr_c = cols[off], rows[off]
         rows = np.concatenate([rows, mirr_r])
@@ -197,6 +199,13 @@ def write_mtx(
     elif lower.endswith(".bz2"):
         with bz2.open(path, "wt") as f:
             f.write(data)
+    elif lower.endswith(".zip"):
+        import os as _os
+        import zipfile as _zipfile
+
+        inner = _os.path.basename(path)[: -len(".zip")]
+        with _zipfile.ZipFile(path, "w", _zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr(inner, data)
     else:
         with open(path, "w") as f:
             f.write(data)

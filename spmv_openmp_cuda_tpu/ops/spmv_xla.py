@@ -14,14 +14,11 @@ and reduced at the end — the structural analog of contraction-axis sharding.
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..config import Config
 from ..formats.matrix import DeviceCSR, DeviceELL, fair_splits
 
 

@@ -104,9 +104,14 @@ def cols_partitioning(csr: CSRMatrix, grid_cols: int) -> List[CSRMatrix]:
 
 def ell_transpose(ell: ELLMatrix) -> ELLMatrix:
     """Materialize the transposed ELL layout (W, M) slabs (ellTranspose
-    analog, sparseUtils.c:145-185). The TPU win is putting rows on the
-    128-lane axis; device upload handles alignment (formats.matrix.device_ell)."""
-    return dataclasses.replace(ell, ja=ell.ja.T.copy(), data=ell.data.T.copy())
+    analog, sparseUtils.c:145-185), marked slab_transposed so consumers
+    (to_dense etc.) interpret the axes correctly. The TPU device path does
+    its own transposition — pass the untransposed host matrix to
+    formats.matrix.device_ell(transposed=True) for upload."""
+    assert not ell.slab_transposed, "already transposed"
+    return dataclasses.replace(
+        ell, ja=ell.ja.T.copy(), data=ell.data.T.copy(), slab_transposed=True
+    )
 
 
 def row_binning(row_lens: np.ndarray) -> np.ndarray:

@@ -126,3 +126,20 @@ def test_cli_save_load_prepared(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "#check: OK" in out
+
+
+def test_parse_log_keeps_error_rows():
+    from spmv_openmp_cuda_tpu.bench.parse_log import parse_lines
+
+    log = [
+        "#matrix: m.mtx 10 10 20 4",
+        "#config: grid=8x8 dtype=float32 schedule=static reps=5 devices=1 backend=cpu",
+        "@computing SpMV with func:xla CSR_ROWS",
+        "CSR_ROWS timeAvg:1.0e-03 timeVar:0 internalTimeAvg:1.0e-04 "
+        "internalTimeVar:0 prepTime:1e-2 GFLOPS:0.1 NNZs:1e6 ok:1 det:1",
+        "@computing SpMV with func:pallas ELL_ROWS",
+        "ELL_ROWS ERROR: boom",
+    ]
+    rows = parse_lines(log)
+    assert [r["funcID"] for r in rows] == ["CSR_ROWS", "ELL_ROWS"]
+    assert rows[1]["ok"] == "0" and rows[1]["error"] == "boom"

@@ -86,3 +86,25 @@ def test_mm_to_csr_oneshot(tmp_path, small_coo):
     write_mtx(p, coo)
     csr = mm_to_csr(p)
     np.testing.assert_allclose(csr.to_dense(), dense)
+
+
+def test_symmetric_requires_square(tmp_path):
+    import pytest as _pytest
+    from spmv_openmp_cuda_tpu.io.mmio import MMError, read_coo
+
+    p = str(tmp_path / "bad.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n3 2 1\n3 2 1.5\n")
+    with _pytest.raises(MMError, match="square"):
+        read_coo(p)
+
+
+def test_write_read_zip_roundtrip(tmp_path):
+    from spmv_openmp_cuda_tpu.io.mmio import read_coo, write_mtx
+    from spmv_openmp_cuda_tpu.utils import synth
+
+    coo = synth.random_uniform(40, 30, 0.1, seed=2)
+    p = str(tmp_path / "m.mtx.zip")
+    write_mtx(p, coo)
+    coo2 = read_coo(p)
+    np.testing.assert_allclose(coo2.to_dense(), coo.to_dense())

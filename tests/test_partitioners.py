@@ -88,3 +88,11 @@ def test_spmat_diff(small_coo):
     b.data = b.data.copy()
     b.data[0] += 1.0
     assert not spmat_diff(a, b)
+
+
+def test_ell_transpose_to_dense(small_coo):
+    coo, dense = small_coo
+    ell = S.coo_to_ell(coo)
+    t = ell_transpose(ell)
+    assert t.slab_transposed
+    np.testing.assert_allclose(t.to_dense(), dense)
