@@ -85,16 +85,27 @@ class AutoSpMV:
     ) -> "AutoSpMV":
         cfg = cfg or Config()
         fmt = select_format(csr) if format == "auto" else format
+        # float64 runs on the XLA paths: Pallas/Mosaic kernels are 32-bit
+        f64 = cfg.dtype == "float64"
+        if f64 and fmt in ("lanes", "routed"):
+            fmt = "binned"
         if fmt == "dia":
+            from ..formats.dia import dia_spmv
             from ..ops.spmv_pallas import dia_spmv_pallas, pad_dia_for_pallas, plan_dia
 
             try:
                 mat = prepare_dia(csr, dtype=cfg.jnp_dtype)
-                plan = plan_dia(mat)
-                ops = (pad_dia_for_pallas(mat, plan), plan)
-                run = lambda o, x: dia_spmv_pallas(o[0], x, o[1])
+                if f64:
+                    ops, run = mat, dia_spmv
+                else:
+                    plan = plan_dia(mat)
+                    ops = (pad_dia_for_pallas(mat, plan), plan)
+                    run = lambda o, x: dia_spmv_pallas(o[0], x, o[1])
             except DiaFillError:
-                fmt = "lanes" if csr.shape[0] <= 64 * 128 else "routed"
+                if f64:
+                    fmt = "binned"
+                else:
+                    fmt = "lanes" if csr.shape[0] <= 64 * 128 else "routed"
         if fmt == "lanes":
             try:
                 ops = prepare_lanes_small(csr, dtype=cfg.jnp_dtype)

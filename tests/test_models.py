@@ -56,3 +56,19 @@ def test_auto_spmv_from_file(tmp_path):
         serial_csr_spmv(S.coo_to_csr(coo), x),
     )
     assert rep.ok
+
+
+def test_auto_spmv_float64_uses_xla_paths():
+    from spmv_openmp_cuda_tpu.config import Config
+
+    for gen, want in [
+        (synth.banded(400, 400, 4, seed=2), "dia"),
+        (synth.power_law(500, 500, 5.0, seed=3), "binned"),
+    ]:
+        csr = S.coo_to_csr(gen)
+        model = AutoSpMV.from_csr(csr, cfg=Config(dtype="float64"))
+        assert model.format == want
+        x = fill_rnd_vector(csr.shape[1], seed=4)
+        y = np.asarray(model(x), np.float64)
+        rep = vectors_diff(y, serial_csr_spmv(csr, x))
+        assert rep.ok, rep
