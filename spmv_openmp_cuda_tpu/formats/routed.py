@@ -327,12 +327,110 @@ def prepare_routed(
     order1, base1, runs1, rows_c = _group_units(lens1)
     rank1 = np.empty(u1, dtype=np.int64)
     rank1[order1] = np.arange(u1)
+
+    # ---- pass 1: unit/group structure for every reduction level -----------
+    # (in-group lanes are NOT fixed here — the output-assembly router assigns
+    # them so its own first lane-perm stage folds away entirely)
+    levels = []  # per extra level: dict of structure arrays
+    level_groups = [-(-u1 // LANE)]
+    # map each original row to (level, unit id within that level)
+    final_level = np.zeros(m, dtype=np.int64)
+    final_unit = sub_base[:-1].copy()  # rows with one subrow: that unit
+    parents = np.flatnonzero(n_sub > 1)
+    child_counts = n_sub
+    child_first = sub_base[:-1]
+    level = 0
+    while parents.size:
+        level += 1
+        plens_full = child_counts[parents]
+        nsub2 = np.maximum(-(-plens_full // WCAP), 1)
+        sb2 = np.r_[0, np.cumsum(nsub2)]
+        u2 = int(sb2[-1])
+        lens2 = np.full(u2, WCAP, dtype=np.int64)
+        last2 = sb2[1:] - 1
+        lens2[last2] = plens_full - (nsub2 - 1) * WCAP
+        order2, base2, runs2, rows2 = _group_units(lens2)
+        rank2 = np.empty(u2, dtype=np.int64)
+        rank2[order2] = np.arange(u2)
+        # one element per (unit, k<len): its source is a child unit at the
+        # previous level
+        el_unit = np.repeat(np.arange(u2), lens2)
+        el_start = np.r_[0, np.cumsum(lens2)]
+        el_k = np.arange(int(el_start[-1])) - el_start[el_unit]
+        unit_parent = np.repeat(np.arange(parents.shape[0]), nsub2)
+        src_unit = (
+            child_first[parents][unit_parent[el_unit]]
+            + (el_unit - sb2[unit_parent[el_unit]]) * WCAP
+            + el_k
+        )
+        levels.append(
+            dict(
+                u=u2, rank=rank2, base=base2, runs=runs2, rows=rows2,
+                el_unit=el_unit, el_k=el_k, src_unit=src_unit,
+            )
+        )
+        level_groups.append(-(-u2 // LANE))
+        done = nsub2 == 1
+        final_level[parents[done]] = level
+        final_unit[parents[done]] = sb2[:-1][done]
+        still = np.flatnonzero(~done)
+        parents_next = parents[still]
+        child_counts_next = np.zeros(
+            max(int(parents.max(initial=0)) + 1, m), dtype=np.int64
+        )
+        child_first_next = np.zeros_like(child_counts_next)
+        child_counts_next[parents_next] = nsub2[still]
+        child_first_next[parents_next] = sb2[:-1][still]
+        child_counts = child_counts_next
+        child_first = child_first_next
+        parents = parents_next
+        if level > 8:
+            raise RoutedError("row splitting failed to converge")
+
+    # ---- pass 2: output assembly routing assigns every in-group lane ------
+    # elements = all units of all levels (every sums row has exactly 128
+    # incl. pads); finals route to y rows, the rest to the pad region
+    group_offs = np.r_[0, np.cumsum(level_groups)]
+    total = int(group_offs[-1]) * LANE
+    out_rows = max(-(-total // LANE), -(-m // LANE))
+    t_out = pick_t(out_rows)
+    h_out = t_out * LANE
+    dom_o = h_out * LANE
+    all_ranks = [rank1] + [lv["rank"] for lv in levels]
+    src_rows_lvl = [
+        group_offs[k] + r // LANE for k, r in enumerate(all_ranks)
+    ]
+    unit_src_row = np.concatenate(src_rows_lvl)
+    unit_offs = np.r_[0, np.cumsum([r.shape[0] for r in all_ranks])]
+    # dst: finals -> y row; everything else -> free slots
+    dst_unit = np.full(unit_src_row.shape[0], -1, dtype=np.int64)
+    fin_ids = unit_offs[final_level] + final_unit
+    dst_unit[fin_ids] = np.arange(m)
+    # pad elements fill every domain row to exactly 128
+    cnt_row_o = np.bincount(unit_src_row, minlength=h_out)
+    pad_rows_o = np.repeat(np.arange(h_out), LANE - cnt_row_o)
+    src_all_o = np.r_[unit_src_row, pad_rows_o]
+    dst_all_o = np.full(src_all_o.shape[0], -1, dtype=np.int64)
+    dst_all_o[: dst_unit.shape[0]] = dst_unit
+    used_o = np.zeros(dom_o, dtype=bool)
+    used_o[np.arange(m)] = True
+    dst_all_o[dst_all_o < 0] = np.flatnonzero(~used_o)
+    perm_out, m_out = plan_row_to_slot(src_all_o, dst_all_o, t_out)
+    # in-group lane of every unit, per level
+    lanes_lvl = [
+        m_out[unit_offs[k] : unit_offs[k + 1]] for k in range(len(all_ranks))
+    ]
+    pos_lvl = [
+        (r // LANE) * LANE + lanes_lvl[k] for k, r in enumerate(all_ranks)
+    ]
+
+    # ---- pass 3: lane-dependent structures --------------------------------
     slot_c = (
         (base1[rank1[unit_of_nnz] // LANE] + k_of_nnz) * LANE
-        + rank1[unit_of_nnz] % LANE
+        + lanes_lvl[0][unit_of_nnz]
     )
 
-    # ---- products permutation (source lanes assigned by the router) -------
+    # products permutation (source lanes assigned by its own router)
     dom_rows = max(rows_a, rows_c)
     try:
         t1 = pick_t(dom_rows)
@@ -340,7 +438,6 @@ def prepare_routed(
         raise RoutedError(str(e)) from e
     h1 = t1 * LANE
     dom = h1 * LANE
-    # element list: nnz first, then pads filling every row to 128 elements
     cnt_row = np.zeros(h1, dtype=np.int64)
     np.add.at(cnt_row, row_a, 1)
     pad_rows = np.repeat(np.arange(h1), LANE - cnt_row)
@@ -351,105 +448,28 @@ def prepare_routed(
     perm_products, m_all = plan_row_to_slot(src_row_all, dst_all, t1)
     lane_a = m_all[:nnz]  # the router's lane assignment for each nnz
 
-    # ---- higher levels ----------------------------------------------------
-    # level-k units reduce the partial sums of split level-(k-1) rows/units
-    lvl_gather: List = []  # PlannedPermutation per extra level
+    # level permutations: prev sums -> level slab
+    lvl_gather: List = []
     lvl_runs: List[Tuple] = []
-    # current "sum position" of unit u of the latest level, as flat index
-    # into that level's sums (group*128 + lane)
-    pos1 = (rank1 // LANE) * LANE + rank1 % LANE  # == rank1, kept explicit
-    level_sums_sizes = [len(runs1) and (runs1[-1][3] + runs1[-1][1]) * LANE]
-    # map each original row to (level, flat pos of its final sum)
-    final_level = np.zeros(m, dtype=np.int64)  # 0 = level-1 sums
-    final_pos = pos1[sub_base[:-1]]  # rows with one subrow: that unit's sum
-    parents = np.flatnonzero(n_sub > 1)  # rows needing another level
-    child_pos = pos1  # flat positions of current level's unit sums
-    child_counts = n_sub
-    child_first = sub_base[:-1]
-    level = 0
-    offset_prev = 0
-    while parents.size:
-        level += 1
-        # units of this level: one per parent, length = its child count
-        plens_full = child_counts[parents]
-        # split parents with > WCAP children into sub-units again
-        nsub2 = np.maximum(-(-plens_full // WCAP), 1)
-        sb2 = np.r_[0, np.cumsum(nsub2)]
-        u2 = int(sb2[-1])
-        lens2 = np.full(u2, WCAP, dtype=np.int64)
-        last2 = sb2[1:] - 1
-        lens2[last2] = plens_full - (nsub2 - 1) * WCAP
-        order2, base2, runs2, rows2 = _group_units(lens2)
-        rank2 = np.empty(u2, dtype=np.int64)
-        rank2[order2] = np.arange(u2)
-        n_groups2 = -(-u2 // LANE)
-        # slab slot (row, lane) <- child sum flat position, fully vectorized:
-        # one element per (unit, k<len) pair in unit-major order
-        el_unit = np.repeat(np.arange(u2), lens2)  # unit of each element
-        el_start = np.r_[0, np.cumsum(lens2)]
-        el_k = np.arange(int(el_start[-1])) - el_start[el_unit]
-        # source: child_pos[first(parent) + (unit - sb2[parent])*WCAP + k]
-        unit_parent = np.repeat(np.arange(parents.shape[0]), nsub2)
-        src = (
-            child_first[parents][unit_parent[el_unit]]
-            + (el_unit - sb2[unit_parent[el_unit]]) * WCAP
-            + el_k
-        )
-        rk = rank2[el_unit]
-        dst_rows = base2[rk // LANE] + el_k
-        gidx = np.full(rows2 * LANE, -1, dtype=np.int64)
-        gidx[dst_rows * LANE + rk % LANE] = child_pos[src]
-        prev_rows = -(-int(level_sums_sizes[-1]) // LANE)
-        t_k = pick_t(max(prev_rows, rows2))
+    for k, lv in enumerate(levels):
+        gidx = np.full(lv["rows"] * LANE, -1, dtype=np.int64)
+        dst_rows = lv["base"][lv["rank"][lv["el_unit"]] // LANE] + lv["el_k"]
+        gidx[dst_rows * LANE + lanes_lvl[k + 1][lv["el_unit"]]] = pos_lvl[k][
+            lv["src_unit"]
+        ]
+        prev_rows = level_groups[k]
+        t_k = pick_t(max(prev_rows, lv["rows"]))
         dom_k = t_k * LANE * LANE
         dst_k = np.full(dom_k, -1, dtype=np.int64)
         real = gidx >= 0
         dst_k[gidx[real]] = np.flatnonzero(real)
         used_k = np.zeros(dom_k, dtype=bool)
         used_k[np.flatnonzero(real)] = True
-        free_src_k = np.flatnonzero(dst_k < 0)
-        dst_k[free_src_k] = np.flatnonzero(~used_k)
+        dst_k[dst_k < 0] = np.flatnonzero(~used_k)
         mask_k = np.zeros((t_k * LANE, LANE), dtype=np.float32)
         mask_k.reshape(-1)[np.flatnonzero(real)] = 1.0
         lvl_gather.append((plan_permutation(dst_k, t_k), mask_k))
-        lvl_runs.append(runs2)
-        pos2 = rank2
-        # parents fully reduced this level keep their (single) unit sum
-        done = nsub2 == 1
-        final_level[parents[done]] = level
-        final_pos[parents[done]] = pos2[sb2[:-1][done]] + 0
-        # recurse for parents still split
-        still = np.flatnonzero(~done)
-        parents_next = parents[still]
-        child_counts_next = np.zeros(
-            max(int(parents.max(initial=0)) + 1, m), dtype=np.int64
-        )
-        child_first_next = np.zeros_like(child_counts_next)
-        child_counts_next[parents_next] = nsub2[still]
-        child_first_next[parents_next] = sb2[:-1][still]
-        child_pos = pos2
-        child_counts = child_counts_next
-        child_first = child_first_next
-        parents = parents_next
-        level_sums_sizes.append(n_groups2 * LANE)
-        if level > 8:
-            raise RoutedError("row splitting failed to converge")
-
-    # ---- output assembly permutation -------------------------------------
-    # concat all level sums; final_pos is within-level; add level offsets
-    offs = np.r_[0, np.cumsum(level_sums_sizes)]
-    src_out = offs[final_level] + final_pos  # y[r] lives here, r in 0..m
-    total = int(offs[-1])
-    out_rows = max(-(-total // LANE), -(-m // LANE))
-    t_out = pick_t(out_rows)
-    dom_o = t_out * LANE * LANE
-    dst_out = np.full(dom_o, -1, dtype=np.int64)
-    dst_out[src_out] = np.arange(m)
-    free_s = np.flatnonzero(dst_out < 0)
-    used_d = np.zeros(dom_o, dtype=bool)
-    used_d[np.arange(m)] = True
-    dst_out[free_s] = np.flatnonzero(~used_d)
-    perm_out = plan_permutation(dst_out, t_out)
+        lvl_runs.append(lv["runs"])
 
     # ---- device arrays ----------------------------------------------------
     vals = np.zeros((rows_a, LANE), dtype=np.float64)
