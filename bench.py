@@ -116,7 +116,7 @@ def main():
                     loop = mk_loop(steps)
                     _ = float(jnp.sum(loop(xj)))  # compile + warm + sync
                     t_best = float("inf")
-                    for _rep in range(3):
+                    for _rep in range(2):
                         t1 = time.perf_counter()
                         _ = float(jnp.sum(loop(xj)))  # readback forces sync
                         t_best = min(t_best, time.perf_counter() - t1)
@@ -127,14 +127,14 @@ def main():
                 # pick hi so the extra steps add ~2s of device time — far
                 # above the multi-ms fixed-cost noise, bounded for slow kernels
                 est = max(t_lo / lo_n, 1e-6)
-                hi_n = lo_n + max(50, min(STEPS * 10, int(2.0 / est)))
+                hi_n = lo_n + max(50, min(STEPS * 10, int(1.2 / est)))
                 t_hi = timed_chain(hi_n)
-                if t_hi - t_lo < 1.0:
+                if t_hi - t_lo < 0.6:
                     # extra steps drowned in fixed-cost noise (fast kernel,
                     # t_lo dominated by dispatch): escalate the chain length
-                    # until the step signal is ~2s
+                    # until the step signal is ~1.2s
                     slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
-                    hi_n = lo_n + min(int(2.0 / slope1), 2_000_000)
+                    hi_n = lo_n + min(int(1.2 / slope1), 2_000_000)
                     t_hi = timed_chain(hi_n)
                 compile_s = time.perf_counter() - t0
                 dt = (t_hi - t_lo) / (hi_n - lo_n)
