@@ -78,6 +78,7 @@ inline bool read_line(Cursor& c, std::string& out) {
       memchr(c.p, '\n', static_cast<size_t>(c.end - c.p)));
   if (!nl) nl = c.end;
   out.assign(c.p, static_cast<size_t>(nl - c.p));
+  while (!out.empty() && out.back() == '\r') out.pop_back();  // CRLF input
   c.p = (nl < c.end) ? nl + 1 : c.end;
   return true;
 }
@@ -155,6 +156,7 @@ int spmv_parse_mtx(const char* buf, int64_t len, SpmvCoo* out) {
     int64_t nz = parse_i64(sc, &ok3);
     if (!ok1 || !ok2 || !ok3 || m < 0 || n < 0 || nz < 0)
       return SPMV_ERR_SIZE_LINE;
+    if (symmetric && m != n) return SPMV_ERR_UNSUPPORTED;  // must be square
 
     // reserve for worst case symmetric expansion (2*nz, parser.c:49-52 analog)
     size_t cap = symmetric ? static_cast<size_t>(2 * nz) : static_cast<size_t>(nz);
@@ -207,9 +209,10 @@ int spmv_parse_mtx(const char* buf, int64_t len, SpmvCoo* out) {
     out->m = m;
     out->n = n;
     out->nnz = total;
-    out->rows = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-    out->cols = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * total));
-    out->vals = static_cast<double*>(std::malloc(sizeof(double) * total));
+    size_t alloc_n = total > 0 ? static_cast<size_t>(total) : 1;  // malloc(0)
+    out->rows = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * alloc_n));
+    out->cols = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * alloc_n));
+    out->vals = static_cast<double*>(std::malloc(sizeof(double) * alloc_n));
     out->row_lens = static_cast<int64_t*>(std::calloc(m > 0 ? m : 1, sizeof(int64_t)));
     if (!out->rows || !out->cols || !out->vals || !out->row_lens) {
       spmv_free_coo(out);
@@ -245,6 +248,7 @@ int spmv_coo_to_csr(int64_t m, int64_t nnz, const int64_t* rows,
   }
   // consistency: per-row strictly increasing columns (parser.c:195-202)
   for (int64_t i = 1; i < nnz; ++i) {
+    if (rows[i] < rows[i - 1]) return SPMV_ERR_ENTRY;  // rows must ascend
     if (rows[i] == rows[i - 1] && cols[i] <= cols[i - 1]) return SPMV_ERR_ENTRY;
   }
   return SPMV_OK;

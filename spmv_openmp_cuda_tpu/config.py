@@ -99,14 +99,19 @@ class Config:
     tmpdir: str = "/tmp"
     seed: int = 0
 
-    @property
-    def jnp_dtype(self):
+    def __post_init__(self):
         if self.dtype == "float64":
             # double precision (the reference's native dtype) needs the x64
-            # flag or jnp silently degrades to f32; XLA emulates f64 on TPU
+            # flag or jnp silently degrades to f32; XLA emulates f64 on TPU.
+            # NOTE: jax_enable_x64 is process-global and sticky by JAX
+            # design — enable it once at config construction, not lazily
+            # from a property getter mid-run.
             import jax
 
             jax.config.update("jax_enable_x64", True)
+
+    @property
+    def jnp_dtype(self):
         return _DTYPES[self.dtype]
 
     @classmethod

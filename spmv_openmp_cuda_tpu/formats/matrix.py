@@ -166,7 +166,10 @@ class ELLMatrix:
         m, w = self.ja.shape
         rl = self.row_lens
         if rl is None:
-            rl = (self.data != 0).sum(axis=1)  # best effort
+            # treat rows as full width: padded slots are (ja=0, val=0) and
+            # contribute nothing; counting nonzeros would wrongly truncate
+            # rows containing explicitly stored zeros
+            rl = np.full(m, w, dtype=np.int64)
         for r in range(m):
             for k in range(int(rl[r])):
                 d[r, self.ja[r, k]] += self.data[r, k]
@@ -306,7 +309,7 @@ def device_ell(
     if ell.row_lens is not None:
         rl[:m] = ell.row_lens
     else:
-        rl[:m] = (ell.data != 0).sum(axis=1)
+        rl[:m] = w  # full width: padded slots hold value 0 (see to_dense)
     if transposed:
         data, cols = data.T.copy(), cols.T.copy()
     return DeviceELL(

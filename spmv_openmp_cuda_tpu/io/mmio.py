@@ -218,10 +218,16 @@ def mm_to_csr(path: str):
     return coo_to_csr(read_coo(path))
 
 
-def mm_to_ell(path: str, max_entries=None):
-    """File -> ELL one-shot (reference MMtoELL analog, parser.c:347-376)."""
+_CAP_DEFAULT = object()  # sentinel: "apply the default ELL cap"
+
+
+def mm_to_ell(path: str, max_entries=_CAP_DEFAULT):
+    """File -> ELL one-shot (reference MMtoELL analog, parser.c:347-376).
+
+    max_entries=None disables the size cap (LIMIT_ELL_SIZE off), matching
+    formats.convert.coo_to_ell."""
     from ..formats.convert import coo_to_ell
     from ..config import ELL_MAX_ENTRIES
 
-    cap = ELL_MAX_ENTRIES if max_entries is None else max_entries
+    cap = ELL_MAX_ENTRIES if max_entries is _CAP_DEFAULT else max_entries
     return coo_to_ell(read_coo(path), max_entries=cap)

@@ -93,12 +93,16 @@ def parse_mtx_bytes(data: bytes) -> COOMatrix:
 
 def read_coo_native(path: str) -> COOMatrix:
     """File -> sorted COO via the native parser (with transparent
-    decompression handled Python-side)."""
+    decompression handled Python-side). Runs the entries through sort_coo so
+    duplicate-entry merging matches the pure-Python reader exactly."""
+    from ..formats.convert import sort_coo
     from .mmio import _open_maybe_compressed
 
     with _open_maybe_compressed(path) as f:
         data = f.read()
-    return parse_mtx_bytes(data)
+    out = sort_coo(parse_mtx_bytes(data))
+    out.compute_row_lens()  # dedup merging may change lengths; recompute
+    return out
 
 
 def coo_to_csr_native(coo: COOMatrix) -> CSRMatrix:
@@ -113,9 +117,9 @@ def coo_to_csr_native(coo: COOMatrix) -> CSRMatrix:
     rc = lib.spmv_coo_to_csr(
         ctypes.c_int64(m),
         ctypes.c_int64(coo.nnz),
-        coo.rows.astype(np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        coo.cols.astype(np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        coo.vals.astype(np.float64).ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        np.ascontiguousarray(coo.rows, dtype=np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.ascontiguousarray(coo.cols, dtype=np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.ascontiguousarray(coo.vals, dtype=np.float64).ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -126,7 +130,11 @@ def coo_to_csr_native(coo: COOMatrix) -> CSRMatrix:
     return CSRMatrix(coo.shape, indptr, indices, data, row_lens=rl)
 
 
-def coo_to_ell_native(coo: COOMatrix, max_entries: Optional[int] = None) -> ELLMatrix:
+_CAP_DEFAULT = object()  # sentinel: "apply the default ELL cap"
+
+
+def coo_to_ell_native(coo: COOMatrix, max_entries=_CAP_DEFAULT) -> ELLMatrix:
+    """max_entries=None disables the cap, matching convert.coo_to_ell."""
     from ..config import ELL_MAX_ENTRIES
     from ..formats.convert import EllSizeError
 
@@ -136,7 +144,7 @@ def coo_to_ell_native(coo: COOMatrix, max_entries: Optional[int] = None) -> ELLM
     m = coo.shape[0]
     rl = coo.compute_row_lens().astype(np.int64)
     w = int(rl.max(initial=0))
-    cap = ELL_MAX_ENTRIES if max_entries is None else max_entries
+    cap = ELL_MAX_ENTRIES if max_entries is _CAP_DEFAULT else max_entries
     if cap is not None and 2 * m * w > cap:
         raise EllSizeError(f"ELL padded entries 2*{m}*{w} exceed cap {cap}")
     wa = max(w, 1)
@@ -145,9 +153,9 @@ def coo_to_ell_native(coo: COOMatrix, max_entries: Optional[int] = None) -> ELLM
     rc = lib.spmv_coo_to_ell(
         ctypes.c_int64(m),
         ctypes.c_int64(coo.nnz),
-        coo.rows.astype(np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        coo.cols.astype(np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        coo.vals.astype(np.float64).ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        np.ascontiguousarray(coo.rows, dtype=np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.ascontiguousarray(coo.cols, dtype=np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.ascontiguousarray(coo.vals, dtype=np.float64).ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int64(wa),
         ja.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),

@@ -38,7 +38,8 @@ def vectors_diff(
     if a.shape != b.shape:
         return DiffReport(False, float("inf"), max(a.size, b.size))
     diff = np.abs(a - b)
-    bad = diff > threshold
+    # NaN must count as bad: `nan > t` is False, so test the complement
+    bad = ~(diff <= threshold)
     nbad = int(bad.sum())
     return DiffReport(
         ok=nbad == 0,

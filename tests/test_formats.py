@@ -95,3 +95,28 @@ def test_empty_rows_and_cols():
     ell = coo_to_ell(coo)
     assert ell.max_row_nz == 1
     np.testing.assert_allclose(ell.to_dense(), coo.to_dense())
+
+
+def test_vectors_diff_nan_is_bad():
+    from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
+
+    a = np.array([1.0, np.nan, 3.0])
+    b = np.array([1.0, 2.0, 3.0])
+    rep = vectors_diff(a, b)
+    assert not rep.ok and rep.num_exceeding == 1
+
+
+def test_ell_to_dense_keeps_stored_zeros():
+    from spmv_openmp_cuda_tpu.formats.matrix import ELLMatrix
+
+    # row slab [0.0, 5.0]: a stored zero followed by a real entry must both
+    # survive a missing-row_lens roundtrip
+    ell = ELLMatrix(
+        shape=(1, 3),
+        ja=np.array([[0, 2]]),
+        data=np.array([[0.0, 5.0]]),
+        max_row_nz=2,
+        nnz=2,
+        row_lens=None,
+    )
+    np.testing.assert_allclose(ell.to_dense(), [[0.0, 0.0, 5.0]])

@@ -81,3 +81,24 @@ def test_native_ell_cap(tmp_path):
     coo = synth.banded(30, 30, 3, seed=1)
     with pytest.raises(EllSizeError):
         N.coo_to_ell_native(coo, max_entries=1)
+
+
+def test_native_rejects_nonsquare_symmetric(tmp_path):
+    pytest.importorskip("ctypes")
+    from spmv_openmp_cuda_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    body = b"%%MatrixMarket matrix coordinate real symmetric\n2 3 1\n1 3 1.0\n"
+    with pytest.raises(ValueError):
+        native.parse_mtx_bytes(body)
+
+
+def test_native_crlf_banner(tmp_path):
+    from spmv_openmp_cuda_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    body = b"%%MatrixMarket matrix coordinate real general\r\n2 2 1\r\n1 2 1.5\r\n"
+    coo = native.parse_mtx_bytes(body)
+    assert coo.shape == (2, 2) and coo.nnz == 1
