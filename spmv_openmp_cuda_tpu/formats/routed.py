@@ -94,8 +94,12 @@ class RoutedCSR:
     heavy_rows: Tuple[int, ...] = ()
 
 
-def _group_units(lens: np.ndarray):
+def _group_units(lens: np.ndarray, child_first: np.ndarray | None = None):
     """Sort units desc by length, group 128 to a slab column-group.
+
+    With child_first (bool per unit), units consumed by the next reduction
+    level sort before final units so the next level's extraction permutation
+    only spans their (few) leading groups.
 
     Returns (order, group_row_base, runs, n_rows): order[rank] = unit id;
     group g holds ranks [g*128, (g+1)*128) at rows
@@ -103,11 +107,15 @@ def _group_units(lens: np.ndarray):
     out_group0) maximal equal-width stretches.
     """
     u = lens.shape[0]
-    order = np.argsort(-lens, kind="stable")
+    if child_first is None:
+        order = np.argsort(-lens, kind="stable")
+    else:
+        order = np.lexsort((-lens, np.where(child_first, 0, 1)))
     n_groups = -(-u // LANE)
-    widths = np.empty(n_groups, dtype=np.int64)
-    for g in range(n_groups):
-        widths[g] = max(int(lens[order[g * LANE]]), 1)  # sorted desc: first is max
+    # per-group width = max length in the group (with two-class ordering the
+    # first element is no longer necessarily the maximum)
+    lens_sorted = np.r_[lens[order], np.zeros(n_groups * LANE - u, np.int64)]
+    widths = np.maximum(lens_sorted.reshape(n_groups, LANE).max(axis=1), 1)
     base = np.r_[0, np.cumsum(widths)]
     runs: List[Tuple[int, int, int, int]] = []
     g = 0
@@ -324,9 +332,12 @@ def prepare_routed(
     last = sub_base[1:] - 1
     lens1[last] = lens - (n_sub - 1) * WCAP
 
-    order1, base1, runs1, rows_c = _group_units(lens1)
+    # units consumed by level 2 (subunits of split rows) sort first
+    is_child1 = np.repeat(n_sub > 1, n_sub)
+    order1, base1, runs1, rows_c = _group_units(lens1, child_first=is_child1)
     rank1 = np.empty(u1, dtype=np.int64)
     rank1[order1] = np.arange(u1)
+    n_child = [int(is_child1.sum())]  # per level: #units feeding the next
 
     # ---- pass 1: unit/group structure for every reduction level -----------
     # (in-group lanes are NOT fixed here — the output-assembly router assigns
@@ -349,9 +360,11 @@ def prepare_routed(
         lens2 = np.full(u2, WCAP, dtype=np.int64)
         last2 = sb2[1:] - 1
         lens2[last2] = plens_full - (nsub2 - 1) * WCAP
-        order2, base2, runs2, rows2 = _group_units(lens2)
+        is_child2 = np.repeat(nsub2 > 1, nsub2)
+        order2, base2, runs2, rows2 = _group_units(lens2, child_first=is_child2)
         rank2 = np.empty(u2, dtype=np.int64)
         rank2[order2] = np.arange(u2)
+        n_child.append(int(is_child2.sum()))
         # one element per (unit, k<len): its source is a child unit at the
         # previous level
         el_unit = np.repeat(np.arange(u2), lens2)
@@ -457,7 +470,9 @@ def prepare_routed(
         gidx[dst_rows * LANE + lanes_lvl[k + 1][lv["el_unit"]]] = pos_lvl[k][
             lv["src_unit"]
         ]
-        prev_rows = level_groups[k]
+        # with child-first ordering the previous level's child sums occupy
+        # only its leading groups — the extraction domain shrinks to those
+        prev_rows = -(-max(n_child[k], 1) // LANE)
         t_k = pick_t(max(prev_rows, lv["rows"]))
         dom_k = t_k * LANE * LANE
         dst_k = np.full(dom_k, -1, dtype=np.int64)
@@ -640,7 +655,11 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     flats = [sums.reshape(-1)]
     for perm_k, mask_k, runs in zip(mat.lvl_perms, mat.lvl_masks, mat.lvl_runs):
         prev2d = flats[-1].reshape(-1, LANE)
-        prev2d = jnp.pad(prev2d, ((0, perm_k.h - prev2d.shape[0]), (0, 0)))
+        if prev2d.shape[0] > perm_k.h:
+            # child sums occupy only the leading groups (child-first sort)
+            prev2d = prev2d[: perm_k.h]
+        else:
+            prev2d = jnp.pad(prev2d, ((0, perm_k.h - prev2d.shape[0]), (0, 0)))
         if perm_k.h <= _FUSED_REDUCE_MAX_ROWS:
             slab_k = apply_permutation(perm_k, prev2d, skip_r3=True)
             flats.append(
