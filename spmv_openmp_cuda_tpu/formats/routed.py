@@ -39,6 +39,8 @@ from ..config import LANE
 from ..ops.route import (
     PlannedPermutation,
     apply_permutation,
+    apply_permutation_to_mid,
+    apply_sw_w2_sw,
     pick_t,
     plan_permutation,
     plan_row_to_slot,
@@ -59,7 +61,7 @@ class RoutedError(ValueError):
     jax.tree_util.register_dataclass,
     data_fields=[
         "vals", "pidx", "widx", "perm_products", "lvl_perms", "lvl_masks",
-        "perm_out", "hvals", "hpidx", "hwidx", "hreduce",
+        "perm_out", "hvals", "hpidx", "hwidx", "hreduce", "hlo", "hhi",
     ],
     meta_fields=[
         "shape", "nnz", "n_windows", "rows_a", "runs", "lvl_runs", "out_t",
@@ -68,9 +70,9 @@ class RoutedError(ValueError):
 )
 @dataclasses.dataclass
 class RoutedCSR:
-    vals: jax.Array  # (rows_a, 128) dtype — gather-phase slot values
-    pidx: jax.Array  # (rows_a, 128) int32 — panel-in-window per slot
-    widx: jax.Array  # (n_tiles,) int32 — window id per 128-row tile
+    vals: jax.Array  # (h1, 128) dtype — gather slot values (pad rows = 0)
+    pidx: jax.Array  # (h1, 128) int8 — panel-in-window per slot
+    widx: jax.Array  # (h1//128,) int32 — window id per 128-row tile
     perm_products: PlannedPermutation  # r1 folded: vals sit in middle lanes
     lvl_perms: Tuple[PlannedPermutation, ...]  # prev sums -> level slab
     # 0/1 masks zeroing slab slots that are padding inside reduce runs —
@@ -91,6 +93,10 @@ class RoutedCSR:
     hpidx: jax.Array | None = None
     hwidx: jax.Array | None = None  # (n_heavy_tiles,) window per tile
     hreduce: jax.Array | None = None  # (n_heavy, n_tiles*128) 0/1 lane->row
+    # pooled heavy layout (v2): per-tile per-row-slot cumsum range bounds,
+    # (128 * n_tiles, 128) int8, -1 = zero term; None = legacy owner layout
+    hlo: jax.Array | None = None
+    hhi: jax.Array | None = None
     heavy_rows: Tuple[int, ...] = ()
 
 
@@ -487,17 +493,23 @@ def prepare_routed(
         lvl_runs.append(lv["runs"])
 
     # ---- device arrays ----------------------------------------------------
-    vals = np.zeros((rows_a, LANE), dtype=np.float64)
-    pidx = np.zeros((rows_a, LANE), dtype=np.int32)
+    # padded to the full permutation domain so the gather kernel can emit the
+    # W1-permuted slab directly (pad tiles hold val = 0 -> permuted zeros);
+    # pidx holds panel ids < 128, stored int8 to halve its HBM stream
+    vals = np.zeros((h1, LANE), dtype=np.float64)
+    pidx = np.zeros((h1, LANE), dtype=np.int8)
     vals[row_a, lane_a] = csr.data
     pidx[row_a, lane_a] = p
-    widx = np.repeat(np.arange(nwin, dtype=np.int32), tiles_per_win)
+    widx = np.zeros(h1 // LANE, dtype=np.int32)
+    widx[: rows_a // LANE] = np.repeat(
+        np.arange(nwin, dtype=np.int32), tiles_per_win
+    )
     return RoutedCSR(
         vals=jnp.asarray(vals, dtype=dtype),
         pidx=jnp.asarray(pidx),
         widx=jnp.asarray(widx),
         hvals=jnp.asarray(hvals, dtype=dtype) if rows_h.size else None,
-        hpidx=jnp.asarray(hpidx) if rows_h.size else None,
+        hpidx=jnp.asarray(hpidx, dtype=jnp.int8) if rows_h.size else None,
         hwidx=jnp.asarray(hwidx) if rows_h.size else None,
         hreduce=jnp.asarray(hreduce, dtype=dtype) if rows_h.size else None,
         heavy_rows=tuple(int(r) for r in rows_h),
@@ -524,14 +536,16 @@ def _pack_xw(mat: RoutedCSR, x: jax.Array) -> jax.Array:
 
 
 def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
-    """Phase 1: products in panel order, (rows_a, 128)."""
+    """Phase 1: products in panel order, (h1, 128)."""
     dtype = mat.vals.dtype
-    n_tiles = mat.rows_a // LANE
+    n_tiles = mat.vals.shape[0] // LANE
 
     def kernel(widx_ref, xw_ref, vals_ref, pidx_ref, o_ref):
         i = pl.program_id(0)
         wt = xw_ref[pl.ds(widx_ref[i] * LANE, LANE), :]
-        o_ref[:] = vals_ref[:] * jnp.take_along_axis(wt, pidx_ref[:], axis=1)
+        o_ref[:] = vals_ref[:] * jnp.take_along_axis(
+            wt, pidx_ref[:].astype(jnp.int32), axis=1
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -548,9 +562,49 @@ def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mat.rows_a, LANE), dtype),
+        out_shape=jax.ShapeDtypeStruct((mat.vals.shape[0], LANE), dtype),
         interpret=_interp(),
     )(mat.widx, xw, mat.vals, mat.pidx)
+
+
+def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
+    """Phases 1+2a fused: per-tile lane-gather products immediately W1-
+    permuted (the Clos ingress sublane perm) — the product slab never
+    round-trips HBM between gather and routing. Pad tiles (vals = 0) emit
+    permuted zeros, which is exactly what their pad slots must carry."""
+    dtype = mat.vals.dtype
+    n_tiles = mat.vals.shape[0] // LANE
+
+    def kernel(widx_ref, xw_ref, vals_ref, pidx_ref, w1_ref, o_ref):
+        i = pl.program_id(0)
+        wt = xw_ref[pl.ds(widx_ref[i] * LANE, LANE), :]
+        prod = vals_ref[:] * jnp.take_along_axis(
+            wt, pidx_ref[:].astype(jnp.int32), axis=1
+        )
+        o_ref[:] = jnp.take_along_axis(
+            prod.T, w1_ref[:].astype(jnp.int32), axis=1
+        ).T
+
+    tile_spec = pl.BlockSpec(
+        (LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xw resident
+            tile_spec,
+            tile_spec,
+            tile_spec,
+        ],
+        out_specs=tile_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mat.vals.shape[0], LANE), dtype),
+        interpret=_interp(),
+    )(mat.widx, xw, mat.vals, mat.pidx, mat.perm_products.w1)
 
 
 def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
@@ -562,7 +616,9 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     def kernel(hwidx_ref, xw_ref, vals_ref, pidx_ref, o_ref):
         i = pl.program_id(0)
         wt = xw_ref[pl.ds(hwidx_ref[i] * LANE, LANE), :]
-        prod = vals_ref[:] * jnp.take_along_axis(wt, pidx_ref[:], axis=1)
+        prod = vals_ref[:] * jnp.take_along_axis(
+            wt, pidx_ref[:].astype(jnp.int32), axis=1
+        )
         s = jnp.sum(prod, axis=0).reshape(1, LANE)
         # (8, LANE) block: sublane-aligned output tile, row 0 carries the sum
         o_ref[:] = jnp.broadcast_to(s, (8, LANE))
@@ -592,6 +648,78 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
 
 #: fused-reduce VMEM budget: slab f32 + r3 int8 + gathered temp must fit
 _FUSED_REDUCE_MAX_ROWS = 8192
+
+#: stricter budget for the W3+R3+reduce single-block kernel (adds a second
+#: full-domain scratch slab + the w3 index array)
+_W3_FUSED_MAX_ROWS = 4096
+
+
+def _w3_r3_reduce(x5, plan, runs, mask=None) -> jax.Array:
+    """Last two permutation stages (per-tile W3 sublane perm, R3 lane perm)
+    fused with the width-binned reduce in one single-block kernel: x5 is read
+    from HBM exactly once and the slab never materializes. The optional mask
+    zeroes in-run padding slots after R3 (level slabs)."""
+    t = plan.t
+    n_groups_total = runs[-1][3] + runs[-1][1]
+    g_pad = max(-(-n_groups_total // 8) * 8, 8)
+
+    def kernel(*refs):
+        if mask is None:
+            x5_ref, w3_ref, r3_ref, o_ref, s_ref = refs
+        else:
+            x5_ref, w3_ref, r3_ref, mask_ref, o_ref, s_ref = refs
+        for tt in range(t):
+            sl = slice(tt * LANE, (tt + 1) * LANE)
+            s_ref[sl, :] = jnp.take_along_axis(
+                x5_ref[sl, :].T, w3_ref[sl, :].astype(jnp.int32), axis=1
+            ).T
+        g = jnp.take_along_axis(s_ref[:], r3_ref[:].astype(jnp.int32), axis=1)
+        if mask is not None:
+            g = g * mask_ref[:]
+        for row0, n_groups, width, g0 in runs:
+            seg = g[row0 : row0 + n_groups * width, :]
+            o_ref[g0 : g0 + n_groups, :] = seg.reshape(
+                n_groups, width, LANE
+            ).sum(axis=1)
+
+    args = (x5, plan.w3, plan.r3) if mask is None else (x5, plan.w3, plan.r3, mask)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g_pad, LANE), x5.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t * LANE, LANE), x5.dtype)],
+        interpret=_interp(),
+    )(*args)
+    return out[:n_groups_total]
+
+
+def _perm_reduce_t1(prev2d, plan, mask, runs) -> jax.Array:
+    """Whole level stage in ONE kernel for single-tile (t == 1) level perms:
+    the SW stages are identity, so the permutation collapses to
+    r1 . w_combined . r3, fused with the mask and the width-binned reduce."""
+    n_groups_total = runs[-1][3] + runs[-1][1]
+    g_pad = max(-(-n_groups_total // 8) * 8, 8)
+
+    def kernel(x_ref, r1_ref, wc_ref, r3_ref, mask_ref, o_ref):
+        x1 = jnp.take_along_axis(x_ref[:], r1_ref[:].astype(jnp.int32), axis=1)
+        x2 = jnp.take_along_axis(x1.T, wc_ref[:].astype(jnp.int32), axis=1).T
+        g = jnp.take_along_axis(x2, r3_ref[:].astype(jnp.int32), axis=1)
+        g = g * mask_ref[:]
+        for row0, n_groups, width, g0 in runs:
+            seg = g[row0 : row0 + n_groups * width, :]
+            o_ref[g0 : g0 + n_groups, :] = seg.reshape(
+                n_groups, width, LANE
+            ).sum(axis=1)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g_pad, LANE), prev2d.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interp(),
+    )(prev2d, plan.r1, plan.wc, plan.r3, mask)
+    return out[:n_groups_total]
 
 
 def _reduce_runs_fused(slab: jax.Array, r3, runs, mask=None) -> jax.Array:
@@ -643,15 +771,23 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     dtype = mat.vals.dtype
     if xw is None:
         xw = _pack_xw(mat, x)
-    pa = _gather_products(mat, xw)
     h1 = mat.perm_products.h
-    pa = jnp.pad(pa, ((0, h1 - mat.rows_a), (0, 0)))
-    if h1 <= _FUSED_REDUCE_MAX_ROWS:
-        slab = apply_permutation(mat.perm_products, pa, skip_r3=True)
-        sums = _reduce_runs_fused(slab, mat.perm_products.r3, mat.runs)
-    else:  # slab too large for the single-block fused kernel
-        slab = apply_permutation(mat.perm_products, pa)
-        sums = _reduce_runs(slab, mat.runs)
+    # vals padded to the full domain (current prepare) enables the fused
+    # gather+W1 entry; unpadded arrays (older serialized formats) fall back
+    padded = mat.vals.shape[0] == h1
+    if padded and h1 <= _W3_FUSED_MAX_ROWS:
+        x2 = _gather_w1(mat, xw)
+        x5 = apply_sw_w2_sw(mat.perm_products, x2)
+        sums = _w3_r3_reduce(x5, mat.perm_products, mat.runs)
+    else:
+        pa = _gather_products(mat, xw)
+        pa = jnp.pad(pa, ((0, h1 - pa.shape[0]), (0, 0)))
+        if h1 <= _FUSED_REDUCE_MAX_ROWS:
+            slab = apply_permutation(mat.perm_products, pa, skip_r3=True)
+            sums = _reduce_runs_fused(slab, mat.perm_products.r3, mat.runs)
+        else:  # slab too large for the single-block fused kernel
+            slab = apply_permutation(mat.perm_products, pa)
+            sums = _reduce_runs(slab, mat.runs)
     flats = [sums.reshape(-1)]
     for perm_k, mask_k, runs in zip(mat.lvl_perms, mat.lvl_masks, mat.lvl_runs):
         prev2d = flats[-1].reshape(-1, LANE)
@@ -660,7 +796,12 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
             prev2d = prev2d[: perm_k.h]
         else:
             prev2d = jnp.pad(prev2d, ((0, perm_k.h - prev2d.shape[0]), (0, 0)))
-        if perm_k.h <= _FUSED_REDUCE_MAX_ROWS:
+        if perm_k.t == 1 and perm_k.wc is not None:
+            flats.append(_perm_reduce_t1(prev2d, perm_k, mask_k, runs).reshape(-1))
+        elif perm_k.h <= _W3_FUSED_MAX_ROWS:
+            x5_k = apply_permutation_to_mid(perm_k, prev2d)
+            flats.append(_w3_r3_reduce(x5_k, perm_k, runs, mask=mask_k).reshape(-1))
+        elif perm_k.h <= _FUSED_REDUCE_MAX_ROWS:
             slab_k = apply_permutation(perm_k, prev2d, skip_r3=True)
             flats.append(
                 _reduce_runs_fused(slab_k, perm_k.r3, runs, mask=mask_k)

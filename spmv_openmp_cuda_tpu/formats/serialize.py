@@ -40,7 +40,7 @@ def save_prepared(path: str, mat: PreparedFormat) -> None:
 
 
 def _perm_aux(p: PlannedPermutation) -> dict:
-    return {"t": p.t, "has_r1": p.r1 is not None}
+    return {"t": p.t, "has_r1": p.r1 is not None, "has_wc": p.wc is not None}
 
 
 def _aux_of(mat: PreparedFormat) -> dict:
@@ -106,11 +106,17 @@ class _LeafReader:
 
 
 def _read_perm(r: _LeafReader, aux: dict) -> PlannedPermutation:
-    n = 5 if aux["has_r1"] else 4
+    # leaf order = registered data_fields: r1, w1, w2, w3, r3, wc (None
+    # fields are skipped by tree_flatten; files predate wc -> default False)
+    has_wc = aux.get("has_wc", False)
+    n = 4 + bool(aux["has_r1"]) + bool(has_wc)
     leaves = r.take(n)
     r1 = leaves.pop(0) if aux["has_r1"] else None
+    wc = leaves.pop() if has_wc else None
     w1, w2, w3, r3 = leaves
-    return PlannedPermutation(r1=r1, w1=w1, w2=w2, w3=w3, r3=r3, t=aux["t"])
+    return PlannedPermutation(
+        r1=r1, w1=w1, w2=w2, w3=w3, r3=r3, wc=wc, t=aux["t"]
+    )
 
 
 def load_prepared(path: str) -> PreparedFormat:

@@ -141,7 +141,7 @@ def pick_t(rows: int) -> int:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["r1", "w1", "w2", "w3", "r3"],
+    data_fields=["r1", "w1", "w2", "w3", "r3", "wc"],
     meta_fields=["t"],
 )
 @dataclasses.dataclass
@@ -150,6 +150,9 @@ class PlannedPermutation:
 
     r1 is None when the source lane assignment was folded into the producer
     (plan_row_to_slot): elements are emitted directly in their middle lane.
+    wc is the single-tile composition w1.w2.w3 (SW stages are identity when
+    t == 1), letting callers apply the whole permutation as r1 . wc . r3 in
+    one kernel; None for t > 1.
     """
 
     r1: jax.Array | None
@@ -157,6 +160,7 @@ class PlannedPermutation:
     w2: jax.Array
     w3: jax.Array
     r3: jax.Array
+    wc: jax.Array | None = None
     t: int = LANE
 
     @property
@@ -195,12 +199,19 @@ def _stages_from_routing(hs, hd, ld, m, t: int, with_r1, ls=None):
     # R3: out[hd, ld] = in[hd, m]
     r3 = np.empty((h, LANE), dtype=np.int8)
     r3[hd, ld] = m
+    wc = None
+    if t == 1:
+        # SW stages are identity: compose the three sublane perms into one
+        # (taa chains right-to-left: out[m, j] = in[m, w1[m, w2[m, w3[m, j]]]])
+        rows_ = np.arange(LANE)[:, None]
+        wc = w1[rows_, w2[rows_, w3.astype(np.int64)].astype(np.int64)]
     return PlannedPermutation(
         r1=None if r1 is None else jnp.asarray(r1),
         w1=jnp.asarray(w1),
         w2=jnp.asarray(w2),
         w3=jnp.asarray(w3),
         r3=jnp.asarray(r3),
+        wc=None if wc is None else jnp.asarray(wc),
         t=t,
     )
 
@@ -294,6 +305,28 @@ def _tiled_call(kernel, n_in: int, t: int, dtype):
     )
 
 
+def apply_sw_w2_sw(plan: PlannedPermutation, x2: jax.Array) -> jax.Array:
+    """Middle stages SW . W2 . SW^-1, for callers that fused W1 into their
+    producer kernel (e.g. the routed gather)."""
+    t = plan.t
+    x3 = x2.reshape(t, LANE, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
+    x4 = _tiled_call(_tile_kernel, 2, t, x2.dtype)(x3, plan.w2)
+    return x4.reshape(LANE, t, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
+
+
+def apply_permutation_to_mid(plan: PlannedPermutation, x: jax.Array) -> jax.Array:
+    """First four stages only (W1[+r1], SW, W2, SW^-1): the returned x5 still
+    needs the per-tile W3 sublane perm and the R3 lane perm, which callers
+    fuse into their consumer kernel (e.g. the routed reduce)."""
+    t = plan.t
+    dtype = x.dtype
+    if plan.r1 is None:
+        x2 = _tiled_call(_tile_kernel, 2, t, dtype)(x, plan.w1)
+    else:
+        x2 = _tiled_call(_row_and_tile_kernel, 3, t, dtype)(x, plan.r1, plan.w1)
+    return apply_sw_w2_sw(plan, x2)
+
+
 def apply_permutation(
     plan: PlannedPermutation, x: jax.Array, skip_r3: bool = False
 ) -> jax.Array:
@@ -306,13 +339,7 @@ def apply_permutation(
     """
     t = plan.t
     dtype = x.dtype
-    if plan.r1 is None:  # source lanes pre-assigned by the producer
-        x2 = _tiled_call(_tile_kernel, 2, t, dtype)(x, plan.w1)
-    else:
-        x2 = _tiled_call(_row_and_tile_kernel, 3, t, dtype)(x, plan.r1, plan.w1)
-    x3 = x2.reshape(t, LANE, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
-    x4 = _tiled_call(_tile_kernel, 2, t, dtype)(x3, plan.w2)
-    x5 = x4.reshape(LANE, t, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
+    x5 = apply_permutation_to_mid(plan, x)
     if skip_r3:
         return _tiled_call(_tile_kernel, 2, t, dtype)(x5, plan.w3)
     return _tiled_call(_tile_and_row_kernel, 3, t, dtype)(x5, plan.w3, plan.r3)
