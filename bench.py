@@ -34,7 +34,7 @@ def log(msg):
 # (preset, reference GFLOPS, candidate kernels)
 # all five CUDA headline matrices of the reference (BASELINE.md)
 SUITE = [
-    ("delaunay_n12_like", 5.81, ["PL_CSR_LANES"]),
+    ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED", "PL_CSR_LANES"]),
     ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
     ("caida_like", 10.47, ["PL_CSR_ROUTED"]),
     ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),

@@ -68,17 +68,40 @@ def main():
     xw = R._pack_xw(mat, x)
     pa = R._gather_products(mat, xw)
     h1 = mat.perm_products.h
-    pa_p = jnp.pad(pa, ((0, h1 - mat.rows_a), (0, 0)))
+    pa_p = jnp.pad(pa, ((0, h1 - pa.shape[0]), (0, 0)))
     slab = apply_permutation(mat.perm_products, pa_p, skip_r3=True)
     sums = R._reduce_runs_fused(slab, mat.perm_products.r3, mat.runs)
     concat_len = sums.size
     for p in mat.lvl_perms:
         pass
 
+    from spmv_openmp_cuda_tpu.ops.route import (
+        apply_permutation_to_mid,
+        apply_sw_w2_sw,
+    )
+
+    x2 = R._gather_w1(mat, xw)
+    x5m = apply_sw_w2_sw(mat.perm_products, x2)
+    t1 = mat.perm_products.t
+
     stages = {}
     stages["full"] = (lambda v: R.routed_spmv(mat, v), x)
     stages["pack_xw"] = (lambda v: R._pack_xw(mat, v), x)
     stages["gather"] = (lambda v: R._gather_products(mat, v), xw)
+    stages["gather_w1"] = (lambda v: R._gather_w1(mat, v), xw)
+    stages["sw_w2_sw"] = (
+        lambda v: apply_sw_w2_sw(mat.perm_products, v),
+        x2,
+    )
+    stages["xla_sw_only"] = (
+        lambda v: v.reshape(t1, 128, LANE).swapaxes(0, 1).reshape(t1 * 128, LANE)
+        if t1 > 1 else v,
+        x2,
+    )
+    stages["w3_r3_reduce"] = (
+        lambda v: R._w3_r3_reduce(v, mat.perm_products, mat.runs),
+        x5m,
+    )
     stages["perm_products"] = (
         lambda v: apply_permutation(mat.perm_products, v, skip_r3=True),
         pa_p,

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Tuple
 
 import jax
@@ -62,10 +63,11 @@ class RoutedError(ValueError):
     data_fields=[
         "vals", "pidx", "widx", "perm_products", "lvl_perms", "lvl_masks",
         "perm_out", "hvals", "hpidx", "hwidx", "hreduce", "hlo", "hhi",
+        "hdense",
     ],
     meta_fields=[
         "shape", "nnz", "n_windows", "rows_a", "runs", "lvl_runs", "out_t",
-        "heavy_rows",
+        "heavy_rows", "widx_t",
     ],
 )
 @dataclasses.dataclass
@@ -97,7 +99,14 @@ class RoutedCSR:
     # (128 * n_tiles, 128) int8, -1 = zero term; None = legacy owner layout
     hlo: jax.Array | None = None
     hhi: jax.Array | None = None
+    # dense heavy fast path: (n_heavy, n_pad) bf16 row block, y_h = H @ x —
+    # purely bandwidth-bound, no gather at all; used when the block is small
+    # enough that streaming its zeros beats the pooled tiles' extra passes
+    hdense: jax.Array | None = None
     heavy_rows: Tuple[int, ...] = ()
+    # static copy of widx (window per gather tile): lets the single-block
+    # gather kernel slice xw at compile-time offsets; () on legacy formats
+    widx_t: Tuple[int, ...] = ()
 
 
 def _group_units(lens: np.ndarray, child_first: np.ndarray | None = None):
@@ -140,70 +149,109 @@ def _group_units(lens: np.ndarray, child_first: np.ndarray | None = None):
 #: third reduction level
 HEAVY_THRESHOLD = WCAP * LANE
 
+#: dense heavy block cap: (n_heavy, n_pad) bf16 must stream in under this
+#: many bytes per spmv to beat the pooled tiles' extra taa passes
+_DENSE_HEAVY_MAX_BYTES = 12 * 2**20
+
+
+#: pooled heavy packing groups at most this many rows per pool so a tile's
+#: distinct-row count stays within the 128 row-slot lanes
+_HEAVY_POOL_ROWS = 96
+
 
 def _build_heavy(rows_h, csr: CSRMatrix):
-    """Residue-dual gather tiles for heavy rows, packed per window.
+    """Pooled residue-dual gather tiles for heavy rows.
 
-    Tile layout (128, 128): sublane a holds nnz with col % 128 == a
-    (gatherable from the transposed window); each heavy row's per-residue
-    column stack occupies a contiguous lane range, several rows sharing a
-    tile when they fit. Per-tile per-lane sublane-sums are mapped back to
-    rows by one static (n_heavy, n_tiles*128) 0/1 matmul — reduction without
-    any routing.
+    All heavy nnz of a window pool together: per residue a (the slot
+    sublane, = col % 128, gatherable from the transposed window), entries
+    sort by row and take consecutive lanes k across however many 128-lane
+    tiles the window's deepest residue needs — packing efficiency is
+    avg/max of the POOLED residue histogram instead of per-row.
+
+    Each (row, window, residue) run is a contiguous k-range, so per tile a
+    row's partial sum is a difference of two lane-cumsum samples: the kernel
+    computes C = inclusive cumsum of products along lanes (one triangular
+    MXU matmul) and taa-gathers C at per-(residue, row-slot) hi/lo bounds
+    (hlo/hhi int8, -1 = zero term). Summing the differences over sublanes
+    yields each row-slot's tile partial; a static (n_heavy, n_tiles*128)
+    0/1 matmul maps slot partials back to rows.
     """
-    hvals_l, hpidx_l, hwidx_l, owner_l = [], [], [], []
-
-    def new_tile(wv):
-        hvals_l.append(np.zeros((LANE, LANE), dtype=np.float64))
-        hpidx_l.append(np.zeros((LANE, LANE), dtype=np.int32))
-        hwidx_l.append(int(wv))
-        owner_l.append(np.full(LANE, -1, dtype=np.int64))
-
-    # one pass per heavy row: its sorted columns split into contiguous
-    # window segments (O(total heavy nnz)), grouped per window for packing
-    by_window: dict = {}
+    n_h = len(rows_h)
+    ri_all, cols_all, data_all = [], [], []
     for ri, r in enumerate(rows_h):
         i0, i1 = int(csr.indptr[r]), int(csr.indptr[r + 1])
-        cols_r = csr.indices[i0:i1].astype(np.int64)
-        data_r = csr.data[i0:i1]
-        wins = cols_r // WINDOW_ELEMS
-        seg = np.r_[0, np.flatnonzero(np.diff(wins)) + 1, cols_r.shape[0]]
-        for k in range(seg.shape[0] - 1):
-            s0, s1 = int(seg[k]), int(seg[k + 1])
-            by_window.setdefault(int(wins[s0]), []).append(
-                (ri, cols_r[s0:s1], data_r[s0:s1])
-            )
-    for wv in sorted(by_window):
-        cursor = LANE  # force a fresh tile per window
-        for ri, cols_seg, data_seg in by_window[wv]:
-            a = cols_seg % LANE
-            pp = (cols_seg // LANE) % WINDOW_PANELS
-            order = np.argsort(a, kind="stable")
-            a_s, p_s, d_s = a[order], pp[order], data_seg[order]
-            starts = np.r_[0, np.flatnonzero(np.diff(a_s)) + 1]
-            rid = np.zeros(a_s.shape[0], dtype=np.int64)
-            rid[starts] = 1
-            rid = np.cumsum(rid) - 1
-            j = np.arange(a_s.shape[0]) - starts[rid]  # per-residue ordinal
-            c = int(j.max(initial=0)) + 1  # lanes this row needs (<=128)
-            if cursor + c > LANE:
-                new_tile(wv)
-                cursor = 0
-            hvals_l[-1][a_s, cursor + j] = d_s
-            hpidx_l[-1][a_s, cursor + j] = p_s
-            owner_l[-1][cursor : cursor + c] = ri
-            cursor += c
-    owner = np.stack(owner_l)  # (n_tiles, LANE)
-    reduce_mat = np.zeros((len(rows_h), owner.size), dtype=np.float64)
-    flat = owner.reshape(-1)
-    valid = flat >= 0
-    reduce_mat[flat[valid], np.flatnonzero(valid)] = 1.0
-    return (
-        np.concatenate(hvals_l, axis=0),
-        np.concatenate(hpidx_l, axis=0),
-        np.asarray(hwidx_l, dtype=np.int32),
-        reduce_mat,
+        ri_all.append(np.full(i1 - i0, ri, dtype=np.int64))
+        cols_all.append(csr.indices[i0:i1].astype(np.int64))
+        data_all.append(csr.data[i0:i1])
+    ri = np.concatenate(ri_all)
+    cols = np.concatenate(cols_all)
+    data = np.concatenate(data_all)
+    w = cols // WINDOW_ELEMS
+    a = cols % LANE
+    p = (cols // LANE) % WINDOW_PANELS
+    pool = ri // _HEAVY_POOL_ROWS  # cap rows per pool (row-slot lanes = 128)
+
+    # ordinals k within each (pool, window, residue), entries sorted by row
+    order = np.lexsort((ri, a, w, pool))
+    sp, sw, sa, sri = pool[order], w[order], a[order], ri[order]
+    key = (sp * (int(w.max(initial=0)) + 1) + sw) * LANE + sa
+    starts = np.r_[0, np.flatnonzero(np.diff(key)) + 1]
+    rid = np.zeros(key.shape[0], dtype=np.int64)
+    rid[starts] = 1
+    rid = np.cumsum(rid) - 1
+    k = np.arange(key.shape[0]) - starts[rid]
+
+    # tiles per (pool, window): deepest pooled residue
+    pw_ids, pw_inv = np.unique(key // LANE, return_inverse=True)
+    lanes_pw = np.zeros(pw_ids.shape[0], dtype=np.int64)
+    np.maximum.at(lanes_pw, pw_inv, k + 1)
+    tiles_pw = -(-lanes_pw // LANE)
+    tile_base = np.r_[0, np.cumsum(tiles_pw)]
+    n_tiles = int(tile_base[-1])
+    tg = tile_base[pw_inv] + k // LANE  # global tile per entry
+
+    hvals = np.zeros((n_tiles * LANE, LANE), dtype=np.float64)
+    hpidx = np.zeros((n_tiles * LANE, LANE), dtype=np.int8)
+    hvals[tg * LANE + sa, k % LANE] = data[order]
+    hpidx[tg * LANE + sa, k % LANE] = p[order]
+    hwidx = np.repeat(pw_ids % (int(w.max(initial=0)) + 1), tiles_pw).astype(
+        np.int32
     )
+
+    # per-(pool, window, residue, row) runs -> per-tile row-slot bounds
+    key2 = key * n_h + sri
+    starts2 = np.r_[0, np.flatnonzero(np.diff(key2)) + 1, key2.shape[0]]
+    hlo = np.full((n_tiles * LANE, LANE), -1, dtype=np.int8)
+    hhi = np.full((n_tiles * LANE, LANE), -1, dtype=np.int8)
+    slot_of: dict = {}  # (tile, ri) -> row-slot lane j
+    slots_used = np.zeros(n_tiles, dtype=np.int64)
+    owner_ri: List[int] = []  # flat (tile*128 + j) -> ri
+    owner_pos: List[int] = []
+    for s0 in range(starts2.shape[0] - 1):
+        lo_, hi_ = int(starts2[s0]), int(starts2[s0 + 1])
+        if lo_ == hi_:
+            continue
+        a_ = int(sa[lo_])
+        ri_ = int(sri[lo_])
+        klo, khi = int(k[lo_]), int(k[hi_ - 1]) + 1
+        base_t = int(tile_base[pw_inv[lo_]])
+        for tl in range(klo // LANE, -(-khi // LANE)):
+            t_ = base_t + tl
+            j = slot_of.get((t_, ri_))
+            if j is None:
+                j = int(slots_used[t_])
+                slots_used[t_] += 1
+                slot_of[(t_, ri_)] = j
+                owner_ri.append(ri_)
+                owner_pos.append(t_ * LANE + j)
+            l0 = max(klo - tl * LANE, 0)
+            l1 = min(khi - tl * LANE, LANE)
+            hlo[t_ * LANE + a_, j] = l0 - 1
+            hhi[t_ * LANE + a_, j] = l1 - 1
+    reduce_mat = np.zeros((n_h, n_tiles * LANE), dtype=np.float64)
+    reduce_mat[np.asarray(owner_ri, dtype=np.int64),
+               np.asarray(owner_pos, dtype=np.int64)] = 1.0
+    return hvals, hpidx, hwidx, reduce_mat, hlo, hhi
 
 
 def _pick_heavy_threshold(csr: CSRMatrix, lens_full: np.ndarray) -> int:
@@ -244,18 +292,16 @@ def _pick_heavy_threshold(csr: CSRMatrix, lens_full: np.ndarray) -> int:
             t1 = pick_t(max(rows_a, rows_c))
         except ValueError:
             continue
-        # heavy slots: per (row, window): 128 * (max per-residue count),
-        # packed into shared 128-lane tiles per window
+        # heavy slots (pooled layout): per window, tiles = ceil(max pooled
+        # per-residue count / 128); the x2 weights the kernel's extra taa
+        # passes and cumsum matmul per slot vs the light gather
         hcost = 0
         if heavy.any():
             hsel = heavy[rows]
-            hr = np.searchsorted(np.flatnonzero(heavy), rows[hsel])
-            key = (hr * nwin + w[hsel]) * LANE + a[hsel]
-            uniq, kcnt = np.unique(key, return_counts=True)  # sparse keys
-            rw, inv = np.unique(uniq // LANE, return_inverse=True)
-            cmax = np.zeros(rw.shape[0], dtype=np.int64)
-            np.maximum.at(cmax, inv, kcnt)
-            hcost = int(128 * cmax.sum())  # ~lanes consumed * 128 sublanes
+            keyh = w[hsel] * LANE + a[hsel]
+            cnth = np.bincount(keyh, minlength=nwin * LANE).reshape(nwin, LANE)
+            tiles_h = np.ceil(cnth.max(axis=1) / LANE).sum()
+            hcost = int(2 * tiles_h * LANE * LANE)
         cost = hcost + rows_a * LANE + 4 * t1 * LANE * LANE
         if best_cost is None or cost < best_cost:
             best_thr, best_cost = thr, cost
@@ -285,8 +331,23 @@ def prepare_routed(
         cand = np.flatnonzero(heavy_sel)
         heavy_sel[cand[np.argmin(lens_full[cand])]] = False
     rows_h = np.flatnonzero(heavy_sel)
+    hvals = hpidx = hwidx = hreduce = hlo = hhi = hdense = None
     if rows_h.size:
-        hvals, hpidx, hwidx, hreduce = _build_heavy(rows_h, csr)
+        n_pad = -(-n // LANE) * LANE
+        use_dense = (
+            np.dtype(dtype) == np.dtype("float32")
+            and rows_h.size * n_pad * 2 <= _DENSE_HEAVY_MAX_BYTES
+            and os.environ.get("SPMV_DENSE_HEAVY", "1") != "0"
+        )
+        if use_dense:
+            hd = np.zeros((rows_h.size, n_pad), dtype=np.float32)
+            row_map = np.full(m, -1, dtype=np.int64)
+            row_map[rows_h] = np.arange(rows_h.size)
+            hnz = heavy_sel[rows]
+            hd[row_map[rows[hnz]], cols[hnz]] = data[hnz]
+            hdense = hd
+        else:
+            hvals, hpidx, hwidx, hreduce, hlo, hhi = _build_heavy(rows_h, csr)
         keep = ~heavy_sel[rows]
         rows, cols, data = rows[keep], cols[keep], data[keep]
         lens_light = np.where(heavy_sel, 0, lens_full)
@@ -508,10 +569,15 @@ def prepare_routed(
         vals=jnp.asarray(vals, dtype=dtype),
         pidx=jnp.asarray(pidx),
         widx=jnp.asarray(widx),
-        hvals=jnp.asarray(hvals, dtype=dtype) if rows_h.size else None,
-        hpidx=jnp.asarray(hpidx, dtype=jnp.int8) if rows_h.size else None,
-        hwidx=jnp.asarray(hwidx) if rows_h.size else None,
-        hreduce=jnp.asarray(hreduce, dtype=dtype) if rows_h.size else None,
+        hvals=jnp.asarray(hvals, dtype=dtype) if hvals is not None else None,
+        hpidx=jnp.asarray(hpidx, dtype=jnp.int8) if hpidx is not None else None,
+        hwidx=jnp.asarray(hwidx) if hwidx is not None else None,
+        hreduce=jnp.asarray(hreduce, dtype=dtype) if hreduce is not None else None,
+        hlo=jnp.asarray(hlo) if hlo is not None else None,
+        hhi=jnp.asarray(hhi) if hhi is not None else None,
+        hdense=jnp.asarray(hdense, dtype=jnp.bfloat16)
+        if hdense is not None
+        else None,
         heavy_rows=tuple(int(r) for r in rows_h),
         perm_products=perm_products,
         lvl_perms=tuple(pk for pk, _mk in lvl_gather),
@@ -521,6 +587,7 @@ def prepare_routed(
         nnz=nnz,
         n_windows=nwin,
         rows_a=rows_a,
+        widx_t=tuple(int(v) for v in widx),
         runs=runs1,
         lvl_runs=tuple(lvl_runs),
         out_t=t_out,
@@ -540,24 +607,24 @@ def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     dtype = mat.vals.dtype
     n_tiles = mat.vals.shape[0] // LANE
 
-    def kernel(widx_ref, xw_ref, vals_ref, pidx_ref, o_ref):
-        i = pl.program_id(0)
-        wt = xw_ref[pl.ds(widx_ref[i] * LANE, LANE), :]
+    def kernel(widx_ref, wt_ref, vals_ref, pidx_ref, o_ref):
         o_ref[:] = vals_ref[:] * jnp.take_along_axis(
-            wt, pidx_ref[:].astype(jnp.int32), axis=1
+            wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
         )
 
+    tile = pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xw resident
-            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            # window tile selected by the prefetched widx -> pipelined DMA
+            pl.BlockSpec(
+                (LANE, LANE), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
+            ),
+            tile,
+            tile,
         ],
-        out_specs=pl.BlockSpec(
-            (LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=tile,
     )
     return pl.pallas_call(
         kernel,
@@ -571,15 +638,42 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     """Phases 1+2a fused: per-tile lane-gather products immediately W1-
     permuted (the Clos ingress sublane perm) — the product slab never
     round-trips HBM between gather and routing. Pad tiles (vals = 0) emit
-    permuted zeros, which is exactly what their pad slots must carry."""
+    permuted zeros, which is exactly what their pad slots must carry.
+
+    Small domains run as ONE block with the whole xw resident and static
+    window offsets (widx_t) — the per-tile grid pipeline's step overhead
+    dominates at these sizes."""
     dtype = mat.vals.dtype
     n_tiles = mat.vals.shape[0] // LANE
+    if (
+        len(mat.widx_t) == n_tiles
+        and n_tiles <= 32
+        and xw.shape[0] * LANE * xw.dtype.itemsize <= 4 * 2**20
+    ):
+        wl = mat.widx_t
 
-    def kernel(widx_ref, xw_ref, vals_ref, pidx_ref, w1_ref, o_ref):
-        i = pl.program_id(0)
-        wt = xw_ref[pl.ds(widx_ref[i] * LANE, LANE), :]
+        def kernel1(xw_ref, vals_ref, pidx_ref, w1_ref, o_ref):
+            for i in range(n_tiles):
+                sl = slice(i * LANE, (i + 1) * LANE)
+                wt = xw_ref[wl[i] * LANE : (wl[i] + 1) * LANE, :]
+                prod = vals_ref[sl, :] * jnp.take_along_axis(
+                    wt, pidx_ref[sl, :].astype(jnp.int32), axis=1
+                )
+                o_ref[sl, :] = jnp.take_along_axis(
+                    prod.T, w1_ref[sl, :].astype(jnp.int32), axis=1
+                ).T
+
+        return pl.pallas_call(
+            kernel1,
+            out_shape=jax.ShapeDtypeStruct((mat.vals.shape[0], LANE), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_interp(),
+        )(xw, mat.vals, mat.pidx, mat.perm_products.w1)
+
+    def kernel(widx_ref, wt_ref, vals_ref, pidx_ref, w1_ref, o_ref):
         prod = vals_ref[:] * jnp.take_along_axis(
-            wt, pidx_ref[:].astype(jnp.int32), axis=1
+            wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
         )
         o_ref[:] = jnp.take_along_axis(
             prod.T, w1_ref[:].astype(jnp.int32), axis=1
@@ -592,7 +686,10 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xw resident
+            # window tile selected by the prefetched widx -> pipelined DMA
+            pl.BlockSpec(
+                (LANE, LANE), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
+            ),
             tile_spec,
             tile_spec,
             tile_spec,
@@ -608,29 +705,61 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
 
 
 def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
-    """Residue-dual heavy path: per-tile gather + full sum, then static
-    per-row totals over each row's (contiguous) tiles."""
+    """Pooled residue-dual heavy path (see _build_heavy): per tile, gather
+    products, inclusive lane-cumsum via one triangular MXU matmul, and
+    sample the cumsum at each row-slot's per-residue bounds; slot partials
+    map back to rows with a static 0/1 matmul. Legacy (owner-packed)
+    serialized formats lack hlo/hhi and use the plain per-lane sum."""
     dtype = mat.hvals.dtype
     n_tiles = mat.hvals.shape[0] // LANE
+    v2 = mat.hlo is not None
+    tile_spec = pl.BlockSpec(
+        (LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
 
-    def kernel(hwidx_ref, xw_ref, vals_ref, pidx_ref, o_ref):
-        i = pl.program_id(0)
-        wt = xw_ref[pl.ds(hwidx_ref[i] * LANE, LANE), :]
+    def kernel(hwidx_ref, wt_ref, vals_ref, pidx_ref, *rest):
         prod = vals_ref[:] * jnp.take_along_axis(
-            wt, pidx_ref[:].astype(jnp.int32), axis=1
+            wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
         )
-        s = jnp.sum(prod, axis=0).reshape(1, LANE)
+        if v2:
+            lo_ref, hi_ref, o_ref = rest
+            # C[a, j] = sum_{l <= j} prod[a, l]: one triangular matmul
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+            cols_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+            tri = (rows_i <= cols_i).astype(dtype)
+            c = jax.lax.dot(
+                prod, tri, preferred_element_type=jnp.float32
+            ).astype(dtype)
+            lo = lo_ref[:].astype(jnp.int32)
+            hi = hi_ref[:].astype(jnp.int32)
+            t_hi = jnp.take_along_axis(c, jnp.maximum(hi, 0), axis=1) * (
+                hi >= 0
+            ).astype(dtype)
+            t_lo = jnp.take_along_axis(c, jnp.maximum(lo, 0), axis=1) * (
+                lo >= 0
+            ).astype(dtype)
+            s = jnp.sum(t_hi - t_lo, axis=0).reshape(1, LANE)
+        else:
+            (o_ref,) = rest
+            s = jnp.sum(prod, axis=0).reshape(1, LANE)
         # (8, LANE) block: sublane-aligned output tile, row 0 carries the sum
         o_ref[:] = jnp.broadcast_to(s, (8, LANE))
 
+    ins = [
+        pl.BlockSpec(
+            (LANE, LANE), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
+        ),
+        tile_spec,
+        tile_spec,
+    ]
+    args = [mat.hwidx, xw, mat.hvals, mat.hpidx]
+    if v2:
+        ins += [tile_spec, tile_spec]
+        args += [mat.hlo, mat.hhi]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=ins,
         out_specs=pl.BlockSpec(
             (8, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -640,9 +769,9 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, LANE), dtype),
         interpret=_interp(),
-    )(mat.hwidx, xw, mat.hvals, mat.hpidx)
+    )(*args)
     lane_sums = partials.reshape(n_tiles, 8, LANE)[:, 0, :]  # (T, 128)
-    # one static 0/1 matmul maps per-lane sums back to their heavy rows
+    # one static 0/1 matmul maps per-slot sums back to their heavy rows
     return mat.hreduce @ lane_sums.reshape(-1)
 
 
@@ -815,7 +944,15 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     concat = jnp.pad(concat, (0, dom_o - concat.shape[0]))
     y = apply_permutation(mat.perm_out, concat.reshape(mat.perm_out.h, LANE))
     y = y.reshape(-1)[: mat.shape[0]]
-    if mat.hvals is not None:
+    if mat.hdense is not None:
+        xb = jnp.pad(x, (0, mat.hdense.shape[1] - x.shape[0])).astype(
+            jnp.bfloat16
+        )
+        hsums = jax.lax.dot(
+            mat.hdense, xb, preferred_element_type=jnp.float32
+        )
+        y = y.at[jnp.asarray(mat.heavy_rows)].add(hsums.astype(y.dtype))
+    elif mat.hvals is not None:
         hsums = _heavy_sums(mat, xw)
         # heavy rows carry no light nnz, so their y is exactly zero here
         y = y.at[jnp.asarray(mat.heavy_rows)].add(hsums.astype(y.dtype))

@@ -31,11 +31,15 @@ def save_prepared(path: str, mat: PreparedFormat) -> None:
     import jax
 
     leaves, _treedef = jax.tree_util.tree_flatten(mat)
-    meta = {"kind": type(mat).__name__, "aux": _aux_of(mat)}
+    arrs = [np.asarray(l) for l in leaves]
+    # npz cannot hold ml_dtypes arrays: store bf16 as uint16 bit patterns
+    bf16 = [i for i, a in enumerate(arrs) if a.dtype.name == "bfloat16"]
+    arrs = [a.view(np.uint16) if i in bf16 else a for i, a in enumerate(arrs)]
+    meta = {"kind": type(mat).__name__, "aux": _aux_of(mat), "bf16": bf16}
     np.savez_compressed(
         path,
         __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-        **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        **{f"leaf{i}": a for i, a in enumerate(arrs)},
     )
 
 
@@ -89,18 +93,30 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "perm_out": _perm_aux(mat.perm_out),
             "n_lvl_masks": len(mat.lvl_masks),
             "has_heavy": mat.hvals is not None,
+            "heavy_v2": mat.hlo is not None,
+            "has_hdense": mat.hdense is not None,
             "heavy_rows": list(mat.heavy_rows),
+            "widx_t": list(mat.widx_t),
         }
     raise TypeError(type(mat))
 
 
 class _LeafReader:
-    def __init__(self, z):
+    def __init__(self, z, bf16=()):
         self.z = z
         self.i = 0
+        self.bf16 = set(bf16)
+
+    def _one(self, k):
+        a = self.z[f"leaf{k}"]
+        if k in self.bf16:
+            import ml_dtypes
+
+            a = a.view(ml_dtypes.bfloat16)
+        return jnp.asarray(a)
 
     def take(self, n: int):
-        out = [jnp.asarray(self.z[f"leaf{self.i + k}"]) for k in range(n)]
+        out = [self._one(self.i + k) for k in range(n)]
         self.i += n
         return out
 
@@ -123,7 +139,7 @@ def load_prepared(path: str) -> PreparedFormat:
     z = np.load(path)
     meta = json.loads(bytes(z["__meta__"]).decode())
     kind, aux = meta["kind"], meta["aux"]
-    r = _LeafReader(z)
+    r = _LeafReader(z, bf16=meta.get("bf16", ()))
     n_leaves = len(z.files) - 1
     if kind == "BinnedCSR":
         return BinnedCSR(
@@ -168,13 +184,20 @@ def load_prepared(path: str) -> PreparedFormat:
         lvl_perms = tuple(_read_perm(r, pa) for pa in aux["lvl_perms"])
         lvl_masks = tuple(r.take(aux["n_lvl_masks"]))
         perm_out = _read_perm(r, aux["perm_out"])
-        hvals = hpidx = hwidx = hreduce = None
+        hvals = hpidx = hwidx = hreduce = hlo = hhi = hdense = None
         if aux.get("has_heavy"):
             hvals, hpidx, hwidx, hreduce = r.take(4)
+            if aux.get("heavy_v2"):
+                hlo, hhi = r.take(2)
+        if aux.get("has_hdense"):
+            (hdense,) = r.take(1)
         return RoutedCSR(
             vals=vals,
             pidx=pidx,
             widx=widx,
+            hlo=hlo,
+            hhi=hhi,
+            hdense=hdense,
             perm_products=perm_products,
             lvl_perms=lvl_perms,
             lvl_masks=lvl_masks,
@@ -184,6 +207,7 @@ def load_prepared(path: str) -> PreparedFormat:
             hwidx=hwidx,
             hreduce=hreduce,
             heavy_rows=tuple(aux.get("heavy_rows", ())),
+            widx_t=tuple(aux.get("widx_t", ())),
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
             n_windows=aux["n_windows"],

@@ -305,12 +305,66 @@ def _tiled_call(kernel, n_in: int, t: int, dtype):
     )
 
 
+#: whole-domain single-block kernels beat the per-tile grid pipeline (the
+#: grid's per-step overhead dominates at these sizes); cap keeps the three
+#: resident buffers within VMEM
+_WHOLE_MAX_T = 32
+
+
+def _whole_w_call(x, w, r=None, r_after=None):
+    """Single-block W stage: per-tile transpose.taa.transpose over the whole
+    (t*128, 128) domain, optionally preceded (r) or followed (r_after) by a
+    full-array lane perm."""
+    t = x.shape[0] // LANE
+
+    def kernel(*refs):
+        refs_l = list(refs)
+        x_ref = refs_l.pop(0)
+        r_ref = refs_l.pop(0) if r is not None else None
+        w_ref = refs_l.pop(0)
+        ra_ref = refs_l.pop(0) if r_after is not None else None
+        o_ref = refs_l.pop(0)
+        s_ref = refs_l.pop(0) if r_after is not None else o_ref
+        xin = x_ref
+        if r_ref is not None:
+            xr = jnp.take_along_axis(
+                x_ref[:], r_ref[:].astype(jnp.int32), axis=1
+            )
+        for tt in range(t):
+            sl = slice(tt * LANE, (tt + 1) * LANE)
+            blk = xr[sl, :] if r_ref is not None else xin[sl, :]
+            s_ref[sl, :] = jnp.take_along_axis(
+                blk.T, w_ref[sl, :].astype(jnp.int32), axis=1
+            ).T
+        if ra_ref is not None:
+            o_ref[:] = jnp.take_along_axis(
+                s_ref[:], ra_ref[:].astype(jnp.int32), axis=1
+            )
+
+    args = [x] + ([r] if r is not None else []) + [w] + (
+        [r_after] if r_after is not None else []
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM(x.shape, x.dtype)] if r_after is not None else []
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
 def apply_sw_w2_sw(plan: PlannedPermutation, x2: jax.Array) -> jax.Array:
     """Middle stages SW . W2 . SW^-1, for callers that fused W1 into their
     producer kernel (e.g. the routed gather)."""
     t = plan.t
     x3 = x2.reshape(t, LANE, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
-    x4 = _tiled_call(_tile_kernel, 2, t, x2.dtype)(x3, plan.w2)
+    if t <= _WHOLE_MAX_T:
+        x4 = _whole_w_call(x3, plan.w2)
+    else:
+        x4 = _tiled_call(_tile_kernel, 2, t, x2.dtype)(x3, plan.w2)
     return x4.reshape(LANE, t, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
 
 
@@ -320,7 +374,9 @@ def apply_permutation_to_mid(plan: PlannedPermutation, x: jax.Array) -> jax.Arra
     fuse into their consumer kernel (e.g. the routed reduce)."""
     t = plan.t
     dtype = x.dtype
-    if plan.r1 is None:
+    if t <= _WHOLE_MAX_T:
+        x2 = _whole_w_call(x, plan.w1, r=plan.r1)
+    elif plan.r1 is None:
         x2 = _tiled_call(_tile_kernel, 2, t, dtype)(x, plan.w1)
     else:
         x2 = _tiled_call(_row_and_tile_kernel, 3, t, dtype)(x, plan.r1, plan.w1)
@@ -339,7 +395,16 @@ def apply_permutation(
     """
     t = plan.t
     dtype = x.dtype
+    if t == 1 and plan.wc is not None:
+        # SW stages are identity: the whole permutation is one kernel
+        return _whole_w_call(
+            x, plan.wc, r=plan.r1, r_after=None if skip_r3 else plan.r3
+        )
     x5 = apply_permutation_to_mid(plan, x)
+    if t <= _WHOLE_MAX_T:
+        return _whole_w_call(
+            x5, plan.w3, r_after=None if skip_r3 else plan.r3
+        )
     if skip_r3:
         return _tiled_call(_tile_kernel, 2, t, dtype)(x5, plan.w3)
     return _tiled_call(_tile_and_row_kernel, 3, t, dtype)(x5, plan.w3, plan.r3)

@@ -103,6 +103,78 @@ def test_routed_heavy_row_residue_path():
     assert rep.ok, rep
 
 
+def test_routed_heavy_pooled_multi_row(monkeypatch):
+    # several heavy rows pool per window: row-slot ranges span tile
+    # boundaries and multiple rows share tiles (hlo/hhi cumsum path)
+    monkeypatch.setenv("SPMV_DENSE_HEAVY", "0")  # force the pooled tiles
+    rng = np.random.default_rng(11)
+    m, n = 2000, 40000
+    rows_l, cols_l = [], []
+    for r in range(10):  # 10 heavy rows, ~5k nnz each, all windows
+        c = rng.choice(n, size=5000, replace=False)
+        rows_l.append(np.full(5000, r))
+        cols_l.append(c)
+    rows_l.append(rng.integers(10, m, 8000))
+    cols_l.append(rng.integers(0, n, 8000))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    rows, cols = np.unique(np.stack([rows, cols]), axis=1)
+    coo = S.COOMatrix(
+        shape=(m, n), rows=rows, cols=cols,
+        vals=rng.uniform(-3e-5, 3e-5, rows.shape[0]),
+    )
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(n, seed=12)
+    mat = prepare_routed(csr, heavy_threshold=4096)
+    assert len(mat.heavy_rows) == 10 and mat.hlo is not None
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_routed_heavy_dense_block():
+    # small heavy sets ride the dense bf16 row block (y_h = H @ x); f32
+    # accumulate keeps the protocol tolerance (7e-4, |x| < 3e-5)
+    csr = _make_spiked(3000, 30000, 20000, 5000, seed=31)
+    x = fill_rnd_vector(30000, seed=32)
+    mat = prepare_routed(csr)
+    assert mat.heavy_rows == (0,) and mat.hdense is not None
+    assert mat.hvals is None
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_routed_heavy_pool_cap_split(monkeypatch):
+    # more heavy rows than one pool admits (> _HEAVY_POOL_ROWS): rows split
+    # into pools so no tile exceeds its 128 row-slot lanes
+    from spmv_openmp_cuda_tpu.formats.routed import _HEAVY_POOL_ROWS
+
+    monkeypatch.setenv("SPMV_DENSE_HEAVY", "0")
+    rng = np.random.default_rng(21)
+    n_heavy = _HEAVY_POOL_ROWS + 10
+    m, n = n_heavy + 50, 20000
+    per_row = 600
+    rows_l = [np.full(per_row, r) for r in range(n_heavy)]
+    cols_l = [rng.choice(n, size=per_row, replace=False) for _ in range(n_heavy)]
+    rows_l.append(rng.integers(n_heavy, m, 2000))
+    cols_l.append(rng.integers(0, n, 2000))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    rows, cols = np.unique(np.stack([rows, cols]), axis=1)
+    coo = S.COOMatrix(
+        shape=(m, n), rows=rows, cols=cols,
+        vals=rng.uniform(-3e-5, 3e-5, rows.shape[0]),
+    )
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(n, seed=22)
+    mat = prepare_routed(csr, heavy_threshold=512)
+    assert len(mat.heavy_rows) == n_heavy
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
 def test_routed_level_slab_padding_not_corrupted():
     # Split rows whose level-2 units share a group with differing lengths:
     # the shorter unit's column has in-run padding slots; the level perm
