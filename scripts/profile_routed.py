@@ -127,6 +127,17 @@ def main():
     stages["perm_out"] = (lambda v: apply_permutation(mat.perm_out, v), cc)
     if mat.hvals is not None:
         stages["heavy"] = (lambda v: R._heavy_sums(mat, v), xw)
+    if mat.hdense is not None:
+        stages["hdense_mv"] = (lambda v: R._hdense_mv(mat, v), x)
+
+    def assembly(v):
+        # concat/pad + output perm + slice (y assembly minus level sums)
+        dom_o = mat.perm_out.h * LANE
+        cc = jnp.pad(v.reshape(-1), (0, dom_o - v.size))
+        y = apply_permutation(mat.perm_out, cc.reshape(mat.perm_out.h, LANE))
+        return y.reshape(-1)[: mat.shape[0]]
+
+    stages["assembly"] = (assembly, sums)
 
     for name, (fn, x0) in stages.items():
         if want and name not in want:

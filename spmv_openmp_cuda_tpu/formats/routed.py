@@ -309,8 +309,17 @@ def _pick_heavy_threshold(csr: CSRMatrix, lens_full: np.ndarray) -> int:
 
 
 def prepare_routed(
-    csr: CSRMatrix, dtype=jnp.float32, heavy_threshold: int | None = None
+    csr: CSRMatrix,
+    dtype=jnp.float32,
+    heavy_threshold: int | None = None,
+    vals_dtype=None,
 ) -> RoutedCSR:
+    """vals_dtype (default = dtype) is the storage dtype of the streamed
+    value slabs only; the gathered x, product slab and all reductions stay
+    in `dtype` (bf16 vals halve the gather phase's dominant HBM stream at
+    ~0.4% relative value rounding — the PL_DIA_BF16 trade)."""
+    if vals_dtype is None:
+        vals_dtype = dtype
     m, n = csr.shape
     if csr.nnz == 0 or m == 0:
         raise RoutedError("empty matrix")
@@ -554,22 +563,19 @@ def prepare_routed(
         lvl_runs.append(lv["runs"])
 
     # ---- device arrays ----------------------------------------------------
-    # padded to the full permutation domain so the gather kernel can emit the
-    # W1-permuted slab directly (pad tiles hold val = 0 -> permuted zeros);
-    # pidx holds panel ids < 128, stored int8 to halve its HBM stream
-    vals = np.zeros((h1, LANE), dtype=np.float64)
-    pidx = np.zeros((h1, LANE), dtype=np.int8)
+    # pidx holds panel ids < 128, stored int8 to halve its HBM stream; pad
+    # tiles beyond rows_a are never materialized — the gather kernels emit
+    # their zeros directly
+    vals = np.zeros((rows_a, LANE), dtype=np.float64)
+    pidx = np.zeros((rows_a, LANE), dtype=np.int8)
     vals[row_a, lane_a] = csr.data
     pidx[row_a, lane_a] = p
-    widx = np.zeros(h1 // LANE, dtype=np.int32)
-    widx[: rows_a // LANE] = np.repeat(
-        np.arange(nwin, dtype=np.int32), tiles_per_win
-    )
+    widx = np.repeat(np.arange(nwin, dtype=np.int32), tiles_per_win)
     return RoutedCSR(
-        vals=jnp.asarray(vals, dtype=dtype),
+        vals=jnp.asarray(vals, dtype=vals_dtype),
         pidx=jnp.asarray(pidx),
         widx=jnp.asarray(widx),
-        hvals=jnp.asarray(hvals, dtype=dtype) if hvals is not None else None,
+        hvals=jnp.asarray(hvals, dtype=vals_dtype) if hvals is not None else None,
         hpidx=jnp.asarray(hpidx, dtype=jnp.int8) if hpidx is not None else None,
         hwidx=jnp.asarray(hwidx) if hwidx is not None else None,
         hreduce=jnp.asarray(hreduce, dtype=dtype) if hreduce is not None else None,
@@ -594,21 +600,28 @@ def prepare_routed(
     )
 
 
+def _slab_dtype(mat: RoutedCSR):
+    """Compute/slab dtype: f32 when vals stream as bf16 (the taa source and
+    the permuted product slab must stay f32 — Mosaic bf16 taa crashes and
+    accumulation wants the precision)."""
+    return jnp.float32 if mat.vals.dtype == jnp.bfloat16 else mat.vals.dtype
+
+
 def _pack_xw(mat: RoutedCSR, x: jax.Array) -> jax.Array:
     """x -> transposed window stack, flattened rows: rows [w*128, (w+1)*128)
     = window w."""
     return pack_x_windows_flat(
-        x, mat.n_windows, mat.shape[1], mat.vals.dtype, WINDOW_PANELS
+        x, mat.n_windows, mat.shape[1], _slab_dtype(mat), WINDOW_PANELS
     )
 
 
 def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     """Phase 1: products in panel order, (h1, 128)."""
-    dtype = mat.vals.dtype
+    dtype = _slab_dtype(mat)
     n_tiles = mat.vals.shape[0] // LANE
 
     def kernel(widx_ref, wt_ref, vals_ref, pidx_ref, o_ref):
-        o_ref[:] = vals_ref[:] * jnp.take_along_axis(
+        o_ref[:] = vals_ref[:].astype(dtype) * jnp.take_along_axis(
             wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
         )
 
@@ -642,66 +655,123 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
 
     Small domains run as ONE block with the whole xw resident and static
     window offsets (widx_t) — the per-tile grid pipeline's step overhead
-    dominates at these sizes."""
-    dtype = mat.vals.dtype
-    n_tiles = mat.vals.shape[0] // LANE
+    dominates at these sizes. The output covers the full permutation domain;
+    pad tiles past the gather rows are zeroed in-kernel without any HBM
+    read."""
+    dtype = _slab_dtype(mat)
+    n_real = mat.vals.shape[0] // LANE
+    h1 = mat.perm_products.h
     if (
-        len(mat.widx_t) == n_tiles
-        and n_tiles <= 32
+        len(mat.widx_t) == n_real
+        and n_real <= 32
         and xw.shape[0] * LANE * xw.dtype.itemsize <= 4 * 2**20
     ):
         wl = mat.widx_t
 
         def kernel1(xw_ref, vals_ref, pidx_ref, w1_ref, o_ref):
-            for i in range(n_tiles):
+            for i in range(n_real):
                 sl = slice(i * LANE, (i + 1) * LANE)
                 wt = xw_ref[wl[i] * LANE : (wl[i] + 1) * LANE, :]
-                prod = vals_ref[sl, :] * jnp.take_along_axis(
+                prod = vals_ref[sl, :].astype(dtype) * jnp.take_along_axis(
                     wt, pidx_ref[sl, :].astype(jnp.int32), axis=1
                 )
                 o_ref[sl, :] = jnp.take_along_axis(
                     prod.T, w1_ref[sl, :].astype(jnp.int32), axis=1
                 ).T
+            if h1 > n_real * LANE:
+                o_ref[n_real * LANE :, :] = jnp.zeros(
+                    (h1 - n_real * LANE, LANE), dtype
+                )
 
         return pl.pallas_call(
             kernel1,
-            out_shape=jax.ShapeDtypeStruct((mat.vals.shape[0], LANE), dtype),
+            out_shape=jax.ShapeDtypeStruct((h1, LANE), dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=_interp(),
         )(xw, mat.vals, mat.pidx, mat.perm_products.w1)
 
     def kernel(widx_ref, wt_ref, vals_ref, pidx_ref, w1_ref, o_ref):
-        prod = vals_ref[:] * jnp.take_along_axis(
-            wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
-        )
-        o_ref[:] = jnp.take_along_axis(
-            prod.T, w1_ref[:].astype(jnp.int32), axis=1
-        ).T
+        i = pl.program_id(0)
 
-    tile_spec = pl.BlockSpec(
-        (LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
-    )
+        @pl.when(i < n_real)
+        def _():
+            prod = vals_ref[:].astype(dtype) * jnp.take_along_axis(
+                wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
+            )
+            o_ref[:] = jnp.take_along_axis(
+                prod.T, w1_ref[:].astype(jnp.int32), axis=1
+            ).T
+
+        @pl.when(i >= n_real)
+        def _():
+            o_ref[:] = jnp.zeros((LANE, LANE), dtype)
+
+    # pad tiles re-read tile 0's inputs (clamped index) but never use them
+    clamp = lambda i, s: (jnp.minimum(i, n_real - 1), 0)  # noqa: E731
+    tile_spec = pl.BlockSpec((LANE, LANE), clamp, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(h1 // LANE,),
         in_specs=[
             # window tile selected by the prefetched widx -> pipelined DMA
             pl.BlockSpec(
-                (LANE, LANE), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
+                (LANE, LANE),
+                lambda i, s: (s[jnp.minimum(i, n_real - 1)], 0),
+                memory_space=pltpu.VMEM,
             ),
             tile_spec,
             tile_spec,
             tile_spec,
         ],
-        out_specs=tile_spec,
+        out_specs=pl.BlockSpec(
+            (LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+        ),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mat.vals.shape[0], LANE), dtype),
+        out_shape=jax.ShapeDtypeStruct((h1, LANE), dtype),
         interpret=_interp(),
     )(mat.widx, xw, mat.vals, mat.pidx, mat.perm_products.w1)
+
+
+def _hdense_mv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
+    """y_h = H @ x for the dense bf16 heavy block. XLA's skinny matvec runs
+    far below bandwidth (measured ~3x slower), so small blocks use a
+    single-block kernel: per heavy row, an elementwise multiply over the
+    (C, 128)-shaped row and a full f32 sum."""
+    n_h, n_pad = mat.hdense.shape
+    c = n_pad // LANE
+    xb = jnp.pad(x, (0, n_pad - x.shape[0]))
+    if n_h > 64 or mat.hdense.size * 2 > 6 * 2**20:
+        return jax.lax.dot(
+            mat.hdense, xb.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    hd = mat.hdense.reshape(n_h * c, LANE)
+    x2 = xb.reshape(c, LANE).astype(jnp.float32)
+
+    def kernel(h_ref, x_ref, o_ref):
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+        acc = jnp.zeros((8, LANE), jnp.float32)
+        for r in range(n_h):
+            prod = h_ref[r * c : (r + 1) * c, :].astype(jnp.float32) * x_ref[:]
+            s = jnp.sum(prod)
+            acc = acc + jnp.where(
+                (rows_i == r // LANE) & (cols_i == r % LANE), s, 0.0
+            )
+        o_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interp(),
+    )(hd, x2)
+    return out.reshape(-1)[:n_h]
 
 
 def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
@@ -710,7 +780,9 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     sample the cumsum at each row-slot's per-residue bounds; slot partials
     map back to rows with a static 0/1 matmul. Legacy (owner-packed)
     serialized formats lack hlo/hhi and use the plain per-lane sum."""
-    dtype = mat.hvals.dtype
+    dtype = (
+        jnp.float32 if mat.hvals.dtype == jnp.bfloat16 else mat.hvals.dtype
+    )
     n_tiles = mat.hvals.shape[0] // LANE
     v2 = mat.hlo is not None
     tile_spec = pl.BlockSpec(
@@ -718,7 +790,7 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     )
 
     def kernel(hwidx_ref, wt_ref, vals_ref, pidx_ref, *rest):
-        prod = vals_ref[:] * jnp.take_along_axis(
+        prod = vals_ref[:].astype(dtype) * jnp.take_along_axis(
             wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
         )
         if v2:
@@ -778,9 +850,12 @@ def _heavy_sums(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
 #: fused-reduce VMEM budget: slab f32 + r3 int8 + gathered temp must fit
 _FUSED_REDUCE_MAX_ROWS = 8192
 
-#: stricter budget for the W3+R3+reduce single-block kernel (adds a second
-#: full-domain scratch slab + the w3 index array)
-_W3_FUSED_MAX_ROWS = 4096
+#: budget for the W3+R3+reduce single-block kernel (adds a second
+#: full-domain scratch slab + the w3 index array): ~10 MB VMEM at 8192 rows
+#: without a mask; the masked (level) variant adds a full-domain mask, so it
+#: keeps the stricter cap
+_W3_FUSED_MAX_ROWS = 8192
+_W3_FUSED_MASKED_MAX_ROWS = 4096
 
 
 def _w3_r3_reduce(x5, plan, runs, mask=None) -> jax.Array:
@@ -897,14 +972,13 @@ def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
 
 
 def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> jax.Array:
-    dtype = mat.vals.dtype
     if xw is None:
         xw = _pack_xw(mat, x)
     h1 = mat.perm_products.h
-    # vals padded to the full domain (current prepare) enables the fused
-    # gather+W1 entry; unpadded arrays (older serialized formats) fall back
-    padded = mat.vals.shape[0] == h1
-    if padded and h1 <= _W3_FUSED_MAX_ROWS:
+    # widx_t (new formats) lets the gather emit the W1-permuted full-domain
+    # slab directly; legacy serialized formats fall back to gather+pad
+    fused = len(mat.widx_t) == mat.vals.shape[0] // LANE
+    if fused and h1 <= _W3_FUSED_MAX_ROWS:
         x2 = _gather_w1(mat, xw)
         x5 = apply_sw_w2_sw(mat.perm_products, x2)
         sums = _w3_r3_reduce(x5, mat.perm_products, mat.runs)
@@ -927,7 +1001,7 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
             prev2d = jnp.pad(prev2d, ((0, perm_k.h - prev2d.shape[0]), (0, 0)))
         if perm_k.t == 1 and perm_k.wc is not None:
             flats.append(_perm_reduce_t1(prev2d, perm_k, mask_k, runs).reshape(-1))
-        elif perm_k.h <= _W3_FUSED_MAX_ROWS:
+        elif perm_k.h <= _W3_FUSED_MASKED_MAX_ROWS:
             x5_k = apply_permutation_to_mid(perm_k, prev2d)
             flats.append(_w3_r3_reduce(x5_k, perm_k, runs, mask=mask_k).reshape(-1))
         elif perm_k.h <= _FUSED_REDUCE_MAX_ROWS:
@@ -945,12 +1019,7 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     y = apply_permutation(mat.perm_out, concat.reshape(mat.perm_out.h, LANE))
     y = y.reshape(-1)[: mat.shape[0]]
     if mat.hdense is not None:
-        xb = jnp.pad(x, (0, mat.hdense.shape[1] - x.shape[0])).astype(
-            jnp.bfloat16
-        )
-        hsums = jax.lax.dot(
-            mat.hdense, xb, preferred_element_type=jnp.float32
-        )
+        hsums = _hdense_mv(mat, x)
         y = y.at[jnp.asarray(mat.heavy_rows)].add(hsums.astype(y.dtype))
     elif mat.hvals is not None:
         hsums = _heavy_sums(mat, xw)
@@ -994,7 +1063,8 @@ def _sub_csr(csr: CSRMatrix, r0: int, r1: int) -> CSRMatrix:
 
 
 def prepare_routed_chunked(
-    csr: CSRMatrix, dtype=jnp.float32, chunk_nnz: int = 1_200_000
+    csr: CSRMatrix, dtype=jnp.float32, chunk_nnz: int = 1_200_000,
+    vals_dtype=None,
 ) -> RoutedChunks:
     """Split rows greedily into blocks of <= chunk_nnz light nnz and prepare
     a routed engine per block (recursive halving if a block still exceeds
@@ -1016,7 +1086,11 @@ def prepare_routed_chunked(
     while stack:
         r0, r1 = stack.pop()
         try:
-            chunks.append(prepare_routed(_sub_csr(csr, r0, r1), dtype=dtype))
+            chunks.append(
+                prepare_routed(
+                    _sub_csr(csr, r0, r1), dtype=dtype, vals_dtype=vals_dtype
+                )
+            )
             final_bounds.append(r1)
         except RoutedError:
             if r1 - r0 <= 1:
@@ -1038,12 +1112,12 @@ def routed_chunked_spmv(mat: RoutedChunks, x: jax.Array) -> jax.Array:
     return jnp.concatenate([routed_spmv(c, x, xw=xw) for c in mat.chunks])
 
 
-def prepare_routed_auto(csr: CSRMatrix, dtype=jnp.float32):
+def prepare_routed_auto(csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None):
     """RoutedCSR when one domain suffices, RoutedChunks otherwise."""
     try:
-        return prepare_routed(csr, dtype=dtype)
+        return prepare_routed(csr, dtype=dtype, vals_dtype=vals_dtype)
     except RoutedError:
-        return prepare_routed_chunked(csr, dtype=dtype)
+        return prepare_routed_chunked(csr, dtype=dtype, vals_dtype=vals_dtype)
 
 
 def routed_auto_spmv(mat, x: jax.Array) -> jax.Array:

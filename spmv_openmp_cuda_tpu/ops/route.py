@@ -307,8 +307,8 @@ def _tiled_call(kernel, n_in: int, t: int, dtype):
 
 #: whole-domain single-block kernels beat the per-tile grid pipeline (the
 #: grid's per-step overhead dominates at these sizes); cap keeps the three
-#: resident buffers within VMEM
-_WHOLE_MAX_T = 32
+#: resident buffers (f32 in + idx + f32 out, ~9 MB at t=64) within VMEM
+_WHOLE_MAX_T = 64
 
 
 def _whole_w_call(x, w, r=None, r_after=None):

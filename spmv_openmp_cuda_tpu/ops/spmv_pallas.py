@@ -299,5 +299,21 @@ def _register() -> None:
         )
     )
 
+    register(
+        KernelSpec(
+            name="PL_CSR_ROUTED_BF16",
+            fmt="csr",
+            impl="pallas",
+            prepare=lambda csr, ell, cfg: prepare_routed_auto(
+                csr, dtype=jnp.float32, vals_dtype=jnp.bfloat16
+            ),
+            run=routed_auto_spmv,
+            doc="Clos-routed CSR with bf16 value slabs (f32 gather/route/"
+            "accumulate): halves the gather phase's dominant HBM stream; "
+            "the bf16-value trade of PL_DIA_BF16 applied to the general "
+            "engine",
+        )
+    )
+
 
 _register()

@@ -132,6 +132,18 @@ def test_routed_heavy_pooled_multi_row(monkeypatch):
     assert rep.ok, rep
 
 
+def test_routed_bf16_vals():
+    # bf16 value slabs, f32 gather/route/accumulate: stays inside the
+    # protocol tolerance on bounded-magnitude inputs
+    csr = S.coo_to_csr(synth.power_law(3000, 3000, avg_nnz_per_row=6.0, seed=41))
+    x = fill_rnd_vector(3000, seed=42)
+    mat = prepare_routed(csr, vals_dtype=jnp.bfloat16)
+    assert mat.vals.dtype == jnp.bfloat16
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
 def test_routed_heavy_dense_block():
     # small heavy sets ride the dense bf16 row block (y_h = H @ x); f32
     # accumulate keeps the protocol tolerance (7e-4, |x| < 3e-5)
