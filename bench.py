@@ -34,7 +34,7 @@ def log(msg):
 # (preset, reference GFLOPS, candidate kernels)
 # all five CUDA headline matrices of the reference (BASELINE.md)
 SUITE = [
-    ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED", "PL_CSR_LANES"]),
+    ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED"]),
     ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
     ("caida_like", 10.47, ["PL_CSR_ROUTED"]),
     ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),
@@ -100,42 +100,52 @@ def main():
                     log(f"[{preset}] {name}: TOLERANCE FAIL ({rep.max_abs_diff:.2e})")
                     continue
 
-                def mk_loop(steps):
-                    @jax.jit
-                    def loop(x):
-                        def body(i, x):
+                # K spmv's per loop iteration: the dynamic-trip-count loop
+                # (one compile for every chain length) has ~0.3us/iteration
+                # of loop overhead, amortized K-fold so fast kernels are not
+                # penalized
+                K = 8
+
+                @jax.jit
+                def loop(x, iters):
+                    def body(i, x):
+                        for _ in range(K):
                             y = run(ops, x)
-                            # un-foldable dependency: the chain can't be elided
-                            return x * (1.0 + jnp.sum(y) * 1e-30)
+                            # un-foldable dependency: can't be elided
+                            x = x * (1.0 + jnp.sum(y) * 1e-30)
+                        return x
 
-                        return jax.lax.fori_loop(0, steps, body, x, unroll=False)
-
-                    return loop
+                    # iters is TRACED: every chain length shares one compile
+                    return jax.lax.fori_loop(0, iters, body, x, unroll=False)
 
                 def timed_chain(steps):
-                    loop = mk_loop(steps)
-                    _ = float(jnp.sum(loop(xj)))  # compile + warm + sync
+                    # rounds steps up to a K multiple; returns (time, actual)
+                    iters = -(-steps // K)
+                    s = jnp.int32(iters)
+                    _ = float(jnp.sum(loop(xj, s)))  # compile/warm + sync
                     t_best = float("inf")
                     for _rep in range(2):
                         t1 = time.perf_counter()
-                        _ = float(jnp.sum(loop(xj)))  # readback forces sync
+                        _ = float(jnp.sum(loop(xj, s)))  # readback = sync
                         t_best = min(t_best, time.perf_counter() - t1)
-                    return t_best
+                    return t_best, iters * K
 
-                lo_n = 10
-                t_lo = timed_chain(lo_n)
+                lo_n = 16
+                t_lo, lo_n = timed_chain(lo_n)
                 # pick hi so the extra steps add ~2s of device time — far
                 # above the multi-ms fixed-cost noise, bounded for slow kernels
                 est = max(t_lo / lo_n, 1e-6)
-                hi_n = lo_n + max(50, min(STEPS * 10, int(1.2 / est)))
-                t_hi = timed_chain(hi_n)
+                t_hi, hi_n = timed_chain(
+                    lo_n + max(50, min(STEPS * 10, int(1.2 / est)))
+                )
                 if t_hi - t_lo < 0.6:
                     # extra steps drowned in fixed-cost noise (fast kernel,
                     # t_lo dominated by dispatch): escalate the chain length
                     # until the step signal is ~1.2s
                     slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
-                    hi_n = lo_n + min(int(1.2 / slope1), 2_000_000)
-                    t_hi = timed_chain(hi_n)
+                    t_hi, hi_n = timed_chain(
+                        lo_n + min(int(1.2 / slope1), 2_000_000)
+                    )
                 compile_s = time.perf_counter() - t0
                 dt = (t_hi - t_lo) / (hi_n - lo_n)
                 if dt <= 0:

@@ -24,24 +24,21 @@ LANE = 128
 
 
 def slope(fn, x0, lo=10, budget=1.0):
-    def mk(steps):
-        @jax.jit
-        def loop(x):
-            def body(i, x):
-                y = fn(x)
-                return x * (1.0 + jnp.sum(y) * 1e-30)
+    @jax.jit
+    def loop(x, steps):
+        def body(i, x):
+            y = fn(x)
+            return x * (1.0 + jnp.sum(y) * 1e-30)
 
-            return jax.lax.fori_loop(0, steps, body, x, unroll=False)
-
-        return loop
+        return jax.lax.fori_loop(0, steps, body, x, unroll=False)
 
     def timed(steps):
-        f = mk(steps)
-        _ = float(jnp.sum(f(x0)))
+        s = jnp.int32(steps)
+        _ = float(jnp.sum(loop(x0, s)))
         best = float("inf")
         for _ in range(2):
             t = time.perf_counter()
-            _ = float(jnp.sum(f(x0)))
+            _ = float(jnp.sum(loop(x0, s)))
             best = min(best, time.perf_counter() - t)
         return best
 

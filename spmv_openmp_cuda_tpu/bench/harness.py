@@ -118,24 +118,22 @@ def run_kernel(
     # on every backend)
     run = spec.run
 
-    def mk_chain(steps):
-        @jax.jit
-        def chain(xv):
-            def body(i, xv):
-                yv = run(operands, xv)
-                return xv * (1.0 + jnp.sum(yv) * 1e-30)
+    @jax.jit
+    def chain(xv, steps):
+        def body(i, xv):
+            yv = run(operands, xv)
+            return xv * (1.0 + jnp.sum(yv) * 1e-30)
 
-            return jax.lax.fori_loop(0, steps, body, xv, unroll=False)
-
-        return chain
+        # steps is TRACED so every chain length shares one compilation
+        return jax.lax.fori_loop(0, steps, body, xv, unroll=False)
 
     def timed_chain(steps):
-        ch = mk_chain(steps)
-        _ = float(jnp.sum(ch(xj)))  # compile + warm + sync
+        s = jnp.int32(steps)
+        _ = float(jnp.sum(chain(xj, s)))  # compile/warm + sync
         best_t = float("inf")
         for _rep in range(cfg.avg_times_iteration):
             t1 = time.perf_counter()
-            _ = float(jnp.sum(ch(xj)))
+            _ = float(jnp.sum(chain(xj, s)))
             best_t = min(best_t, time.perf_counter() - t1)
         return best_t
 

@@ -40,8 +40,10 @@ from ..config import LANE
 from ..ops.route import (
     PlannedPermutation,
     apply_permutation,
+    apply_permutation_from_w1,
     apply_permutation_to_mid,
     apply_sw_w2_sw,
+    apply_w_stage,
     pick_t,
     plan_permutation,
     plan_row_to_slot,
@@ -858,20 +860,31 @@ _W3_FUSED_MAX_ROWS = 8192
 _W3_FUSED_MASKED_MAX_ROWS = 4096
 
 
-def _w3_r3_reduce(x5, plan, runs, mask=None) -> jax.Array:
+def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None):
     """Last two permutation stages (per-tile W3 sublane perm, R3 lane perm)
     fused with the width-binned reduce in one single-block kernel: x5 is read
     from HBM exactly once and the slab never materializes. The optional mask
-    zeroes in-run padding slots after R3 (level slabs)."""
+    zeroes in-run padding slots after R3 (level slabs).
+
+    With w1_next (the output permutation's W1 stage array), the kernel ALSO
+    emits the W1'-transformed sums for every full 128-group tile — the
+    output permutation's ingress stage costs no extra memory pass. Returns
+    (raw sums, transformed leading tiles) in that case."""
     t = plan.t
     n_groups_total = runs[-1][3] + runs[-1][1]
     g_pad = max(-(-n_groups_total // 8) * 8, 8)
+    k_full = n_groups_total // LANE if w1_next is not None else 0
 
     def kernel(*refs):
-        if mask is None:
-            x5_ref, w3_ref, r3_ref, o_ref, s_ref = refs
-        else:
-            x5_ref, w3_ref, r3_ref, mask_ref, o_ref, s_ref = refs
+        refs_l = list(refs)
+        x5_ref = refs_l.pop(0)
+        w3_ref = refs_l.pop(0)
+        r3_ref = refs_l.pop(0)
+        mask_ref = refs_l.pop(0) if mask is not None else None
+        w1n_ref = refs_l.pop(0) if k_full else None
+        o_ref = refs_l.pop(0)
+        ow1_ref = refs_l.pop(0) if k_full else None
+        s_ref = refs_l.pop(0)
         for tt in range(t):
             sl = slice(tt * LANE, (tt + 1) * LANE)
             s_ref[sl, :] = jnp.take_along_axis(
@@ -885,16 +898,36 @@ def _w3_r3_reduce(x5, plan, runs, mask=None) -> jax.Array:
             o_ref[g0 : g0 + n_groups, :] = seg.reshape(
                 n_groups, width, LANE
             ).sum(axis=1)
+        for kk in range(k_full):
+            sl = slice(kk * LANE, (kk + 1) * LANE)
+            ow1_ref[sl, :] = jnp.take_along_axis(
+                o_ref[sl, :].T, w1n_ref[sl, :].astype(jnp.int32), axis=1
+            ).T
 
-    args = (x5, plan.w3, plan.r3) if mask is None else (x5, plan.w3, plan.r3, mask)
+    args = [x5, plan.w3, plan.r3]
+    if mask is not None:
+        args.append(mask)
+    if k_full:
+        args.append(w1_next[: k_full * LANE])
+    out_shapes = [jax.ShapeDtypeStruct((g_pad, LANE), x5.dtype)]
+    if k_full:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((k_full * LANE, LANE), x5.dtype)
+        )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((g_pad, LANE), x5.dtype),
+        out_shape=out_shapes if k_full else out_shapes[0],
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes)
+            if k_full
+            else pl.BlockSpec(memory_space=pltpu.VMEM)
+        ),
         scratch_shapes=[pltpu.VMEM((t * LANE, LANE), x5.dtype)],
         interpret=_interp(),
     )(*args)
+    if k_full:
+        return out[0][:n_groups_total], out[1]
     return out[:n_groups_total]
 
 
@@ -971,6 +1004,114 @@ def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
     return jnp.concatenate(outs, axis=0)
 
 
+def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
+    """The ENTIRE routed pipeline in ONE kernel for tiny domains (t <= 4,
+    single-tile output, no levels, no heavy rows): at this scale the
+    per-launch and XLA-glue costs dominate, so gather, the full products
+    Clos (SW done in transposed space as a static lane interleave), the
+    width-binned reduce and the t=1 output permutation all run back to back
+    in VMEM. SW in transposed space: C_k[m, p] = T_{p%t}[m, (128/t)k + p/t]
+    — t taa's + a lane-class select per tile, exact because t | 128."""
+    pp = mat.perm_products
+    po = mat.perm_out
+    t = pp.t
+    runs = mat.runs
+    n_groups_total = runs[-1][3] + runs[-1][1]
+    wl = mat.widx_t
+    n_real = mat.vals.shape[0] // LANE
+    dtype = _slab_dtype(mat)
+
+    def kernel(
+        xw_ref, vals_ref, pidx_ref, w1_ref, w2_ref, w3_ref, r3_ref,
+        wc_o_ref, r3_o_ref, o_ref, s_ref, d_ref,
+    ):
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+        # gather + W1, staying in transposed space (T_tt[m, ss])
+        ts = []
+        for tt in range(t):
+            if tt < n_real:
+                sl = slice(tt * LANE, (tt + 1) * LANE)
+                wt = xw_ref[wl[tt] * LANE : (wl[tt] + 1) * LANE, :]
+                prod = vals_ref[sl, :].astype(dtype) * jnp.take_along_axis(
+                    wt, pidx_ref[sl, :].astype(jnp.int32), axis=1
+                )
+            else:
+                prod = jnp.zeros((LANE, LANE), dtype)
+            ts.append(
+                jnp.take_along_axis(
+                    prod.T,
+                    w1_ref[tt * LANE : (tt + 1) * LANE, :].astype(jnp.int32),
+                    axis=1,
+                )
+            )
+        # SW + W2 (transposed space)
+        cs = []
+        for k in range(t):
+            acc = jnp.zeros((LANE, LANE), dtype)
+            idx = (LANE // t) * k + lane_i // t
+            for tt in range(t):
+                gk = jnp.take_along_axis(ts[tt], idx, axis=1)
+                acc = jnp.where((lane_i % t) == tt, gk, acc)
+            cs.append(
+                jnp.take_along_axis(
+                    acc,
+                    w2_ref[k * LANE : (k + 1) * LANE, :].astype(jnp.int32),
+                    axis=1,
+                )
+            )
+        # SW^-1 + W3, transpose back into the row-space scratch
+        for tt in range(t):
+            acc = jnp.zeros((LANE, LANE), dtype)
+            idx = (lane_i % (LANE // t)) * t + tt
+            for k in range(t):
+                gk = jnp.take_along_axis(cs[k], idx, axis=1)
+                acc = jnp.where((lane_i // (LANE // t)) == k, gk, acc)
+            t5 = jnp.take_along_axis(
+                acc,
+                w3_ref[tt * LANE : (tt + 1) * LANE, :].astype(jnp.int32),
+                axis=1,
+            )
+            s_ref[tt * LANE : (tt + 1) * LANE, :] = t5.T
+        # R3 + width-binned reduce into the output domain rows
+        g = jnp.take_along_axis(
+            s_ref[0 : t * LANE, :], r3_ref[:].astype(jnp.int32), axis=1
+        )
+        # stage the output domain rows through a scratch ref (taa over
+        # concatenated SSA values is a known Mosaic crash)
+        for row0, n_groups, width, g0 in runs:
+            seg = g[row0 : row0 + n_groups * width, :]
+            d_ref[g0 : g0 + n_groups, :] = seg.reshape(
+                n_groups, width, LANE
+            ).sum(axis=1)
+        if n_groups_total < LANE:
+            d_ref[n_groups_total:, :] = jnp.zeros(
+                (LANE - n_groups_total, LANE), dtype
+            )
+        # output permutation (t=1, r1 folded): composed W then R3
+        x2o = jnp.take_along_axis(
+            d_ref[:].T, wc_o_ref[:].astype(jnp.int32), axis=1
+        ).T
+        o_ref[:] = jnp.take_along_axis(
+            x2o, r3_o_ref[:].astype(jnp.int32), axis=1
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((LANE, LANE), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((t * LANE, LANE), dtype),
+            pltpu.VMEM((LANE, LANE), dtype),
+        ],
+        interpret=_interp(),
+    )(
+        xw, mat.vals, mat.pidx, pp.w1, pp.w2, pp.w3, pp.r3,
+        po.wc, po.r3,
+    )
+    return out.reshape(-1)[: mat.shape[0]]
+
+
 def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> jax.Array:
     if xw is None:
         xw = _pack_xw(mat, x)
@@ -978,10 +1119,26 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     # widx_t (new formats) lets the gather emit the W1-permuted full-domain
     # slab directly; legacy serialized formats fall back to gather+pad
     fused = len(mat.widx_t) == mat.vals.shape[0] // LANE
+    if (
+        fused
+        and mat.perm_products.t <= 4
+        and mat.perm_out.t == 1
+        and mat.perm_out.wc is not None
+        and mat.perm_out.r1 is None
+        and not mat.lvl_perms
+        and mat.hvals is None
+        and mat.hdense is None
+        and xw.shape[0] * LANE * xw.dtype.itemsize <= 2 * 2**20
+    ):
+        return _routed_small_spmv(mat, xw)
+    sums_w1 = None
     if fused and h1 <= _W3_FUSED_MAX_ROWS:
         x2 = _gather_w1(mat, xw)
         x5 = apply_sw_w2_sw(mat.perm_products, x2)
-        sums = _w3_r3_reduce(x5, mat.perm_products, mat.runs)
+        res = _w3_r3_reduce(
+            x5, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1
+        )
+        sums, sums_w1 = res if isinstance(res, tuple) else (res, None)
     else:
         pa = _gather_products(mat, xw)
         pa = jnp.pad(pa, ((0, h1 - pa.shape[0]), (0, 0)))
@@ -1016,7 +1173,21 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     concat = jnp.concatenate(flats)
     dom_o = mat.perm_out.h * LANE
     concat = jnp.pad(concat, (0, dom_o - concat.shape[0]))
-    y = apply_permutation(mat.perm_out, concat.reshape(mat.perm_out.h, LANE))
+    dom2d = concat.reshape(mat.perm_out.h, LANE)
+    if sums_w1 is not None and mat.perm_out.r1 is None:
+        # W1' for the leading full level-1 tiles already came out of the
+        # reduce kernel; only the boundary/level/pad tail needs the stage
+        k_rows = sums_w1.shape[0]
+        if k_rows < mat.perm_out.h:
+            tail_w1 = apply_w_stage(
+                mat.perm_out.w1[k_rows:], dom2d[k_rows:]
+            )
+            x2_o = jnp.concatenate([sums_w1, tail_w1])
+        else:
+            x2_o = sums_w1
+        y = apply_permutation_from_w1(mat.perm_out, x2_o)
+    else:
+        y = apply_permutation(mat.perm_out, dom2d)
     y = y.reshape(-1)[: mat.shape[0]]
     if mat.hdense is not None:
         hsums = _hdense_mv(mat, x)

@@ -383,6 +383,26 @@ def apply_permutation_to_mid(plan: PlannedPermutation, x: jax.Array) -> jax.Arra
     return apply_sw_w2_sw(plan, x2)
 
 
+def apply_w_stage(w: jax.Array, x: jax.Array) -> jax.Array:
+    """One W stage (per-tile transpose.taa.transpose) over any row-aligned
+    slice of a domain: w must be the matching row slice of the stage array."""
+    return _whole_w_call(x, w)
+
+
+def apply_permutation_from_w1(
+    plan: PlannedPermutation, x2: jax.Array, skip_r3: bool = False
+) -> jax.Array:
+    """Remaining stages for callers that already applied W1 (e.g. fused into
+    their producer): SW . W2 . SW^-1 . W3 [. R3]."""
+    x5 = apply_sw_w2_sw(plan, x2)
+    t = plan.t
+    if t <= _WHOLE_MAX_T:
+        return _whole_w_call(x5, plan.w3, r_after=None if skip_r3 else plan.r3)
+    if skip_r3:
+        return _tiled_call(_tile_kernel, 2, t, x2.dtype)(x5, plan.w3)
+    return _tiled_call(_tile_and_row_kernel, 3, t, x2.dtype)(x5, plan.w3, plan.r3)
+
+
 def apply_permutation(
     plan: PlannedPermutation, x: jax.Array, skip_r3: bool = False
 ) -> jax.Array:

@@ -132,6 +132,29 @@ def test_routed_heavy_pooled_multi_row(monkeypatch):
     assert rep.ok, rep
 
 
+@pytest.mark.parametrize("mn,nnz", [(9000, 40000), (6000, 15000)])
+def test_routed_small_single_kernel(mn, nnz):
+    # tiny domains (t <= 4, single-tile output) run the whole pipeline in
+    # one kernel with the SW stage as a transposed-space lane interleave
+    from spmv_openmp_cuda_tpu.formats import routed as R
+
+    rng = np.random.default_rng(7)
+    rows = rng.integers(0, mn, nnz)
+    cols = rng.integers(0, mn, nnz)
+    rows, cols = np.unique(np.stack([rows, cols]), axis=1)
+    coo = S.COOMatrix(
+        shape=(mn, mn), rows=rows, cols=cols,
+        vals=rng.uniform(-3e-5, 3e-5, rows.shape[0]),
+    )
+    csr = S.coo_to_csr(coo)
+    mat = prepare_routed(csr)
+    assert mat.perm_products.t <= 4 and mat.out_t == 1
+    x = fill_rnd_vector(mn, seed=2)
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
 def test_routed_bf16_vals():
     # bf16 value slabs, f32 gather/route/accumulate: stays inside the
     # protocol tolerance on bounded-magnitude inputs
