@@ -21,23 +21,26 @@ y = np.asarray(dia_spmv_pallas(mat, x, plan), np.float64)
 print(f"first run+compile {time.perf_counter()-t0:.0f}s", flush=True)
 print(f"check maxdiff={np.abs(y - z['oracle']).max():.2e}", flush=True)
 
-def slope(f, carry, LO=3, HI=103):
+def slope(f, carry, LO=16, HI=104, K=8):
+    @jax.jit
+    def ch(c, iters):
+        def body(i, c):
+            for _ in range(K):
+                yv = f(c)
+                c = c * (1.0 + jnp.sum(yv) * 1e-30)
+            return c
+        return jax.lax.fori_loop(0, iters, body, c, unroll=False)
     ts = {}
     for steps in (LO, HI):
-        @jax.jit
-        def ch(c, steps=steps):
-            def body(i, c):
-                yv = f(c)
-                return c * (1.0 + jnp.sum(yv) * 1e-30)
-            return jax.lax.fori_loop(0, steps, body, c, unroll=False)
-        r = ch(carry); _ = float(jnp.sum(r))
+        s_ = jnp.int32(-(-steps // K))
+        _ = float(jnp.sum(ch(carry, s_)))
         best = 1e9
         for _ in range(2):
             t1 = time.perf_counter()
-            r = ch(carry); _ = float(jnp.sum(r))
+            _ = float(jnp.sum(ch(carry, s_)))
             best = min(best, time.perf_counter()-t1)
         ts[steps] = best
-    return (ts[HI]-ts[LO])/(HI-LO)
+    return (ts[HI]-ts[LO])/((-(-HI//K) - -(-LO//K))*K)
 
 ps = slope(lambda c: dia_spmv_pallas(mat, c, plan), x)
 print(f"RESULT cube_coup-scale (127M nnz): {ps*1e6:8.1f} us/step -> {2*nnz/ps/1e9:6.1f} GFLOPS (reference OMP 40-thread: 4.3)", flush=True)

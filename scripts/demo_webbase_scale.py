@@ -23,23 +23,26 @@ print(f"compile+run {time.perf_counter()-t0:.0f}s", flush=True)
 d = np.abs(y - serial_csr_spmv(csr, x)).max()
 print(f"check maxdiff={d:.2e}", flush=True)
 
-def slope(LO=3, HI=203):
+def slope(LO=16, HI=200, K=8):
+    @jax.jit
+    def ch(c, iters):
+        def body(i, c):
+            for _ in range(K):
+                yv = routed_auto_spmv(mat, c)
+                c = c * (1.0 + jnp.sum(yv) * 1e-30)
+            return c
+        return jax.lax.fori_loop(0, iters, body, c, unroll=False)
     ts = {}
     for steps in (LO, HI):
-        @jax.jit
-        def ch(c, steps=steps):
-            def body(i, c):
-                yv = routed_auto_spmv(mat, c)
-                return c * (1.0 + jnp.sum(yv) * 1e-30)
-            return jax.lax.fori_loop(0, steps, body, c, unroll=False)
-        r = ch(xj); _ = float(jnp.sum(r))
+        s_ = jnp.int32(-(-steps // K))
+        _ = float(jnp.sum(ch(xj, s_)))
         best = 1e9
         for _ in range(2):
             t1 = time.perf_counter()
-            r = ch(xj); _ = float(jnp.sum(r))
+            _ = float(jnp.sum(ch(xj, s_)))
             best = min(best, time.perf_counter()-t1)
         ts[steps] = best
-    return (ts[HI]-ts[LO])/(HI-LO)
+    return (ts[HI]-ts[LO])/((-(-HI//K) - -(-LO//K))*K)
 
 ps = slope()
 print(f"RESULT webbase-scale: {ps*1e6:8.1f} us/step -> {2*csr.nnz/ps/1e9:6.2f} GFLOPS (reference OMP best: 2.75e-3 s = {2*csr.nnz/2.75e-3/1e9:.2f} GF-equiv)", flush=True)

@@ -8,12 +8,13 @@ CSR when rows are skewed, transposed layouts when coalescing pays):
 
 - diagonal-concentrated -> DIA (zero-gather, no indices; fused Pallas
   kernel at ~500 GB/s)
-- small/medium unstructured (<= 8192 rows) -> lane-gather engine
-  (in-VMEM take_along_axis + masked group accumulate)
 - everything else -> Clos-routed CSR (panel gather + planned permutation +
-  width-binned reduces; fully general)
-- explicit formats remain available: ell_t (transposed slabs) and binned
-  (width-class slabs), the faithful reference-shaped layouts
+  width-binned reduces; fully general — tiny domains collapse to a single
+  fused kernel, so it also wins the small-matrix regime the lane-gather
+  engine used to own)
+- explicit formats remain available: lanes (lane-gather + masked group
+  accumulate), ell_t (transposed slabs) and binned (width-class slabs) —
+  the last two are the faithful reference-shaped layouts
 
 Usage:
     model = AutoSpMV.from_file("matrix.mtx")         # or from_coo / from_csr
@@ -43,8 +44,8 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
 
     Heuristics (cheap, host-side):
     - DIA if the distinct-diagonal count keeps fill under dia_fill_cap x nnz.
-    - lane-gather engine for small/medium matrices (<= 64 row groups).
-    - Clos-routed CSR otherwise (fully general).
+    - Clos-routed CSR otherwise (fully general; single-kernel fast path for
+      tiny domains, measured ahead of the lane-gather engine there).
     """
     m, n = csr.shape
     nnz = max(csr.nnz, 1)
@@ -56,12 +57,10 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
         idx = np.linspace(0, csr.nnz - 1, 200_000).astype(np.int64)
         rows_s = np.searchsorted(csr.indptr, idx, side="right") - 1
         if np.unique(csr.indices[idx] - rows_s).shape[0] > max_offs:
-            return "lanes" if m <= 64 * 128 else "routed"
+            return "routed"
     offs = np.unique(csr.indices - csr.row_ids())
     if offs.shape[0] <= max_offs:
         return "dia"
-    if m <= 64 * 128:
-        return "lanes"
     return "routed"
 
 
@@ -102,10 +101,7 @@ class AutoSpMV:
                     ops = (pad_dia_for_pallas(mat, plan), plan)
                     run = lambda o, x: dia_spmv_pallas(o[0], x, o[1])
             except DiaFillError:
-                if f64:
-                    fmt = "binned"
-                else:
-                    fmt = "lanes" if csr.shape[0] <= 64 * 128 else "routed"
+                fmt = "binned" if f64 else "routed"
         if fmt == "lanes":
             try:
                 ops = prepare_lanes_small(csr, dtype=cfg.jnp_dtype)

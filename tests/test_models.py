@@ -13,14 +13,14 @@ from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
 
 def test_select_format_policy():
     assert select_format(S.coo_to_csr(synth.banded(500, 500, 5, seed=1))) == "dia"
-    assert select_format(S.coo_to_csr(synth.power_law(400, 400, 5.0, seed=2))) == "lanes"
+    assert select_format(S.coo_to_csr(synth.power_law(400, 400, 5.0, seed=2))) == "routed"
     big = S.coo_to_csr(synth.power_law(10000, 10000, 3.0, seed=3))
     assert select_format(big) == "routed"
 
 
 @pytest.mark.parametrize("gen,fmt", [
     (lambda: synth.banded(300, 300, 6, fill=0.95, seed=4), "dia"),
-    (lambda: synth.power_law(300, 280, 5.0, seed=5), "lanes"),
+    (lambda: synth.power_law(300, 280, 5.0, seed=5), "routed"),
     (lambda: synth.power_law(9000, 9000, 4.0, seed=7), "routed"),
 ])
 def test_auto_spmv_correct(gen, fmt):
