@@ -68,14 +68,8 @@ def main():
     pa_p = jnp.pad(pa, ((0, h1 - pa.shape[0]), (0, 0)))
     slab = apply_permutation(mat.perm_products, pa_p, skip_r3=True)
     sums = R._reduce_runs_fused(slab, mat.perm_products.r3, mat.runs)
-    concat_len = sums.size
-    for p in mat.lvl_perms:
-        pass
 
-    from spmv_openmp_cuda_tpu.ops.route import (
-        apply_permutation_to_mid,
-        apply_sw_w2_sw,
-    )
+    from spmv_openmp_cuda_tpu.ops.route import apply_sw_w2_sw
 
     x2 = R._gather_w1(mat, xw)
     x5m = apply_sw_w2_sw(mat.perm_products, x2)

@@ -74,9 +74,9 @@ class RoutedError(ValueError):
 )
 @dataclasses.dataclass
 class RoutedCSR:
-    vals: jax.Array  # (h1, 128) dtype — gather slot values (pad rows = 0)
-    pidx: jax.Array  # (h1, 128) int8 — panel-in-window per slot
-    widx: jax.Array  # (h1//128,) int32 — window id per 128-row tile
+    vals: jax.Array  # (rows_a, 128) dtype — gather slot values
+    pidx: jax.Array  # (rows_a, 128) int8 — panel-in-window per slot
+    widx: jax.Array  # (rows_a//128,) int32 — window id per 128-row tile
     perm_products: PlannedPermutation  # r1 folded: vals sit in middle lanes
     lvl_perms: Tuple[PlannedPermutation, ...]  # prev sums -> level slab
     # 0/1 masks zeroing slab slots that are padding inside reduce runs —
@@ -106,8 +106,9 @@ class RoutedCSR:
     # enough that streaming its zeros beats the pooled tiles' extra passes
     hdense: jax.Array | None = None
     heavy_rows: Tuple[int, ...] = ()
-    # static copy of widx (window per gather tile): lets the single-block
-    # gather kernel slice xw at compile-time offsets; () on legacy formats
+    # static copy of widx (window per gather tile), only materialized for
+    # <= 32-tile domains: lets the single-block gather kernels slice xw at
+    # compile-time offsets; () otherwise and on legacy formats
     widx_t: Tuple[int, ...] = ()
 
 
@@ -256,13 +257,17 @@ def _build_heavy(rows_h, csr: CSRMatrix):
     return hvals, hpidx, hwidx, reduce_mat, hlo, hhi
 
 
-def _pick_heavy_threshold(csr: CSRMatrix, lens_full: np.ndarray) -> int:
+def _pick_heavy_threshold(
+    csr: CSRMatrix, lens_full: np.ndarray, dtype=jnp.float32
+) -> int:
     """Choose the heavy/light split minimizing a taa-pass cost model.
 
     The routed permutation costs ~4 taa passes over the whole power-of-two
-    domain, so pushing skewed rows into the (padded but unrouted) heavy path
-    pays off exactly when it drops the domain a power of two. Costs are slot
-    counts (taa throughput is slot-proportional).
+    domain, so pushing skewed rows into the unrouted heavy path pays off
+    exactly when it drops the domain a power of two. Costs are slot counts
+    (taa throughput is slot-proportional); the heavy side is the cheaper of
+    the dense bf16 row block (half-slot per element streamed) and the
+    pooled residue tiles (matching _build_heavy's _HEAVY_POOL_ROWS split).
     """
     m, n = csr.shape
     rows = csr.row_ids().astype(np.int64)
@@ -294,16 +299,31 @@ def _pick_heavy_threshold(csr: CSRMatrix, lens_full: np.ndarray) -> int:
             t1 = pick_t(max(rows_a, rows_c))
         except ValueError:
             continue
-        # heavy slots (pooled layout): per window, tiles = ceil(max pooled
-        # per-residue count / 128); the x2 weights the kernel's extra taa
-        # passes and cumsum matmul per slot vs the light gather
+        # heavy side: cheaper of dense bf16 block and pooled residue tiles
         hcost = 0
         if heavy.any():
             hsel = heavy[rows]
-            keyh = w[hsel] * LANE + a[hsel]
-            cnth = np.bincount(keyh, minlength=nwin * LANE).reshape(nwin, LANE)
+            # pooled tiles: per (pool, window), tiles = ceil(max pooled
+            # per-residue count / 128); pools follow _build_heavy's
+            # _HEAVY_POOL_ROWS row-ordinal split. The x2 weights the
+            # kernel's extra taa passes and cumsum matmul per slot.
+            hord = np.cumsum(heavy) - 1  # heavy ordinal per row
+            pool = hord[rows[hsel]] // _HEAVY_POOL_ROWS
+            keyh = (pool * nwin + w[hsel]) * LANE + a[hsel]
+            npools = int(pool.max(initial=0)) + 1
+            cnth = np.bincount(
+                keyh, minlength=npools * nwin * LANE
+            ).reshape(npools * nwin, LANE)
             tiles_h = np.ceil(cnth.max(axis=1) / LANE).sum()
             hcost = int(2 * tiles_h * LANE * LANE)
+            n_pad = -(-n // LANE) * LANE
+            n_h = int(heavy.sum())
+            if (
+                np.dtype(dtype) == np.dtype("float32")
+                and n_h * n_pad * 2 <= _DENSE_HEAVY_MAX_BYTES
+                and os.environ.get("SPMV_DENSE_HEAVY", "1") != "0"
+            ):
+                hcost = min(hcost, n_h * n_pad // 2)
         cost = hcost + rows_a * LANE + 4 * t1 * LANE * LANE
         if best_cost is None or cost < best_cost:
             best_thr, best_cost = thr, cost
@@ -333,7 +353,7 @@ def prepare_routed(
 
     # ---- heavy-row split --------------------------------------------------
     if heavy_threshold is None:
-        heavy_threshold = _pick_heavy_threshold(csr, lens_full)
+        heavy_threshold = _pick_heavy_threshold(csr, lens_full, dtype)
     heavy_sel = lens_full >= heavy_threshold
     while heavy_sel.any() and lens_full[~heavy_sel].sum() == 0:
         # the routed pipeline needs at least one light nnz (a zero-row
@@ -595,7 +615,7 @@ def prepare_routed(
         nnz=nnz,
         n_windows=nwin,
         rows_a=rows_a,
-        widx_t=tuple(int(v) for v in widx),
+        widx_t=tuple(int(v) for v in widx) if rows_a <= 32 * LANE else (),
         runs=runs1,
         lvl_runs=tuple(lvl_runs),
         out_t=t_out,
@@ -747,8 +767,10 @@ def _hdense_mv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
     c = n_pad // LANE
     xb = jnp.pad(x, (0, n_pad - x.shape[0]))
     if n_h > 64 or mat.hdense.size * 2 > 6 * 2**20:
+        # x stays f32 (same contract as the kernel path: only the stored
+        # values carry bf16 rounding); XLA fuses the convert into the dot
         return jax.lax.dot(
-            mat.hdense, xb.astype(jnp.bfloat16),
+            mat.hdense.astype(jnp.float32), xb.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
     hd = mat.hdense.reshape(n_h * c, LANE)
@@ -1116,11 +1138,9 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     if xw is None:
         xw = _pack_xw(mat, x)
     h1 = mat.perm_products.h
-    # widx_t (new formats) lets the gather emit the W1-permuted full-domain
-    # slab directly; legacy serialized formats fall back to gather+pad
-    fused = len(mat.widx_t) == mat.vals.shape[0] // LANE
+    small_ok = len(mat.widx_t) == mat.vals.shape[0] // LANE
     if (
-        fused
+        small_ok
         and mat.perm_products.t <= 4
         and mat.perm_out.t == 1
         and mat.perm_out.wc is not None
@@ -1132,7 +1152,7 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     ):
         return _routed_small_spmv(mat, xw)
     sums_w1 = None
-    if fused and h1 <= _W3_FUSED_MAX_ROWS:
+    if h1 <= _W3_FUSED_MAX_ROWS:
         x2 = _gather_w1(mat, xw)
         x5 = apply_sw_w2_sw(mat.perm_products, x2)
         res = _w3_r3_reduce(

@@ -180,6 +180,31 @@ def test_routed_heavy_dense_block():
     assert rep.ok, rep
 
 
+def test_routed_heavy_dense_block_large_fallback():
+    # > 64 heavy rows take the XLA-dot fallback of the dense block; x stays
+    # f32 so precision matches the kernel path
+    rng = np.random.default_rng(51)
+    n_heavy, per_row, m, n = 70, 600, 200, 8000
+    rows_l = [np.full(per_row, r) for r in range(n_heavy)]
+    cols_l = [rng.choice(n, size=per_row, replace=False) for _ in range(n_heavy)]
+    rows_l.append(rng.integers(n_heavy, m, 1500))
+    cols_l.append(rng.integers(0, n, 1500))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    rows, cols = np.unique(np.stack([rows, cols]), axis=1)
+    coo = S.COOMatrix(
+        shape=(m, n), rows=rows, cols=cols,
+        vals=rng.uniform(-3e-5, 3e-5, rows.shape[0]),
+    )
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(n, seed=52)
+    mat = prepare_routed(csr, heavy_threshold=512)
+    assert mat.hdense is not None and mat.hdense.shape[0] > 64
+    y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
 def test_routed_heavy_pool_cap_split(monkeypatch):
     # more heavy rows than one pool admits (> _HEAVY_POOL_ROWS): rows split
     # into pools so no tile exceeds its 128 row-slot lanes
