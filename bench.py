@@ -34,11 +34,14 @@ def log(msg):
 # (preset, reference GFLOPS, candidate kernels)
 # all five CUDA headline matrices of the reference (BASELINE.md)
 SUITE = [
-    ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED"]),
+    # ordered by compile-time risk: the tiny-domain single kernel
+    # (delaunay) has shown the slowest remote compiles, so it goes last —
+    # a soft-deadline skip then costs one proxy, not the whole run
     ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
     ("caida_like", 10.47, ["PL_CSR_ROUTED"]),
     ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_DIA_BF16"]),
+    ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED"]),
 ]
 STEPS = 50
 
@@ -67,7 +70,15 @@ def main():
 
     details = []
     ratios = []
+    start = time.perf_counter()
+    # soft deadline: remote-compiler latency is nondeterministic (the same
+    # program has compiled in 2s and in 500s); better to report a partial
+    # geomean than to be killed holding every result
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "480"))
     for preset, ref_gflops, candidates in suite:
+        if time.perf_counter() - start > deadline:
+            log(f"[{preset}] SKIPPED (past {deadline:.0f}s soft deadline)")
+            continue
         t0 = time.perf_counter()
         coo = synth.preset(preset, seed=0)
         csr = S.coo_to_csr(coo)
