@@ -38,7 +38,7 @@ SUITE = [
     # (delaunay) has shown the slowest remote compiles, so it goes last —
     # a soft-deadline skip then costs one proxy, not the whole run
     ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
-    ("caida_like", 10.47, ["PL_CSR_ROUTED"]),
+    ("caida_like", 10.47, ["PL_CSR_ROUTED_BF16"]),
     ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_DIA_BF16"]),
     ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED"]),
