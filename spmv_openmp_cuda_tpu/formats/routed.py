@@ -1254,12 +1254,13 @@ def _sub_csr(csr: CSRMatrix, r0: int, r1: int) -> CSRMatrix:
 
 
 def prepare_routed_chunked(
-    csr: CSRMatrix, dtype=jnp.float32, chunk_nnz: int = 1_200_000,
+    csr: CSRMatrix, dtype=jnp.float32, chunk_nnz: int = 700_000,
     vals_dtype=None,
 ) -> RoutedChunks:
     """Split rows greedily into blocks of <= chunk_nnz light nnz and prepare
     a routed engine per block (recursive halving if a block still exceeds
-    its routing domain)."""
+    its routing domain). The default keeps every chunk's domain at t <= 64
+    rows so all chunks ride the fused single-block kernel path."""
     m = csr.shape[0]
     lens = np.diff(csr.indptr)
     bounds = [0]
