@@ -50,7 +50,15 @@ def build_argparser() -> argparse.ArgumentParser:
         "compute_mode",
         nargs="?",
         default="CSR_ROWS",
-        help=f"one of: {', '.join(registry.names())}",
+        help=f"AUTO (structure-driven selection) or one of: "
+        f"{', '.join(registry.names())}",
+    )
+    p.add_argument(
+        "--dtype",
+        choices=["float32", "float64"],
+        default=None,
+        help="compute dtype (overrides SPMV_DTYPE; float64 runs the XLA "
+        "engines — Pallas kernels are 32-bit)",
     )
     p.add_argument("--list-modes", action="store_true", help="list kernels and exit")
     p.add_argument("--no-dump", action="store_true", help="skip output vector dumps")
@@ -80,15 +88,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         build_argparser().error("the following arguments are required: matrix, vector")
 
     cfg = Config.from_env()
-    try:
-        spec = registry.get(args.compute_mode)
-    except KeyError as e:
-        print(f"ERROR: {e.args[0]}", file=sys.stderr)
-        return 1
+    if args.dtype:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, dtype=args.dtype)
 
     t0 = time.perf_counter()
     coo = read_coo(args.matrix)
     csr = coo_to_csr(coo)
+    mode = args.compute_mode
+    if mode.upper() == "AUTO":
+        # structure-driven selection (models.auto policy): DIA when the
+        # diagonal fill stays bounded, the routed engine otherwise; f64
+        # rides the XLA engines (Pallas kernels are 32-bit)
+        from .models.auto import select_format
+
+        fmt = select_format(csr)
+        f64 = cfg.dtype == "float64"
+        mode = {
+            "dia": "DIA_ROWS" if f64 else "PL_DIA_ROWS",
+            "routed": "CSR_ROWS_BINNED" if f64 else "PL_CSR_ROUTED",
+        }[fmt]
+        print(f"#auto: format={fmt} -> {mode}")
+    try:
+        spec = registry.get(mode)
+    except KeyError as e:
+        print(f"ERROR: {e.args[0]}", file=sys.stderr)
+        return 1
     ell = None
     if spec.fmt == "ell" and not args.load_prepared:
         try:
@@ -142,24 +168,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     # on every backend and single calls carry fixed dispatch cost)
     run = spec.run
 
-    def timed_chain(steps):
-        @jax.jit
-        def chain(xv):
-            def body(i, xv):
+    K = 8  # spmv's per loop iteration (amortizes loop overhead)
+
+    @jax.jit
+    def chain(xv, iters):
+        def body(i, xv):
+            for _ in range(K):
                 yv = run(operands, xv)
-                return xv * (1.0 + jnp.sum(yv) * 1e-30)
+                xv = xv * (1.0 + jnp.sum(yv) * 1e-30)
+            return xv
 
-            return jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+        # iters is traced: one compilation serves both chain lengths
+        return jax.lax.fori_loop(0, iters, body, xv, unroll=False)
 
-        r = chain(xj)
-        _ = float(jnp.sum(r))
+    def timed_chain(steps):
+        it = -(-steps // K)
+        _ = float(jnp.sum(chain(xj, jnp.int32(it))))
         t1 = time.perf_counter()
-        r = chain(xj)
-        _ = float(jnp.sum(r))
-        return time.perf_counter() - t1
+        _ = float(jnp.sum(chain(xj, jnp.int32(it))))
+        return time.perf_counter() - t1, it * K
 
-    lo_n, hi_n = 2, 2 + max(cfg.avg_times_iteration, 10)
-    t_lo, t_hi = timed_chain(lo_n), timed_chain(hi_n)
+    t_lo, lo_n = timed_chain(2)
+    t_hi, hi_n = timed_chain(lo_n + max(cfg.avg_times_iteration, 16))
+    if t_hi - t_lo < 0.2:  # step signal drowned in dispatch noise: escalate
+        slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
+        t_hi, hi_n = timed_chain(lo_n + min(int(0.5 / slope1), 500_000))
     elapsed_internal = (t_hi - t_lo) / (hi_n - lo_n)
     if elapsed_internal <= 0:
         elapsed_internal = t_hi / hi_n  # noise-bound: conservative bound

@@ -75,6 +75,24 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert (tmp_path / "outVectorDumpRaw").exists()
 
 
+def test_cli_auto_mode_and_dtype(tmp_path, capsys):
+    coo, csr, ell = _mat()
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, coo)
+    rc = cli_main([mtx, "RNDVECT", "AUTO", "--no-dump", "--check"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "#auto: format=" in out and "#check: OK" in out
+    # f64 rides the XLA engines
+    rc = cli_main(
+        [mtx, "RNDVECT", "AUTO", "--no-dump", "--check", "--dtype", "float64"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CSR_ROWS_BINNED" in out or "DIA_ROWS" in out
+    assert "#check: OK" in out
+
+
 def test_cli_rndvect_and_bad_mode(tmp_path, capsys):
     coo, *_ = _mat()
     mtx = str(tmp_path / "m.mtx")
