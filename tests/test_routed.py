@@ -22,7 +22,7 @@ from spmv_openmp_cuda_tpu.utils import synth
 from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
 
 
-@pytest.mark.parametrize("t", [1, 4, 16])
+@pytest.mark.parametrize("t", [1, 4, 16, 64, 128])
 def test_permutation_roundtrip(t):
     rng = np.random.default_rng(t)
     n = t * LANE * LANE
