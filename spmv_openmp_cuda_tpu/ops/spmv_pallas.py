@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -170,6 +171,8 @@ def dia_spmv_pallas(
     xp = pad_x_dia(x, mat).astype(acc_dtype)  # (s + 2*ps, LANE)
     xk = jnp.pad(xp, ((0, (plan.nblocks + 2) * bs - xp.shape[0]), (0, 0)))
 
+    use_roll = os.environ.get("SPMV_DIA_ROLL", "0") == "1"
+
     def kernel(x0_ref, x1_ref, x2_ref, dia_ref, o_ref, w_ref):
         # Stage the 3-block window in a VMEM scratch *ref*: slicing the lane-
         # shifted views out of a ref lowers to clean VMEM loads, while the
@@ -178,11 +181,21 @@ def dia_spmv_pallas(
         w_ref[bs : 2 * bs] = x1_ref[:]
         w_ref[2 * bs : 3 * bs] = x2_ref[:]
         acc = jnp.zeros((bs, LANE), acc_dtype)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (bs, LANE), 1)
         for k, off in enumerate(offsets):
             q, r = divmod(off, LANE)
             lo = w_ref[ps + q : ps + q + bs, :]
             if r == 0:
                 sh = lo
+            elif use_roll:
+                # lane rotation + row blend (A/B alternative to the
+                # two-slice concat; gated for measurement)
+                hi = w_ref[ps + q + 1 : ps + q + 1 + bs, :]
+                sh = jnp.where(
+                    lane_i < LANE - r,
+                    pltpu.roll(lo, LANE - r, 1),
+                    pltpu.roll(hi, LANE - r, 1),
+                )
             else:
                 hi = w_ref[ps + q + 1 : ps + q + 1 + bs, :]
                 sh = jnp.concatenate([lo[:, r:], hi[:, :r]], axis=1)
