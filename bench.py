@@ -207,11 +207,12 @@ def main():
         return 1
     geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     value = math.exp(sum(math.log(d["gflops"]) for d in details) / len(details))
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
-            json.dump(details, f, indent=1)
-    except OSError:
-        pass
+    if len(details) == len(SUITE):  # partial runs must not clobber the record
+        try:
+            with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
+                json.dump(details, f, indent=1)
+        except OSError:
+            pass
     print(
         json.dumps(
             {
