@@ -140,7 +140,20 @@ def main(argv=None):
     ap.add_argument("--preset", default="fem_3d_thermal2_like")
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--path", choices=["dia_halo", "ell_ring"], default="dia_halo")
+    ap.add_argument(
+        "--virtual",
+        type=int,
+        default=0,
+        metavar="N",
+        help="force the CPU backend with N virtual devices (run the mesh "
+        "without claiming a TPU; pair with PALLAS_AXON_POOL_IPS=)",
+    )
     args = ap.parse_args(argv)
+    if args.virtual:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.virtual)
     return run_scaling(args.preset, args.devices, args.path)
 
 
