@@ -1027,16 +1027,17 @@ def _reduce_runs(slab: jax.Array, runs) -> jax.Array:
 
 
 def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
-    """The ENTIRE routed pipeline in ONE kernel for tiny domains (t <= 4,
-    single-tile output, no levels, no heavy rows): at this scale the
+    """The ENTIRE routed pipeline in ONE kernel for tiny domains (products
+    t <= 4, output t <= 4, no levels, no heavy rows): at this scale the
     per-launch and XLA-glue costs dominate, so gather, the full products
     Clos (SW done in transposed space as a static lane interleave), the
-    width-binned reduce and the t=1 output permutation all run back to back
-    in VMEM. SW in transposed space: C_k[m, p] = T_{p%t}[m, (128/t)k + p/t]
+    width-binned reduce and the output permutation all run back to back in
+    VMEM. SW in transposed space: C_k[m, p] = T_{p%t}[m, (128/t)k + p/t]
     — t taa's + a lane-class select per tile, exact because t | 128."""
     pp = mat.perm_products
     po = mat.perm_out
     t = pp.t
+    to = po.t
     runs = mat.runs
     n_groups_total = runs[-1][3] + runs[-1][1]
     wl = mat.widx_t
@@ -1045,9 +1046,40 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
 
     def kernel(
         xw_ref, vals_ref, pidx_ref, w1_ref, w2_ref, w3_ref, r3_ref,
-        wc_o_ref, r3_o_ref, o_ref, s_ref, d_ref,
+        w1o_ref, w2o_ref, w3o_ref, r3o_ref, o_ref, s_ref, d_ref,
     ):
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+
+        def sw_w2_sw_w3(ts_list, w2r, w3r, tt_n, out_ref, base):
+            """SW + W2 + SW^-1 + W3 on transposed tiles, rows written back
+            to out_ref in row space at row offset base."""
+            cs = []
+            for k in range(tt_n):
+                acc = jnp.zeros((LANE, LANE), dtype)
+                idx = (LANE // tt_n) * k + lane_i // tt_n
+                for tt in range(tt_n):
+                    gk = jnp.take_along_axis(ts_list[tt], idx, axis=1)
+                    acc = jnp.where((lane_i % tt_n) == tt, gk, acc)
+                cs.append(
+                    jnp.take_along_axis(
+                        acc,
+                        w2r[k * LANE : (k + 1) * LANE, :].astype(jnp.int32),
+                        axis=1,
+                    )
+                )
+            for tt in range(tt_n):
+                acc = jnp.zeros((LANE, LANE), dtype)
+                idx = (lane_i % (LANE // tt_n)) * tt_n + tt
+                for k in range(tt_n):
+                    gk = jnp.take_along_axis(cs[k], idx, axis=1)
+                    acc = jnp.where((lane_i // (LANE // tt_n)) == k, gk, acc)
+                t5 = jnp.take_along_axis(
+                    acc,
+                    w3r[tt * LANE : (tt + 1) * LANE, :].astype(jnp.int32),
+                    axis=1,
+                )
+                out_ref[base + tt * LANE : base + (tt + 1) * LANE, :] = t5.T
+
         # gather + W1, staying in transposed space (T_tt[m, ss])
         ts = []
         for tt in range(t):
@@ -1066,34 +1098,7 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
                     axis=1,
                 )
             )
-        # SW + W2 (transposed space)
-        cs = []
-        for k in range(t):
-            acc = jnp.zeros((LANE, LANE), dtype)
-            idx = (LANE // t) * k + lane_i // t
-            for tt in range(t):
-                gk = jnp.take_along_axis(ts[tt], idx, axis=1)
-                acc = jnp.where((lane_i % t) == tt, gk, acc)
-            cs.append(
-                jnp.take_along_axis(
-                    acc,
-                    w2_ref[k * LANE : (k + 1) * LANE, :].astype(jnp.int32),
-                    axis=1,
-                )
-            )
-        # SW^-1 + W3, transpose back into the row-space scratch
-        for tt in range(t):
-            acc = jnp.zeros((LANE, LANE), dtype)
-            idx = (lane_i % (LANE // t)) * t + tt
-            for k in range(t):
-                gk = jnp.take_along_axis(cs[k], idx, axis=1)
-                acc = jnp.where((lane_i // (LANE // t)) == k, gk, acc)
-            t5 = jnp.take_along_axis(
-                acc,
-                w3_ref[tt * LANE : (tt + 1) * LANE, :].astype(jnp.int32),
-                axis=1,
-            )
-            s_ref[tt * LANE : (tt + 1) * LANE, :] = t5.T
+        sw_w2_sw_w3(ts, w2_ref, w3_ref, t, s_ref, 0)
         # R3 + width-binned reduce into the output domain rows
         g = jnp.take_along_axis(
             s_ref[0 : t * LANE, :], r3_ref[:].astype(jnp.int32), axis=1
@@ -1105,31 +1110,46 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
             d_ref[g0 : g0 + n_groups, :] = seg.reshape(
                 n_groups, width, LANE
             ).sum(axis=1)
-        if n_groups_total < LANE:
+        if n_groups_total < to * LANE:
             d_ref[n_groups_total:, :] = jnp.zeros(
-                (LANE - n_groups_total, LANE), dtype
+                (to * LANE - n_groups_total, LANE), dtype
             )
-        # output permutation (t=1, r1 folded): composed W then R3
-        x2o = jnp.take_along_axis(
-            d_ref[:].T, wc_o_ref[:].astype(jnp.int32), axis=1
-        ).T
-        o_ref[:] = jnp.take_along_axis(
-            x2o, r3_o_ref[:].astype(jnp.int32), axis=1
-        )
+        # output permutation (r1 folded by the assembly router)
+        if to == 1:
+            # SW stages are identity: single composed W (w1o carries wc)
+            x2o = jnp.take_along_axis(
+                d_ref[:].T, w1o_ref[:].astype(jnp.int32), axis=1
+            ).T
+            o_ref[:] = jnp.take_along_axis(
+                x2o, r3o_ref[:].astype(jnp.int32), axis=1
+            )
+        else:
+            ts_o = [
+                jnp.take_along_axis(
+                    d_ref[k * LANE : (k + 1) * LANE, :].T,
+                    w1o_ref[k * LANE : (k + 1) * LANE, :].astype(jnp.int32),
+                    axis=1,
+                )
+                for k in range(to)
+            ]
+            sw_w2_sw_w3(ts_o, w2o_ref, w3o_ref, to, d_ref, 0)
+            o_ref[:] = jnp.take_along_axis(
+                d_ref[:], r3o_ref[:].astype(jnp.int32), axis=1
+            )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((LANE, LANE), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_shape=jax.ShapeDtypeStruct((to * LANE, LANE), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((t * LANE, LANE), dtype),
-            pltpu.VMEM((LANE, LANE), dtype),
+            pltpu.VMEM((to * LANE, LANE), dtype),
         ],
         interpret=_interp(),
     )(
         xw, mat.vals, mat.pidx, pp.w1, pp.w2, pp.w3, pp.r3,
-        po.wc, po.r3,
+        po.wc if to == 1 else po.w1, po.w2, po.w3, po.r3,
     )
     return out.reshape(-1)[: mat.shape[0]]
 
@@ -1142,8 +1162,8 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     if (
         small_ok
         and mat.perm_products.t <= 4
-        and mat.perm_out.t == 1
-        and mat.perm_out.wc is not None
+        and mat.perm_out.t <= 4
+        and (mat.perm_out.t > 1 or mat.perm_out.wc is not None)
         and mat.perm_out.r1 is None
         and not mat.lvl_perms
         and mat.hvals is None

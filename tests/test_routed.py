@@ -132,12 +132,12 @@ def test_routed_heavy_pooled_multi_row(monkeypatch):
     assert rep.ok, rep
 
 
-@pytest.mark.parametrize("mn,nnz", [(9000, 40000), (6000, 15000)])
-def test_routed_small_single_kernel(mn, nnz):
-    # tiny domains (t <= 4, single-tile output) run the whole pipeline in
-    # one kernel with the SW stage as a transposed-space lane interleave
-    from spmv_openmp_cuda_tpu.formats import routed as R
-
+@pytest.mark.parametrize(
+    "mn,nnz,out_t_max", [(9000, 40000, 1), (6000, 15000, 1), (25000, 35000, 2)]
+)
+def test_routed_small_single_kernel(mn, nnz, out_t_max):
+    # tiny domains (t <= 4, output t <= 4) run the whole pipeline in one
+    # kernel with the SW stages as transposed-space lane interleaves
     rng = np.random.default_rng(7)
     rows = rng.integers(0, mn, nnz)
     cols = rng.integers(0, mn, nnz)
@@ -148,7 +148,7 @@ def test_routed_small_single_kernel(mn, nnz):
     )
     csr = S.coo_to_csr(coo)
     mat = prepare_routed(csr)
-    assert mat.perm_products.t <= 4 and mat.out_t == 1
+    assert mat.perm_products.t <= 4 and mat.out_t <= max(out_t_max, 1)
     x = fill_rnd_vector(mn, seed=2)
     y = np.asarray(jax.jit(routed_spmv)(mat, jnp.asarray(x, jnp.float32)), np.float64)
     rep = vectors_diff(y, serial_csr_spmv(csr, x))
