@@ -213,16 +213,16 @@ def main():
                 json.dump(details, f, indent=1)
         except OSError:
             pass
-    print(
-        json.dumps(
-            {
-                "metric": "spmv_gflops_geomean_headline_proxies",
-                "value": round(value, 3),
-                "unit": "GFLOP/s",
-                "vs_baseline": round(geo, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": "spmv_gflops_geomean_headline_proxies",
+        "value": round(value, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(geo, 3),
+    }
+    if len(details) < len(SUITE):  # deadline skips: flag the partial basis
+        rec["proxies_measured"] = len(details)
+        rec["proxies_total"] = len(SUITE)
+    print(json.dumps(rec))
     return 0
 
 

@@ -93,11 +93,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         cfg = _dc.replace(cfg, dtype=args.dtype)
 
+    mode = args.compute_mode
+    is_auto = mode.upper() == "AUTO"
+    if not is_auto:
+        # fail fast on a typo'd mode BEFORE paying the matrix parse
+        try:
+            registry.get(mode)
+        except KeyError as e:
+            print(f"ERROR: {e.args[0]}", file=sys.stderr)
+            return 1
+
     t0 = time.perf_counter()
     coo = read_coo(args.matrix)
     csr = coo_to_csr(coo)
-    mode = args.compute_mode
-    if mode.upper() == "AUTO":
+    if is_auto:
         # structure-driven selection (models.auto policy): DIA when the
         # diagonal fill stays bounded, the routed engine otherwise; f64
         # rides the XLA engines (Pallas kernels are 32-bit)
@@ -148,7 +157,22 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         operands = load_prepared(args.load_prepared)
     else:
-        operands = spec.prepare(csr, ell, cfg)
+        from .formats.dia import DiaFillError
+
+        try:
+            operands = spec.prepare(csr, ell, cfg)
+        except DiaFillError as e:
+            if not is_auto:
+                print(f"ERROR: {e}", file=sys.stderr)
+                return 1
+            # the structural guess was diagonal but the padded fill tripped
+            # the cap: fall through to the general engine (AutoSpMV policy)
+            mode = (
+                "CSR_ROWS_BINNED" if cfg.dtype == "float64" else "PL_CSR_ROUTED"
+            )
+            print(f"#auto: DIA infeasible ({e}); falling back to {mode}")
+            spec = registry.get(mode)
+            operands = spec.prepare(csr, ell, cfg)
     if args.save_prepared:
         from .formats.serialize import save_prepared
 
@@ -192,7 +216,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     t_hi, hi_n = timed_chain(lo_n + max(cfg.avg_times_iteration, 16))
     if t_hi - t_lo < 0.2:  # step signal drowned in dispatch noise: escalate
         slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
-        t_hi, hi_n = timed_chain(lo_n + min(int(0.5 / slope1), 500_000))
+        # t_lo/lo_n upper-bounds the true per-step time, so this caps the
+        # escalated chain at ~3 s of device time even when noise makes the
+        # measured slope collapse to the 1e-7 floor
+        cap = max(int(3.0 / max(t_lo / lo_n, 1e-7)), lo_n)
+        t_hi, hi_n = timed_chain(lo_n + min(int(0.5 / slope1), cap, 500_000))
     elapsed_internal = (t_hi - t_lo) / (hi_n - lo_n)
     if elapsed_internal <= 0:
         elapsed_internal = t_hi / hi_n  # noise-bound: conservative bound

@@ -1050,9 +1050,9 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     ):
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
 
-        def sw_w2_sw_w3(ts_list, w2r, w3r, tt_n, out_ref, base):
+        def sw_w2_sw_w3(ts_list, w2r, w3r, tt_n, out_ref):
             """SW + W2 + SW^-1 + W3 on transposed tiles, rows written back
-            to out_ref in row space at row offset base."""
+            to out_ref in row space."""
             cs = []
             for k in range(tt_n):
                 acc = jnp.zeros((LANE, LANE), dtype)
@@ -1078,7 +1078,7 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
                     w3r[tt * LANE : (tt + 1) * LANE, :].astype(jnp.int32),
                     axis=1,
                 )
-                out_ref[base + tt * LANE : base + (tt + 1) * LANE, :] = t5.T
+                out_ref[tt * LANE : (tt + 1) * LANE, :] = t5.T
 
         # gather + W1, staying in transposed space (T_tt[m, ss])
         ts = []
@@ -1098,7 +1098,7 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
                     axis=1,
                 )
             )
-        sw_w2_sw_w3(ts, w2_ref, w3_ref, t, s_ref, 0)
+        sw_w2_sw_w3(ts, w2_ref, w3_ref, t, s_ref)
         # R3 + width-binned reduce into the output domain rows
         g = jnp.take_along_axis(
             s_ref[0 : t * LANE, :], r3_ref[:].astype(jnp.int32), axis=1
@@ -1132,7 +1132,7 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
                 )
                 for k in range(to)
             ]
-            sw_w2_sw_w3(ts_o, w2o_ref, w3o_ref, to, d_ref, 0)
+            sw_w2_sw_w3(ts_o, w2o_ref, w3o_ref, to, d_ref)
             o_ref[:] = jnp.take_along_axis(
                 d_ref[:], r3o_ref[:].astype(jnp.int32), axis=1
             )

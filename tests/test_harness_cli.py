@@ -83,13 +83,33 @@ def test_cli_auto_mode_and_dtype(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "#auto: format=" in out and "#check: OK" in out
-    # f64 rides the XLA engines
-    rc = cli_main(
-        [mtx, "RNDVECT", "AUTO", "--no-dump", "--check", "--dtype", "float64"]
-    )
+    # f64 rides the XLA engines (x64 flag is process-global: restore it)
+    import jax
+
+    x64_before = jax.config.jax_enable_x64
+    try:
+        rc = cli_main(
+            [mtx, "RNDVECT", "AUTO", "--no-dump", "--check", "--dtype", "float64"]
+        )
+    finally:
+        jax.config.update("jax_enable_x64", x64_before)
     assert rc == 0
     out = capsys.readouterr().out
-    assert "CSR_ROWS_BINNED" in out or "DIA_ROWS" in out
+    assert (
+        "computeMode:CSR_ROWS_BINNED" in out or "computeMode:DIA_ROWS" in out
+    )
+    assert "#check: OK" in out
+
+
+def test_cli_auto_dia_infeasible_falls_back(tmp_path, capsys):
+    # a 40-row tridiagonal: select_format guesses dia, but the 128-row
+    # padding trips the fill cap in prepare — AUTO must fall back, not crash
+    coo = synth.banded(40, 40, 1, fill=1.0, seed=9)
+    mtx = str(tmp_path / "tiny.mtx")
+    write_mtx(mtx, coo)
+    rc = cli_main([mtx, "RNDVECT", "AUTO", "--no-dump", "--check"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
     assert "#check: OK" in out
 
 
