@@ -101,9 +101,36 @@ def main():
                 t0 = time.perf_counter()
                 ops = spec.prepare(csr, ell, cfg)
                 run = spec.run
-                f1 = jax.jit(run)
                 xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
-                y = jax.block_until_ready(f1(ops, xj))
+
+                # ONE program per candidate: the chain also returns the first
+                # step's exact y so the oracle check needs no separate jit —
+                # remote compiles are the dominant (and nondeterministic)
+                # cost, so halving them buys more than any chain tuning.
+                # K spmv's per loop iteration amortize the dynamic-trip
+                # loop's ~0.3us/iteration overhead.
+                K = 8
+
+                @jax.jit
+                def loop(x, iters):
+                    y0 = run(ops, x)
+                    x = x * (1.0 + jnp.sum(y0) * 1e-30)
+
+                    def body(i, c):
+                        x, _ = c
+                        for _ in range(K):
+                            y = run(ops, x)
+                            # un-foldable dependency: can't be elided
+                            x = x * (1.0 + jnp.sum(y) * 1e-30)
+                        return (x, y)
+
+                    # iters is TRACED: every chain length shares one compile;
+                    # total chain = 1 + K*iters (the +1 cancels in slopes)
+                    return jax.lax.fori_loop(
+                        0, iters, body, (x, y0), unroll=False
+                    )
+
+                y = jax.block_until_ready(loop(xj, jnp.int32(0))[1])
                 rep = vectors_diff(
                     np.asarray(y, dtype=np.float64)[: csr.shape[0]], oracle
                 )
@@ -111,33 +138,15 @@ def main():
                     log(f"[{preset}] {name}: TOLERANCE FAIL ({rep.max_abs_diff:.2e})")
                     continue
 
-                # K spmv's per loop iteration: the dynamic-trip-count loop
-                # (one compile for every chain length) has ~0.3us/iteration
-                # of loop overhead, amortized K-fold so fast kernels are not
-                # penalized
-                K = 8
-
-                @jax.jit
-                def loop(x, iters):
-                    def body(i, x):
-                        for _ in range(K):
-                            y = run(ops, x)
-                            # un-foldable dependency: can't be elided
-                            x = x * (1.0 + jnp.sum(y) * 1e-30)
-                        return x
-
-                    # iters is TRACED: every chain length shares one compile
-                    return jax.lax.fori_loop(0, iters, body, x, unroll=False)
-
                 def timed_chain(steps):
                     # rounds steps up to a K multiple; returns (time, actual)
                     iters = -(-steps // K)
                     s = jnp.int32(iters)
-                    _ = float(jnp.sum(loop(xj, s)))  # compile/warm + sync
+                    _ = float(jnp.sum(loop(xj, s)[0]))  # warm + sync
                     t_best = float("inf")
                     for _rep in range(2):
                         t1 = time.perf_counter()
-                        _ = float(jnp.sum(loop(xj, s)))  # readback = sync
+                        _ = float(jnp.sum(loop(xj, s)[0]))  # readback = sync
                         t_best = min(t_best, time.perf_counter() - t1)
                     return t_best, iters * K
 
