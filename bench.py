@@ -32,17 +32,32 @@ def log(msg):
 
 
 # (preset, reference GFLOPS, candidate kernels)
-# all five CUDA headline matrices of the reference (BASELINE.md)
+# all five CUDA headline matrices of the reference (BASELINE.md).
+# Round-2 proxies are structurally honest (utils/synth.py): thermal2 and
+# FEM_3D_thermal2 are unstructured-FEM scattered-offset matrices that DIA
+# REJECTS (like the real ones), so they run the general routed engine;
+# only raefsky1 — genuinely a structured-grid dense band — keeps DIA.
 SUITE = [
     # ordered by compile-time risk: the tiny-domain single kernel
     # (delaunay) has shown the slowest remote compiles, so it goes last —
     # a soft-deadline skip then costs one proxy, not the whole run
     ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
     ("caida_like", 10.47, ["PL_CSR_ROUTED_BF16"]),
-    ("thermal2_like", 26.34, ["PL_DIA_ROWS"]),
-    ("fem_3d_thermal2_like", 39.14, ["PL_DIA_BF16"]),
+    ("thermal2_like", 26.34, ["PL_CSR_ROUTED_BF16"]),
+    ("fem_3d_thermal2_like", 39.14, ["PL_CSR_ROUTED_BF16"]),
     ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED"]),
 ]
+# BENCH_AB=1: run the full A/B candidate set per proxy (like the reference
+# harness running every registered kernel) so the on-TPU winner selection
+# survives in the record; default stays one-winner to respect the
+# nondeterministic remote-compile budget.
+AB_EXTRA = {
+    "raefsky1_like": ["PL_DIA_ROWS", "PL_CSR_ROUTED_BF16"],
+    "caida_like": ["PL_CSR_ROUTED"],
+    "thermal2_like": ["PL_CSR_ROUTED"],
+    "fem_3d_thermal2_like": ["PL_CSR_ROUTED"],
+    "delaunay_n12_like": ["PL_CSR_ROUTED_BF16"],
+}
 STEPS = 50
 
 
@@ -66,6 +81,10 @@ def main():
     only = os.environ.get("BENCH_ONLY")
     if only:
         suite = [s for s in SUITE if s[0] in only.split(",")]
+    if os.environ.get("BENCH_AB"):
+        suite = [
+            (p, ref, cands + AB_EXTRA.get(p, [])) for p, ref, cands in suite
+        ]
     log(f"backend={jax.default_backend()} devices={jax.devices()} dtype={cfg.dtype}")
 
     details = []
@@ -161,10 +180,14 @@ def main():
                 if t_hi - t_lo < 0.6:
                     # extra steps drowned in fixed-cost noise (fast kernel,
                     # t_lo dominated by dispatch): escalate the chain length
-                    # until the step signal is ~1.2s
+                    # until the step signal is ~1.2s. Bound by the measured
+                    # per-step UPPER bound t_lo/lo_n (which includes every
+                    # fixed cost) so tunnel noise collapsing the slope can
+                    # never schedule a multi-hour on-device chain.
                     slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
+                    cap = int(12.0 / max(t_lo / lo_n, 1e-7))
                     t_hi, hi_n = timed_chain(
-                        lo_n + min(int(1.2 / slope1), 2_000_000)
+                        lo_n + max(min(int(1.2 / slope1), cap), 50)
                     )
                 compile_s = time.perf_counter() - t0
                 dt = (t_hi - t_lo) / (hi_n - lo_n)

@@ -34,7 +34,11 @@ class KernelResult:
     fmt: str
     ok: bool
     max_abs_diff: float
-    time_avg: float  # wall per rep (incl. host sync)
+    # wall per rep: dispatch + host sync. On the axon tunnel backend
+    # block_until_ready does NOT synchronize, so this measures DISPATCH cost
+    # only — it is logged as wallDispatchAvg and must never be read as
+    # kernel time (use internal_time_avg, the chain-slope measurement).
+    time_avg: float
     time_var: float
     internal_time_avg: float  # device compute per rep (post-warmup)
     internal_time_var: float
@@ -47,7 +51,8 @@ class KernelResult:
 
     def stat_line(self) -> str:
         return (
-            f"{self.kernel} timeAvg:{self.time_avg:.9e} timeVar:{self.time_var:.3e} "
+            f"{self.kernel} wallDispatchAvg:{self.time_avg:.9e} "
+            f"wallDispatchVar:{self.time_var:.3e} "
             f"internalTimeAvg:{self.internal_time_avg:.9e} "
             f"internalTimeVar:{self.internal_time_var:.3e} "
             f"prepTime:{self.prepare_time:.3e} GFLOPS:{self.gflops:.4f} "
@@ -143,9 +148,12 @@ def run_kernel(
     t_hi = timed_chain(hi_n)
     if t_hi - t_lo < 0.5:
         # step signal drowned in fixed-cost noise: escalate the chain until
-        # the extra steps add ~1 s of device time
+        # the extra steps add ~1 s of device time. Bound by the measured
+        # per-step UPPER bound t_lo/lo_n (includes all fixed costs) so noise
+        # collapsing the slope can never schedule a multi-hour chain.
         slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
-        hi_n = lo_n + min(int(1.0 / slope1), 1_000_000)
+        cap = int(10.0 / max(t_lo / lo_n, 1e-7))
+        hi_n = lo_n + max(min(int(1.0 / slope1), cap), 20)
         t_hi = timed_chain(hi_n)
     chained = (t_hi - t_lo) / (hi_n - lo_n)
     if chained <= 0:  # still noise-bound: report the conservative bound

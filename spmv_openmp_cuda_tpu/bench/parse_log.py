@@ -19,8 +19,10 @@ FIELDS = [
     "source",
     "funcID",
     "impl",
-    "timeAvg",
-    "timeVar",
+    # dispatch-only wall time (block_until_ready does not synchronize on the
+    # axon backend — see harness.KernelResult); kernel time = internalTimeAvg
+    "wallDispatchAvg",
+    "wallDispatchVar",
     "internalTimeAvg",
     "internalTimeVar",
     "prepTime",
@@ -48,7 +50,10 @@ _CONFIG_RE = re.compile(
 )
 _FUNC_RE = re.compile(r"^@computing SpMV with func:(\S+)\s+(\S+)")
 _STAT_RE = re.compile(
-    r"^(\S+)\s+timeAvg:(\S+)\s+timeVar:(\S+)\s+internalTimeAvg:(\S+)\s+"
+    # wallDispatchAvg is the current schema; timeAvg accepted for logs
+    # recorded before the rename (e.g. scripts/sample_*.log)
+    r"^(\S+)\s+(?:wallDispatchAvg|timeAvg):(\S+)\s+"
+    r"(?:wallDispatchVar|timeVar):(\S+)\s+internalTimeAvg:(\S+)\s+"
     r"internalTimeVar:(\S+)\s+prepTime:(\S+)\s+GFLOPS:(\S+)\s+NNZs:(\S+)\s+ok:(\d)"
     r"(?:\s+det:(\d))?"
 )
@@ -87,13 +92,13 @@ def parse_lines(lines: Iterable[str]) -> List[Dict[str, str]]:
             impl = m.group(1)
             continue
         m = _ERR_RE.match(line)
-        if m and " timeAvg:" not in line:
+        if m and " timeAvg:" not in line and " wallDispatchAvg:" not in line:
             rows.append(
                 {
                     **ctx,
                     "funcID": m.group(1),
                     "impl": impl,
-                    "timeAvg": "", "timeVar": "",
+                    "wallDispatchAvg": "", "wallDispatchVar": "",
                     "internalTimeAvg": "", "internalTimeVar": "",
                     "prepTime": "", "GFLOPS": "", "NNZs": "",
                     "ok": "0",
@@ -109,8 +114,8 @@ def parse_lines(lines: Iterable[str]) -> List[Dict[str, str]]:
                     **ctx,
                     "funcID": m.group(1),
                     "impl": impl,
-                    "timeAvg": m.group(2),
-                    "timeVar": m.group(3),
+                    "wallDispatchAvg": m.group(2),
+                    "wallDispatchVar": m.group(3),
                     "internalTimeAvg": m.group(4),
                     "internalTimeVar": m.group(5),
                     "prepTime": m.group(6),

@@ -173,11 +173,18 @@ def test_parse_log_keeps_error_rows():
         "#matrix: m.mtx 10 10 20 4",
         "#config: grid=8x8 dtype=float32 schedule=static reps=5 devices=1 backend=cpu",
         "@computing SpMV with func:xla CSR_ROWS",
-        "CSR_ROWS timeAvg:1.0e-03 timeVar:0 internalTimeAvg:1.0e-04 "
+        "CSR_ROWS wallDispatchAvg:1.0e-03 wallDispatchVar:0 "
+        "internalTimeAvg:1.0e-04 "
         "internalTimeVar:0 prepTime:1e-2 GFLOPS:0.1 NNZs:1e6 ok:1 det:1",
+        "@computing SpMV with func:xla CSR_TILES",
+        # pre-rename schema (old committed sample logs) must still parse
+        "CSR_TILES timeAvg:2.0e-03 timeVar:0 internalTimeAvg:2.0e-04 "
+        "internalTimeVar:0 prepTime:1e-2 GFLOPS:0.2 NNZs:2e6 ok:1 det:1",
         "@computing SpMV with func:pallas ELL_ROWS",
         "ELL_ROWS ERROR: boom",
     ]
     rows = parse_lines(log)
-    assert [r["funcID"] for r in rows] == ["CSR_ROWS", "ELL_ROWS"]
-    assert rows[1]["ok"] == "0" and rows[1]["error"] == "boom"
+    assert [r["funcID"] for r in rows] == ["CSR_ROWS", "CSR_TILES", "ELL_ROWS"]
+    assert rows[0]["wallDispatchAvg"] == "1.0e-03"
+    assert rows[1]["wallDispatchAvg"] == "2.0e-03"  # legacy timeAvg field
+    assert rows[2]["ok"] == "0" and rows[2]["error"] == "boom"
