@@ -43,8 +43,8 @@ SUITE = [
     # a soft-deadline skip then costs one proxy, not the whole run
     ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
     ("caida_like", 10.47, ["PL_CSR_ROUTED_BF16"]),
-    ("thermal2_like", 26.34, ["PL_CSR_ROUTED_BF16"]),
-    ("fem_3d_thermal2_like", 39.14, ["PL_CSR_ROUTED_BF16"]),
+    ("thermal2_like", 26.34, ["PL_CSR_WINDOW_BF16"]),
+    ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_BF16"]),
     ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED"]),
 ]
 # BENCH_AB=1: run the full A/B candidate set per proxy (like the reference
@@ -54,8 +54,8 @@ SUITE = [
 AB_EXTRA = {
     "raefsky1_like": ["PL_DIA_ROWS", "PL_CSR_ROUTED_BF16"],
     "caida_like": ["PL_CSR_ROUTED"],
-    "thermal2_like": ["PL_CSR_ROUTED"],
-    "fem_3d_thermal2_like": ["PL_CSR_ROUTED"],
+    "thermal2_like": ["PL_CSR_ROUTED_BF16"],
+    "fem_3d_thermal2_like": ["PL_CSR_ROUTED_BF16"],
     "delaunay_n12_like": ["PL_CSR_ROUTED_BF16"],
 }
 STEPS = 50

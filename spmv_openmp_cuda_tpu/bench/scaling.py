@@ -75,7 +75,77 @@ def run_scaling(preset: str, device_counts: List[int], path: str):
             log(f"d={d}: only {len(jax.devices())} devices, skipping")
             continue
         mesh = M.make_mesh((d, 1), devices=jax.devices()[:d])
-        if path == "dia_halo":
+        if path == "routed_md":
+            # multidevice chunked-routed: per-device jitted chunks dispatched
+            # asynchronously — host-loop wall timing (there is no single
+            # jitted program to chain); valid on CPU/virtual devices where
+            # the np.asarray readback synchronizes
+            op = sh.prepare_routed_multidevice(
+                csr, devices=jax.devices()[:d]
+            )
+            m = csr.shape[0]
+            y = sh.routed_multidevice_spmv(op, x)[:m]
+            k = 5
+            best = float("inf")
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    sh.routed_multidevice_spmv(op, x)
+                best = min(best, (time.perf_counter() - t0) / k)
+            rep = vectors_diff(np.asarray(y, np.float64), oracle)
+            t = best
+            if t1 is None:
+                t1 = t
+            eff = t1 / (d * t)
+            rows.append((d, t, eff, rep.ok))
+            log(
+                f"d={d}: {t*1e6:10.1f} us/step  efficiency={eff:5.2f}  "
+                f"check={'OK' if rep.ok else 'FAIL'}"
+            )
+            continue
+        if path == "ell_rows":
+            ell = S.coo_to_ell(coo)
+            op = sh.prepare_row_sharded_ell(ell, mesh)
+            spmv = sh.make_ell_rows_sharded(mesh)
+            xs = jnp.asarray(x, dtype=jnp.float32)
+            m = csr.shape[0]
+
+            def mk(steps, spmv=spmv, op=op):
+                import jax as _jax
+
+                @_jax.jit
+                def chain(xv):
+                    def body(i, xv):
+                        yv = spmv(op, xv)
+                        return xv * (1.0 + jnp.sum(yv) * 1e-30)
+
+                    return _jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+
+                return chain
+
+            y = np.asarray(spmv(op, xs), np.float64).reshape(-1)[:m]
+        elif path == "csr_psum":
+            mesh_c = M.make_mesh((1, d), devices=jax.devices()[:d])
+            op = sh.prepare_col_sharded_csr(csr, mesh_c)
+            xs = sh.pad_x_for_col_sharding(np.asarray(x), op, mesh_c, jnp.float32)
+            spmv = sh.make_csr_cols_psum(mesh_c, csr.shape[0])
+            m = csr.shape[0]
+
+            def mk(steps, spmv=spmv, op=op):
+                import jax as _jax
+
+                @_jax.jit
+                def chain(xv):
+                    def body(i, xv):
+                        yv = spmv(op, xv)
+                        return xv * (1.0 + jnp.sum(yv) * 1e-30)
+
+                    return _jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+
+                return chain
+
+            y = np.asarray(spmv(op, xs), np.float64).reshape(-1)[:m]
+        elif path == "dia_halo":
             mat = prepare_dia(csr, max_fill_ratio=1e9)
             op = sh.prepare_dia_sharded(mat, mesh)
             xs = sh.pad_x_for_dia_sharded(np.asarray(x), op, mesh, jnp.float32)
@@ -129,8 +199,11 @@ def run_scaling(preset: str, device_counts: List[int], path: str):
             f"check={'OK' if rep.ok else 'FAIL'}"
         )
     print(
-        "devices,time_s,efficiency,ok"
-        + "".join(f"\n{d},{t:.3e},{e:.3f},{int(ok)}" for d, t, e, ok in rows)
+        "preset,path,virtual,devices,time_s,efficiency,ok"
+        + "".join(
+            f"\n{preset},{path},{int(virtual)},{d},{t:.3e},{e:.3f},{int(ok)}"
+            for d, t, e, ok in rows
+        )
     )
     return 0 if all(ok for *_, ok in rows) else 1
 
@@ -139,7 +212,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--preset", default="fem_3d_thermal2_like")
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
-    ap.add_argument("--path", choices=["dia_halo", "ell_ring"], default="dia_halo")
+    ap.add_argument(
+        "--path",
+        choices=["dia_halo", "ell_ring", "ell_rows", "csr_psum", "routed_md"],
+        default="dia_halo",
+    )
     ap.add_argument(
         "--virtual",
         type=int,

@@ -64,6 +64,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-dump", action="store_true", help="skip output vector dumps")
     p.add_argument("--check", action="store_true", help="verify against serial oracle")
     p.add_argument(
+        "--testtests",
+        action="store_true",
+        help="TESTTESTS mode (reference SpMV_test.cu:227-236): diff the "
+        "serial oracle against the dense-GEMV oracle on this matrix and "
+        "exit (no kernel run)",
+    )
+    p.add_argument(
         "--save-prepared",
         metavar="PATH",
         help="serialize the prepared device format to PATH (.npz) after the "
@@ -76,6 +83,69 @@ def build_argparser() -> argparse.ArgumentParser:
         "(the matrix file is still read for shape/oracle checks)",
     )
     return p
+
+
+def _adapt_loaded(operands, spec, cfg):
+    """Validate/adapt a deserialized prepared format for the selected mode.
+
+    Returns (operands, error). A DeviceDIA saved by DIA_ROWS loads under the
+    PL_DIA_* modes by re-deriving the (cheap, all-static) Pallas plan, and a
+    (DeviceDIA, plan) checkpoint unwraps for DIA_ROWS; any other kind/mode
+    mismatch is a friendly error instead of a trace-time crash.
+    """
+    from .formats.binned import BinnedCSR
+    from .formats.dia import DeviceDIA
+    from .formats.lanes import LanesSmall
+    from .formats.matrix import DeviceCSR, DeviceELL
+    from .formats.routed import RoutedCSR, RoutedChunks
+
+    is_dia_pair = (
+        isinstance(operands, tuple)
+        and len(operands) == 2
+        and isinstance(operands[0], DeviceDIA)
+    )
+    if spec.name in ("PL_DIA_ROWS", "PL_DIA_BF16"):
+        if is_dia_pair:
+            return operands, None
+        if isinstance(operands, DeviceDIA):
+            from .ops.spmv_pallas import pad_dia_for_pallas, plan_dia
+
+            plan = plan_dia(operands)
+            return (pad_dia_for_pallas(operands, plan), plan), None
+    expected = {
+        "DIA_ROWS": DeviceDIA,
+        "CSR_ROWS": DeviceCSR,
+        "CSR_ROWS_BINNED": BinnedCSR,
+        "PL_CSR_ROUTED": (RoutedCSR, RoutedChunks),
+        "PL_CSR_ROUTED_BF16": (RoutedCSR, RoutedChunks),
+        "PL_CSR_LANES": LanesSmall,
+        "ELL_ROWS": DeviceELL,
+        "ELL_ROWS_NOSIMD": DeviceELL,
+        "ELL_ROWS_NORL": DeviceELL,
+        "ELL_ROWS_T": DeviceELL,
+        "PL_ELL_ROWS_T": DeviceELL,
+    }.get(spec.name)
+    if expected is None:
+        return None, (
+            f"mode {spec.name} cannot run from a serialized prepared format"
+        )
+    if spec.name == "DIA_ROWS" and is_dia_pair:
+        return operands[0], None
+    if not isinstance(operands, expected):
+        kind = type(operands[0] if is_dia_pair else operands).__name__
+        return None, (
+            f"loaded prepared format {kind} does not match mode {spec.name}"
+        )
+    if isinstance(operands, DeviceELL):
+        want_t = spec.name in ("ELL_ROWS_T", "PL_ELL_ROWS_T")
+        if operands.transposed != want_t:
+            return None, (
+                f"loaded DeviceELL transposed={operands.transposed} does not "
+                f"match mode {spec.name}"
+            )
+        if spec.name == "PL_ELL_ROWS_T":
+            return (operands, cfg.pallas_block_n), None
+    return operands, None
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -116,6 +186,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         f64 = cfg.dtype == "float64"
         mode = {
             "dia": "DIA_ROWS" if f64 else "PL_DIA_ROWS",
+            "window": "CSR_ROWS_BINNED" if f64 else "PL_CSR_WINDOW",
             "routed": "CSR_ROWS_BINNED" if f64 else "PL_CSR_ROUTED",
         }[fmt]
         print(f"#auto: format={fmt} -> {mode}")
@@ -124,6 +195,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     except KeyError as e:
         print(f"ERROR: {e.args[0]}", file=sys.stderr)
         return 1
+    if cfg.dtype == "float64" and spec.impl == "pallas":
+        # Mosaic kernels are 32-bit only: remap explicit PL_* modes to their
+        # XLA engine analog (AUTO already maps f64 this way)
+        remap = {
+            "PL_DIA_ROWS": "DIA_ROWS",
+            "PL_DIA_BF16": "DIA_ROWS",
+            "PL_ELL_ROWS_T": "ELL_ROWS_T",
+        }
+        new_mode = remap.get(mode, "CSR_ROWS_BINNED")
+        print(
+            f"#dtype: float64 unsupported by Pallas mode {mode}; "
+            f"remapping to {new_mode}"
+        )
+        mode = new_mode
+        spec = registry.get(mode)
     ell = None
     if spec.fmt == "ell" and not args.load_prepared:
         try:
@@ -148,6 +234,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             return 1
 
+    if args.testtests:
+        # TESTTESTS: validate the serial oracle against the dense-GEMV
+        # oracle and exit (reference SpMV_test.cu:227-236)
+        from .ops.oracle import oracle_vs_oracle
+
+        rep = oracle_vs_oracle(csr, x)
+        status = "OK" if rep.ok else "FAIL"
+        print(f"#testtests: {status} maxAbsDiff={rep.max_abs_diff:.3e}")
+        return 0 if rep.ok else 2
+
     import jax
     import jax.numpy as jnp
 
@@ -156,6 +252,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .formats.serialize import load_prepared
 
         operands = load_prepared(args.load_prepared)
+        operands, err = _adapt_loaded(operands, spec, cfg)
+        if err:
+            print(f"ERROR: {err}", file=sys.stderr)
+            return 1
     else:
         from .formats.dia import DiaFillError
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LANE, SUBLANE
+from ..partition.partitioners import row_binning
 from .matrix import CSRMatrix, _ceil_to
 
 
@@ -71,7 +72,7 @@ class BinnedCSR:
 def prepare_binned_csr(csr: CSRMatrix, dtype=jnp.float32) -> BinnedCSR:
     m, n = csr.shape
     rl = csr.compute_row_lens()
-    order = np.argsort(-rl, kind="stable")  # descending length
+    order = row_binning(rl)  # descending length (chunk-balance analog)
     sorted_lens = rl[order]
 
     classes = width_classes(int(rl.max(initial=1)))

@@ -615,7 +615,7 @@ def prepare_routed(
         nnz=nnz,
         n_windows=nwin,
         rows_a=rows_a,
-        widx_t=tuple(int(v) for v in widx) if rows_a <= 32 * LANE else (),
+        widx_t=tuple(int(v) for v in widx) if rows_a <= 128 * LANE else (),
         runs=runs1,
         lvl_runs=tuple(lvl_runs),
         out_t=t_out,
@@ -683,35 +683,39 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     dtype = _slab_dtype(mat)
     n_real = mat.vals.shape[0] // LANE
     h1 = mat.perm_products.h
-    if (
-        len(mat.widx_t) == n_real
-        and n_real <= 32
-        and xw.shape[0] * LANE * xw.dtype.itemsize <= 4 * 2**20
-    ):
-        wl = mat.widx_t
+    if len(mat.widx_t) == n_real and n_real <= 72:
+        # single-block whole-domain kernel: no grid-pipeline per-step
+        # overhead (measured ~140 Gelem/s on the per-tile grid vs ~260-300
+        # in single-block kernels). Only the chunk's own window range is
+        # staged (chunked locality: a few windows, not the whole xw).
+        w_lo = min(mat.widx_t)
+        w_hi = max(mat.widx_t) + 1
+        if (w_hi - w_lo) * LANE * LANE * xw.dtype.itemsize <= 4 * 2**20:
+            wl = tuple(w - w_lo for w in mat.widx_t)
+            xw_sl = jax.lax.slice_in_dim(xw, w_lo * LANE, w_hi * LANE)
 
-        def kernel1(xw_ref, vals_ref, pidx_ref, w1_ref, o_ref):
-            for i in range(n_real):
-                sl = slice(i * LANE, (i + 1) * LANE)
-                wt = xw_ref[wl[i] * LANE : (wl[i] + 1) * LANE, :]
-                prod = vals_ref[sl, :].astype(dtype) * jnp.take_along_axis(
-                    wt, pidx_ref[sl, :].astype(jnp.int32), axis=1
-                )
-                o_ref[sl, :] = jnp.take_along_axis(
-                    prod.T, w1_ref[sl, :].astype(jnp.int32), axis=1
-                ).T
-            if h1 > n_real * LANE:
-                o_ref[n_real * LANE :, :] = jnp.zeros(
-                    (h1 - n_real * LANE, LANE), dtype
-                )
+            def kernel1(xw_ref, vals_ref, pidx_ref, w1_ref, o_ref):
+                for i in range(n_real):
+                    sl = slice(i * LANE, (i + 1) * LANE)
+                    wt = xw_ref[wl[i] * LANE : (wl[i] + 1) * LANE, :]
+                    prod = vals_ref[sl, :].astype(dtype) * jnp.take_along_axis(
+                        wt, pidx_ref[sl, :].astype(jnp.int32), axis=1
+                    )
+                    o_ref[sl, :] = jnp.take_along_axis(
+                        prod.T, w1_ref[sl, :].astype(jnp.int32), axis=1
+                    ).T
+                if h1 > n_real * LANE:
+                    o_ref[n_real * LANE :, :] = jnp.zeros(
+                        (h1 - n_real * LANE, LANE), dtype
+                    )
 
-        return pl.pallas_call(
-            kernel1,
-            out_shape=jax.ShapeDtypeStruct((h1, LANE), dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=_interp(),
-        )(xw, mat.vals, mat.pidx, mat.perm_products.w1)
+            return pl.pallas_call(
+                kernel1,
+                out_shape=jax.ShapeDtypeStruct((h1, LANE), dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=_interp(),
+            )(xw_sl, mat.vals, mat.pidx, mat.perm_products.w1)
 
     def kernel(widx_ref, wt_ref, vals_ref, pidx_ref, w1_ref, o_ref):
         i = pl.program_id(0)
@@ -1273,25 +1277,87 @@ def _sub_csr(csr: CSRMatrix, r0: int, r1: int) -> CSRMatrix:
     )
 
 
+def _predict_domain_rows(csr: CSRMatrix, r0: int, r1: int) -> int:
+    """Predicted permutation-domain rows max(rows_a, rows_c) for the light
+    path of rows [r0, r1) (ignores the heavy split — exact for FEM-degree
+    matrices, a safe overestimate otherwise)."""
+    i0, i1 = int(csr.indptr[r0]), int(csr.indptr[r1])
+    cols = csr.indices[i0:i1].astype(np.int64)
+    if cols.size == 0:
+        return 1
+    w = cols // WINDOW_ELEMS
+    a = cols % LANE
+    cell = (w - w.min()) * LANE + a
+    cnt = np.bincount(cell)
+    # tiles per window = max over residues of ceil(cnt/128); rows = 128/tile
+    nwin = int(w.max() - w.min()) + 1
+    cnt2 = np.zeros(nwin * LANE, dtype=np.int64)
+    cnt2[: cnt.shape[0]] = cnt
+    rows_a = int(
+        (128 * np.ceil(cnt2.reshape(nwin, LANE) / LANE).max(axis=1)).sum()
+    )
+    lens = np.diff(csr.indptr[r0 : r1 + 1]).astype(np.int64)
+    n_sub = np.maximum(-(-lens // WCAP), 1)
+    u1 = int(n_sub.sum())
+    lens1 = np.full(u1, WCAP, dtype=np.int64)
+    last = np.cumsum(n_sub) - 1
+    lens1[last] = lens - (n_sub - 1) * WCAP
+    srt = np.sort(lens1)[::-1]
+    rows_c = int(np.maximum(srt[::LANE], 1).sum())
+    return max(rows_a, rows_c, 1)
+
+
+def _fit_chunk_bounds(csr: CSRMatrix, target_rows: int = 8064) -> List[int]:
+    """Chunk boundaries chosen so each chunk's predicted permutation domain
+    fills its power-of-two tile grid (pick_t rounds rows up to the next
+    power of two <= 128 tiles; a 0.76-full domain taxes every routing pass
+    ~1.3x, so aim just under the boundary)."""
+    m = csr.shape[0]
+    bounds = [0]
+    while bounds[-1] < m:
+        r0 = bounds[-1]
+        lo, hi = r0 + 1, m
+        # exponential probe then bisection on the end row
+        step = max((m - r0) // 8, 1)
+        r = min(r0 + step, m)
+        while r < m and _predict_domain_rows(csr, r0, r) < target_rows:
+            lo = r
+            r = min(r + step, m)
+            step *= 2
+        hi = r
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if _predict_domain_rows(csr, r0, mid) <= target_rows:
+                lo = mid
+            else:
+                hi = mid - 1
+        bounds.append(max(lo, r0 + 1))
+    return bounds
+
+
 def prepare_routed_chunked(
     csr: CSRMatrix, dtype=jnp.float32, chunk_nnz: int = 700_000,
-    vals_dtype=None,
+    vals_dtype=None, fit_domains: bool = True,
 ) -> RoutedChunks:
-    """Split rows greedily into blocks of <= chunk_nnz light nnz and prepare
-    a routed engine per block (recursive halving if a block still exceeds
-    its routing domain). The default keeps every chunk's domain at t <= 64
-    rows so all chunks ride the fused single-block kernel path."""
+    """Split rows into blocks whose routing domains fill a t <= 64 tile grid
+    (fit_domains, the default: boundaries by bisection on the predicted
+    domain size) and prepare a routed engine per block (recursive halving if
+    a block still exceeds its domain). fit_domains=False falls back to the
+    greedy <= chunk_nnz split."""
     m = csr.shape[0]
     lens = np.diff(csr.indptr)
-    bounds = [0]
-    acc = 0
-    for r in range(m):
-        ln = int(lens[r])
-        if acc + min(ln, HEAVY_THRESHOLD) > chunk_nnz and r > bounds[-1]:
-            bounds.append(r)
-            acc = 0
-        acc += min(ln, HEAVY_THRESHOLD)
-    bounds.append(m)
+    if fit_domains and not os.environ.get("SPMV_CHUNK_GREEDY"):
+        bounds = _fit_chunk_bounds(csr)
+    else:
+        bounds = [0]
+        acc = 0
+        for r in range(m):
+            ln = int(lens[r])
+            if acc + min(ln, HEAVY_THRESHOLD) > chunk_nnz and r > bounds[-1]:
+                bounds.append(r)
+                acc = 0
+            acc += min(ln, HEAVY_THRESHOLD)
+        bounds.append(m)
     chunks = []
     final_bounds = [0]
     stack = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)][::-1]

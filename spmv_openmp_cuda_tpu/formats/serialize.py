@@ -27,7 +27,12 @@ PreparedFormat = Union[
 ]
 
 
-def save_prepared(path: str, mat: PreparedFormat) -> None:
+def save_prepared(path: str, mat) -> None:
+    with_plan = False
+    if isinstance(mat, tuple) and len(mat) == 2 and isinstance(mat[0], DeviceDIA):
+        # the Pallas DIA modes prepare a (DeviceDIA, DiaPallasPlan) pair;
+        # the plan is all-static and cheap to re-derive on load
+        mat, with_plan = mat[0], True
     import jax
 
     leaves, _treedef = jax.tree_util.tree_flatten(mat)
@@ -35,7 +40,10 @@ def save_prepared(path: str, mat: PreparedFormat) -> None:
     # npz cannot hold ml_dtypes arrays: store bf16 as uint16 bit patterns
     bf16 = [i for i, a in enumerate(arrs) if a.dtype.name == "bfloat16"]
     arrs = [a.view(np.uint16) if i in bf16 else a for i, a in enumerate(arrs)]
-    meta = {"kind": type(mat).__name__, "aux": _aux_of(mat), "bf16": bf16}
+    aux = _aux_of(mat)
+    if with_plan:
+        aux["with_plan"] = True
+    meta = {"kind": type(mat).__name__, "aux": aux, "bf16": bf16}
     np.savez_compressed(
         path,
         __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -151,13 +159,21 @@ def load_prepared(path: str) -> PreparedFormat:
             nnz=aux["nnz"],
         )
     if kind == "DeviceDIA":
-        return DeviceDIA(
+        mat = DeviceDIA(
             *r.take(n_leaves),
             offsets=tuple(aux["offsets"]),
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
-            pad_sub=aux["pad_sub"],
+            # files saved before the 'pad' -> 'pad_sub' rename stored the
+            # element count; convert to sublane-rows
+            pad_sub=aux.get("pad_sub", -(-aux.get("pad", 0) // 128)),
         )
+        if aux.get("with_plan"):
+            from ..ops.spmv_pallas import pad_dia_for_pallas, plan_dia
+
+            plan = plan_dia(mat)
+            return (pad_dia_for_pallas(mat, plan), plan)
+        return mat
     if kind == "DeviceELL":
         return DeviceELL(
             *r.take(n_leaves),

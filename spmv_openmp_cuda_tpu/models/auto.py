@@ -53,14 +53,37 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
     # matrices first reject cheaply from a sample (a sample undercounts
     # distinct offsets, so exceeding the cap on the sample is conclusive)
     max_offs = int(dia_fill_cap * nnz / max(m, 1))
+    sampled_reject = False
     if csr.nnz > 4_000_000:
         idx = np.linspace(0, csr.nnz - 1, 200_000).astype(np.int64)
         rows_s = np.searchsorted(csr.indptr, idx, side="right") - 1
-        if np.unique(csr.indices[idx] - rows_s).shape[0] > max_offs:
-            return "routed"
-    offs = np.unique(csr.indices - csr.row_ids())
-    if offs.shape[0] <= max_offs:
-        return "dia"
+        sampled_reject = (
+            np.unique(csr.indices[idx] - rows_s).shape[0] > max_offs
+        )
+    if not sampled_reject:
+        offs = np.unique(csr.indices - csr.row_ids())
+        if offs.shape[0] <= max_offs:
+            return "dia"
+    # banded LOCALITY without banded structure (unstructured FEM): the
+    # windowed gather engine beats the routed pipeline (~50 ps/nnz on the
+    # Clos route) when its padded slot count stays low
+    from ..formats.window import WindowError, _pack_stats
+
+    best = None
+    for g in (8, 16, 32):
+        try:
+            _k_total, k_max, _wr, _ns = _pack_stats(csr, g)
+        except WindowError:
+            continue
+        nblocks = -(-m // (g * 128))
+        slots = nblocks * max(-(-k_max // 16) * 16, 16) * 128
+        # measured v5e: ~14 ps/slot gather/assembly + ~0.35*G masked
+        # reduce + ~0.17 us fixed per grid step
+        cost = slots * (14.0 + 0.35 * g) + nblocks * 170_000.0
+        if best is None or cost < best:
+            best = cost
+    if best is not None and best < 50.0 * nnz:
+        return "window"
     return "routed"
 
 
@@ -86,8 +109,16 @@ class AutoSpMV:
         fmt = select_format(csr) if format == "auto" else format
         # float64 runs on the XLA paths: Pallas/Mosaic kernels are 32-bit
         f64 = cfg.dtype == "float64"
-        if f64 and fmt in ("lanes", "routed"):
+        if f64 and fmt in ("lanes", "routed", "window"):
             fmt = "binned"
+        if fmt == "window":
+            from ..formats.window import WindowError, prepare_window_auto, window_spmv
+
+            try:
+                ops = prepare_window_auto(csr, dtype=cfg.jnp_dtype)
+                run = window_spmv
+            except WindowError:
+                fmt = "routed"
         if fmt == "dia":
             from ..formats.dia import dia_spmv
             from ..ops.spmv_pallas import dia_spmv_pallas, pad_dia_for_pallas, plan_dia
@@ -130,8 +161,8 @@ class AutoSpMV:
             jitted = jax.jit(run)
         except UnboundLocalError:
             raise ValueError(
-                f"unknown format {format!r}; expected auto, dia, lanes, "
-                "routed, ell_t or binned"
+                f"unknown format {format!r}; expected auto, dia, window, "
+                "lanes, routed, ell_t or binned"
             ) from None
         m = csr.shape[0]
 

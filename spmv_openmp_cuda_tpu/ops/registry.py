@@ -125,15 +125,28 @@ def _register_xla(cfg_defaults: Config = Config()) -> None:
             "(spmvRowsBasicCSR analog, SpMV_CSR_OMP.c:34-63)",
         )
     )
+    def _prep_csr_groups(csr, ell, cfg):
+        mat = _prep_csr(csr, ell, cfg)
+        b = max(int(cfg.grid_rows), 1)
+        rpb = max(-(-csr.shape[0] // b), 1)
+        bounds = [min(i * rpb, csr.shape[0]) for i in range(b + 1)]
+        starts = csr.indptr[np.asarray(bounds, dtype=np.int64)]
+        max_ext = max(int(np.diff(starts).max()), 1)
+        return (mat, jnp.asarray(starts, dtype=jnp.int32), rpb, max_ext)
+
     register(
         KernelSpec(
             name="CSR_ROWS_GROUPS",
             fmt="csr",
             impl="xla",
-            prepare=_prep_csr,
-            run=lambda mat, x: spmv_xla.csr_rows_groups(mat, x),
-            doc="fair row-block CSR (spmvRowsBlocksCSR analog, "
-            "SpMV_CSR_OMP.c:65-99); block decomposition is the sharding unit",
+            prepare=_prep_csr_groups,
+            run=lambda ops, x: spmv_xla.csr_rows_groups(
+                ops[0], x, ops[1], ops[2], ops[3]
+            ),
+            doc="fair row-block CSR, a real blocked schedule: grid_rows "
+            "blocks each dynamic-slice their nnz range and reduce locally "
+            "under lax.map (spmvRowsBlocksCSR analog, SpMV_CSR_OMP.c:65-99); "
+            "the same block decomposition is the sharding unit",
         )
     )
 
@@ -177,15 +190,21 @@ def _register_xla(cfg_defaults: Config = Config()) -> None:
             "(spmvRowsBasicELL analog, SpMV_ELL_OMP.c:33-67)",
         )
     )
+    def _prep_ell_groups(csr, ell, cfg):
+        return (_prep_ell(csr, ell, cfg), max(int(cfg.grid_rows), 1))
+
     register(
         KernelSpec(
             name="ELL_ROWS_GROUPS",
             fmt="ell",
             impl="xla",
-            prepare=_prep_ell,
-            run=lambda mat, x: spmv_xla.ell_rows_groups(mat, x),
-            doc="fair row-block ELL (spmvRowsBlocksELL analog, "
-            "SpMV_ELL_OMP.c:69-108)",
+            prepare=_prep_ell_groups,
+            run=lambda ops, x: spmv_xla.ell_rows_groups(
+                ops[0], x, grid_rows=ops[1]
+            ),
+            doc="fair row-block ELL, a real blocked schedule: grid_rows "
+            "slab blocks reduced block-by-block under lax.scan "
+            "(spmvRowsBlocksELL analog, SpMV_ELL_OMP.c:69-108)",
         )
     )
 

@@ -294,6 +294,38 @@ def _register() -> None:
         )
     )
 
+    from ..formats.window import prepare_window_auto, window_spmv
+
+    register(
+        KernelSpec(
+            name="PL_CSR_WINDOW",
+            fmt="csr",
+            impl="pallas",
+            prepare=lambda csr, ell, cfg: prepare_window_auto(
+                csr, dtype=cfg.jnp_dtype
+            ),
+            run=window_spmv,
+            doc="windowed local-gather engine for banded-LOCALITY matrices "
+            "(unstructured FEM): per row-block chunk-class slots, "
+            "data-driven window assembly, masked group reduce — no global "
+            "permutation (the reference's ELL capability for such "
+            "matrices, SpMV_ELL_OMP.c:33-67, TPU-first)",
+        )
+    )
+    register(
+        KernelSpec(
+            name="PL_CSR_WINDOW_BF16",
+            fmt="csr",
+            impl="pallas",
+            prepare=lambda csr, ell, cfg: prepare_window_auto(
+                csr, dtype=jnp.float32, vals_dtype=jnp.bfloat16
+            ),
+            run=window_spmv,
+            doc="windowed local-gather with bf16 value slabs (f32 gather/"
+            "accumulate): halves the dominant slot-value HBM stream",
+        )
+    )
+
     from ..formats.routed import prepare_routed_auto, routed_auto_spmv
 
     register(

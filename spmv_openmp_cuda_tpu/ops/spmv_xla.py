@@ -18,6 +18,7 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..formats.matrix import DeviceCSR, DeviceELL, fair_splits
 
@@ -62,19 +63,49 @@ def csr_rows(mat: DeviceCSR, x: jax.Array) -> jax.Array:
     )
 
 
-def csr_rows_groups(mat: DeviceCSR, x: jax.Array, grid_rows: int = 8) -> jax.Array:
+def csr_rows_groups(
+    mat: DeviceCSR,
+    x: jax.Array,
+    starts: jax.Array,
+    rows_per_block: int,
+    max_ext: int,
+) -> jax.Array:
     """Fair row-block CSR SpMV (spmvRowsBlocksCSR analog, SpMV_CSR_OMP.c:65-99).
 
-    The nnz stream is cut at the row-block boundaries (block b owns rows
-    [splits[b], splits[b+1])); each block's segment-sum runs independently —
-    the XLA expression of per-block workers. Because block nnz extents are
-    data-dependent, blocks slice the padded nnz stream dynamically with a
-    static max extent, masking the overhang.
+    A genuinely blocked schedule (NOT an alias of csr_rows): block b owns
+    rows [b*rows_per_block, (b+1)*rows_per_block); `starts` holds each
+    block's nnz offset (host-derived from indptr) and max_ext the largest
+    block extent. Blocks run under lax.map — a sequential per-block loop,
+    the compiled analog of the reference's static OMP schedule where each
+    thread walks its own row block. Each block dynamic-slices the nnz
+    stream at its offset with the static max extent, masks the overhang,
+    and does a local sorted segment-sum into its row range.
     """
-    # On a single chip XLA fuses this identically to csr_rows; the block
-    # structure is kept for semantic parity and as the unit of sharding
-    # (parallel/sharded.py shards these row blocks across devices).
-    return csr_rows(mat, x)
+    m = mat.shape[0]
+    rpb = rows_per_block
+    b_count = starts.shape[0] - 1
+    prods = mat.data * x[mat.cols].astype(mat.data.dtype)
+    # pad so every dynamic slice of max_ext is in range; padded row ids map
+    # to the overflow slot rpb and are dropped
+    prods_pad = jnp.pad(prods, (0, max_ext))
+    rows_pad = jnp.pad(
+        mat.row_ids, (0, max_ext), constant_values=np.iinfo(np.int32).max
+    )
+    arange_ext = jnp.arange(max_ext)
+
+    def block(b):
+        s = starts[b]
+        ext = starts[b + 1] - s
+        p = jax.lax.dynamic_slice(prods_pad, (s,), (max_ext,))
+        r = jax.lax.dynamic_slice(rows_pad, (s,), (max_ext,))
+        local = jnp.clip(r - b * rpb, 0, rpb).astype(jnp.int32)
+        p = jnp.where(arange_ext < ext, p, 0)
+        return jax.ops.segment_sum(
+            p, local, num_segments=rpb + 1, indices_are_sorted=True
+        )
+
+    partials = jax.lax.map(block, jnp.arange(b_count, dtype=jnp.int32))
+    return partials[:, :rpb].reshape(-1)[:m]
 
 
 def _bucketize_cols(cols: jax.Array, n: int, grid_cols: int) -> jax.Array:
@@ -151,12 +182,31 @@ def ell_rows(
 
 
 def ell_rows_groups(
-    mat: DeviceELL, x: jax.Array, grid_rows: int = 8, **kw
+    mat: DeviceELL, x: jax.Array, grid_rows: int = 8, row_lens: bool = True
 ) -> jax.Array:
     """Fair row-block ELL SpMV (spmvRowsBlocksELL analog,
-    SpMV_ELL_OMP.c:69-108). Single-chip XLA form coincides with ell_rows;
-    the block decomposition is the sharding unit in parallel/sharded.py."""
-    return ell_rows(mat, x, **kw)
+    SpMV_ELL_OMP.c:69-108).
+
+    A genuinely blocked schedule (NOT an alias of ell_rows): the padded slab
+    is cut into grid_rows row blocks and reduced block-by-block under
+    lax.scan — the sequential per-block loop of the reference's static OMP
+    schedule, compiled as a real loop instead of one fused reduction.
+    """
+    m = mat.shape[0]
+    xg = x[mat.cols].astype(mat.data.dtype)
+    prods = mat.data * xg
+    if row_lens:
+        prods = jnp.where(_ell_mask(mat), prods, 0)
+    m_pad, w = prods.shape
+    b = max(min(grid_rows, m_pad), 1)
+    rpb = -(-m_pad // b)
+    prods = jnp.pad(prods, ((0, b * rpb - m_pad), (0, 0)))
+
+    def step(carry, blk):
+        return carry, blk.sum(axis=1)
+
+    _, ys = jax.lax.scan(step, jnp.zeros((), prods.dtype), prods.reshape(b, rpb, w))
+    return ys.reshape(-1)[:m]
 
 
 def ell_tiles(

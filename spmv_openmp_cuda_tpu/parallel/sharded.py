@@ -466,7 +466,11 @@ def prepare_routed_multidevice(csr: CSRMatrix, devices=None, dtype=jnp.float32):
     devices = tuple(devices if devices is not None else jax.devices())
     nd = len(devices)
     target = max(int(np.ceil(csr.nnz / nd)), 1)
-    rc = prepare_routed_chunked(csr, dtype=dtype, chunk_nnz=target)
+    # fixed per-device nnz split (domain-fit chunking would merge the
+    # row blocks the devices need)
+    rc = prepare_routed_chunked(
+        csr, dtype=dtype, chunk_nnz=target, fit_domains=False
+    )
     placed = []
     for i, chunk in enumerate(rc.chunks):
         placed.append(jax.device_put(chunk, devices[i % nd]))

@@ -10,7 +10,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 
@@ -30,20 +30,6 @@ def wall_timer(t: Timings):
         yield
     finally:
         t.wall = time.perf_counter() - t0
-
-
-def measure_internal(f: Callable, *args, reps: int = 5) -> float:
-    """Amortized device time per call: chain reps dispatches, sync once.
-
-    On tunneled TPUs per-call sync measures the transport (~ms); chaining
-    amortizes it (see bench.py for the fully on-device fori_loop variant).
-    """
-    out = None
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
 
 
 @contextlib.contextmanager

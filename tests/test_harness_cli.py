@@ -188,3 +188,57 @@ def test_parse_log_keeps_error_rows():
     assert rows[0]["wallDispatchAvg"] == "1.0e-03"
     assert rows[1]["wallDispatchAvg"] == "2.0e-03"  # legacy timeAvg field
     assert rows[2]["ok"] == "0" and rows[2]["error"] == "boom"
+
+
+def test_cli_testtests(tmp_path, capsys):
+    from spmv_openmp_cuda_tpu.cli import main
+    from spmv_openmp_cuda_tpu.io.mmio import write_mtx
+    from spmv_openmp_cuda_tpu.utils import synth
+
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, synth.banded(300, 300, 4, fill=0.9, seed=2))
+    assert main([mtx, "RNDVECT", "--testtests", "--no-dump"]) == 0
+    out = capsys.readouterr().out
+    assert "#testtests: OK" in out
+
+
+def test_cli_f64_pallas_mode_remaps(tmp_path, capsys):
+    from spmv_openmp_cuda_tpu.cli import main
+    from spmv_openmp_cuda_tpu.io.mmio import write_mtx
+    from spmv_openmp_cuda_tpu.utils import synth
+
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, synth.banded(300, 300, 4, fill=1.0, seed=2))
+    rc = main([mtx, "RNDVECT", "PL_DIA_ROWS", "--dtype", "float64",
+               "--check", "--no-dump"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "remapping to DIA_ROWS" in out
+    assert "computeMode:DIA_ROWS" in out
+
+
+def test_cli_save_load_prepared_dia_pallas(tmp_path, capsys):
+    from spmv_openmp_cuda_tpu.cli import main
+    from spmv_openmp_cuda_tpu.io.mmio import write_mtx
+    from spmv_openmp_cuda_tpu.utils import synth
+
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, synth.banded(400, 400, 6, fill=1.0, seed=5))
+    prep = str(tmp_path / "dia.npz")
+    # save under the Pallas DIA mode ((DeviceDIA, plan) operands)
+    rc = main([mtx, "RNDVECT", "PL_DIA_ROWS", "--check", "--no-dump",
+               f"--save-prepared={prep}"])
+    assert rc == 0
+    # reload under the Pallas mode (plan re-derived) ...
+    rc = main([mtx, "RNDVECT", "PL_DIA_ROWS", "--check", "--no-dump",
+               f"--load-prepared={prep}"])
+    assert rc == 0
+    # ... and under the XLA DIA mode (pair unwraps)
+    rc = main([mtx, "RNDVECT", "DIA_ROWS", "--check", "--no-dump",
+               f"--load-prepared={prep}"])
+    assert rc == 0
+    # kind/mode mismatch is a friendly error, not a trace crash
+    rc = main([mtx, "RNDVECT", "PL_CSR_ROUTED", "--no-dump",
+               f"--load-prepared={prep}"])
+    assert rc == 1
+    assert "does not match mode" in capsys.readouterr().err

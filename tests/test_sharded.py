@@ -127,4 +127,4 @@ def test_scaling_harness_smoke(capsys):
     rc = run_scaling("cavity10_like", [1, 2], "dia_halo")
     assert rc == 0
     out = capsys.readouterr().out
-    assert out.startswith("devices,time_s,efficiency,ok")
+    assert out.startswith("preset,path,virtual,devices,time_s,efficiency,ok")

@@ -1,0 +1,81 @@
+"""Windowed local-gather engine (formats/window.py, PL_CSR_WINDOW)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spmv_openmp_cuda_tpu as S
+from spmv_openmp_cuda_tpu.config import Config
+from spmv_openmp_cuda_tpu.formats import window as W
+from spmv_openmp_cuda_tpu.formats.window import WindowError
+from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+from spmv_openmp_cuda_tpu.ops import registry
+from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
+from spmv_openmp_cuda_tpu.utils import synth
+from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
+
+
+def _check(csr, mat):
+    x = fill_rnd_vector(csr.shape[1], seed=1)
+    y = np.asarray(W.window_spmv(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+@pytest.mark.parametrize("g", [8, 16])
+def test_window_fem_like(g):
+    coo = synth.fem_like(m=4000, n=4000, nnz=50000, spread=600, lo=5, hi=20, seed=2)
+    csr = S.coo_to_csr(coo)
+    _check(csr, W.prepare_window(csr, g=g))
+
+
+def test_window_banded_and_rect():
+    for coo in [
+        synth.banded(2000, 2000, 35, fill=0.8, seed=1),
+        synth.banded(900, 1400, 25, fill=0.9, seed=5),  # wide
+        synth.banded(1400, 900, 25, fill=0.9, seed=6),  # tall
+    ]:
+        csr = S.coo_to_csr(coo)
+        _check(csr, W.prepare_window_auto(csr))
+
+
+def test_window_bf16_vals():
+    coo = synth.fem_like(m=3000, n=3000, nnz=30000, spread=500, lo=3, hi=15, seed=7)
+    csr = S.coo_to_csr(coo)
+    mat = W.prepare_window_auto(csr, vals_dtype=jnp.bfloat16)
+    x = fill_rnd_vector(csr.shape[1], seed=1)
+    y = np.asarray(W.window_spmv(mat, jnp.asarray(x, jnp.float32)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep  # bf16 value rounding stays inside the 7e-4 tolerance
+
+
+def test_window_rejects_power_law():
+    csr = S.coo_to_csr(synth.power_law(20000, 20000, 5.0, seed=1))
+    with pytest.raises(WindowError):
+        W.prepare_window_auto(csr)
+
+
+def test_window_registered_modes():
+    coo = synth.fem_like(m=2000, n=2000, nnz=22000, spread=400, lo=5, hi=16, seed=3)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(2000, seed=4)
+    oracle = serial_csr_spmv(csr, x)
+    cfg = Config()
+    for name in ("PL_CSR_WINDOW", "PL_CSR_WINDOW_BF16"):
+        spec = registry.get(name)
+        ops = spec.prepare(csr, None, cfg)
+        y = np.asarray(spec.run(ops, jnp.asarray(x, jnp.float32)), np.float64)
+        rep = vectors_diff(y, oracle)
+        assert rep.ok, (name, rep)
+
+
+def test_auto_selects_window_for_fem_locality():
+    from spmv_openmp_cuda_tpu.models.auto import AutoSpMV, select_format
+
+    coo = synth.fem_like(m=6000, n=6000, nnz=120000, spread=500, lo=10, hi=28, seed=9)
+    csr = S.coo_to_csr(coo)
+    assert select_format(csr) == "window"
+    model = AutoSpMV.from_csr(csr)
+    assert model.format == "window"
+    x = fill_rnd_vector(6000, seed=2)
+    rep = vectors_diff(np.asarray(model(x), np.float64), serial_csr_spmv(csr, x))
+    assert rep.ok, rep
