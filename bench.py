@@ -35,13 +35,13 @@ def log(msg):
 # all five CUDA headline matrices of the reference (BASELINE.md).
 # Round-2 proxies are structurally honest (utils/synth.py): thermal2 and
 # FEM_3D_thermal2 are unstructured-FEM scattered-offset matrices that DIA
-# REJECTS (like the real ones), so they run the general routed engine;
-# only raefsky1 — genuinely a structured-grid dense band — keeps DIA.
+# REJECTS (like the real ones) — they run the windowed local-gather engine;
+# raefsky1 (dense band + scattered fringe) runs the DIA+residual hybrid.
 SUITE = [
     # ordered by compile-time risk: the tiny-domain single kernel
     # (delaunay) has shown the slowest remote compiles, so it goes last —
     # a soft-deadline skip then costs one proxy, not the whole run
-    ("raefsky1_like", 46.56, ["PL_DIA_BF16"]),
+    ("raefsky1_like", 46.56, ["PL_DIA_RESID_BF16"]),
     ("caida_like", 10.47, ["PL_CSR_ROUTED_BF16"]),
     ("thermal2_like", 26.34, ["PL_CSR_WINDOW_BF16"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_BF16"]),
@@ -52,12 +52,21 @@ SUITE = [
 # survives in the record; default stays one-winner to respect the
 # nondeterministic remote-compile budget.
 AB_EXTRA = {
-    "raefsky1_like": ["PL_DIA_ROWS", "PL_CSR_ROUTED_BF16"],
+    "raefsky1_like": ["PL_DIA_BF16", "PL_CSR_WINDOW_BF16"],
     "caida_like": ["PL_CSR_ROUTED"],
     "thermal2_like": ["PL_CSR_ROUTED_BF16"],
     "fem_3d_thermal2_like": ["PL_CSR_ROUTED_BF16"],
     "delaunay_n12_like": ["PL_CSR_ROUTED_BF16"],
 }
+# SPMV_DTYPE=float64 suite: the reference's semantics are double precision
+# throughout (reference src/include/macros.h:63-76); Mosaic kernels are
+# 32-bit, so f64 rides the XLA engines. Results land in
+# BENCH_DETAILS_F64.json (the headline record stays f32/bf16).
+F64_SUITE = [
+    ("raefsky1_like", 46.56, ["DIA_ROWS"]),
+    ("fem_3d_thermal2_like", 39.14, ["CSR_ROWS_BINNED"]),
+    ("thermal2_like", 26.34, ["CSR_ROWS_BINNED"]),
+]
 STEPS = 50
 
 
@@ -77,10 +86,11 @@ def main():
     from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
 
     cfg = Config(dtype=os.environ.get("SPMV_DTYPE", "float32"))
-    suite = SUITE[:1] if os.environ.get("BENCH_FAST") else SUITE
+    base_suite = F64_SUITE if cfg.dtype == "float64" else SUITE
+    suite = base_suite[:1] if os.environ.get("BENCH_FAST") else base_suite
     only = os.environ.get("BENCH_ONLY")
     if only:
-        suite = [s for s in SUITE if s[0] in only.split(",")]
+        suite = [s for s in base_suite if s[0] in only.split(",")]
     if os.environ.get("BENCH_AB"):
         suite = [
             (p, ref, cands + AB_EXTRA.get(p, [])) for p, ref, cands in suite
@@ -150,6 +160,8 @@ def main():
                     )
 
                 y = jax.block_until_ready(loop(xj, jnp.int32(0))[1])
+                res_dtype = str(np.asarray(y).dtype)  # honesty: what the
+                # device actually computed (f64 needs jax_enable_x64)
                 rep = vectors_diff(
                     np.asarray(y, dtype=np.float64)[: csr.shape[0]], oracle
                 )
@@ -226,6 +238,7 @@ def main():
                 "ref_gflops": ref_gflops,
                 "ratio": round(ratio, 3),
                 "dtype": cfg.dtype,
+                "result_dtype": res_dtype,
             }
         )
         log(f"[{preset}] BEST {best[0]}: {best[1]:.2f} GFLOPS = {ratio:.2f}x reference")
@@ -239,9 +252,12 @@ def main():
         return 1
     geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     value = math.exp(sum(math.log(d["gflops"]) for d in details) / len(details))
-    if len(details) == len(SUITE):  # partial runs must not clobber the record
+    details_file = (
+        "BENCH_DETAILS_F64.json" if cfg.dtype == "float64" else "BENCH_DETAILS.json"
+    )
+    if len(details) == len(base_suite):  # partial runs must not clobber the record
         try:
-            with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
+            with open(os.path.join(os.path.dirname(__file__), details_file), "w") as f:
                 json.dump(details, f, indent=1)
         except OSError:
             pass
@@ -251,9 +267,9 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(geo, 3),
     }
-    if len(details) < len(SUITE):  # deadline skips: flag the partial basis
+    if len(details) < len(base_suite):  # deadline skips: flag the partial basis
         rec["proxies_measured"] = len(details)
-        rec["proxies_total"] = len(SUITE)
+        rec["proxies_total"] = len(base_suite)
     print(json.dumps(rec))
     return 0
 

@@ -98,6 +98,7 @@ def _adapt_loaded(operands, spec, cfg):
     from .formats.lanes import LanesSmall
     from .formats.matrix import DeviceCSR, DeviceELL
     from .formats.routed import RoutedCSR, RoutedChunks
+    from .formats.window import WindowCSR
 
     is_dia_pair = (
         isinstance(operands, tuple)
@@ -118,6 +119,8 @@ def _adapt_loaded(operands, spec, cfg):
         "CSR_ROWS_BINNED": BinnedCSR,
         "PL_CSR_ROUTED": (RoutedCSR, RoutedChunks),
         "PL_CSR_ROUTED_BF16": (RoutedCSR, RoutedChunks),
+        "PL_CSR_WINDOW": WindowCSR,
+        "PL_CSR_WINDOW_BF16": WindowCSR,
         "PL_CSR_LANES": LanesSmall,
         "ELL_ROWS": DeviceELL,
         "ELL_ROWS_NOSIMD": DeviceELL,
@@ -186,6 +189,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         f64 = cfg.dtype == "float64"
         mode = {
             "dia": "DIA_ROWS" if f64 else "PL_DIA_ROWS",
+            "dia_resid": "CSR_ROWS_BINNED" if f64 else "PL_DIA_RESID",
             "window": "CSR_ROWS_BINNED" if f64 else "PL_CSR_WINDOW",
             "routed": "CSR_ROWS_BINNED" if f64 else "PL_CSR_ROUTED",
         }[fmt]

@@ -91,6 +91,42 @@ def prepare_dia(
     )
 
 
+def split_offsets(
+    csr: CSRMatrix,
+    max_fill_ratio: float = 3.0,
+    min_occ_frac: float = 0.12,
+    max_resid_frac: float = 0.25,
+) -> np.ndarray:
+    """Dense/sparse offset split for the DIA+residual hybrid.
+
+    Real banded matrices carry a fringe of scattered nnz beyond their dense
+    diagonals (e.g. raefsky1: 91 full diagonals + a few hundred stragglers);
+    pure DIA pays a whole m_pad-length diagonal for every straggler offset.
+    Returns a keep mask per nnz: offsets occupied on >= min_occ_frac of rows
+    go to DIA, the rest to the windowed residual. Raises DiaFillError when
+    the kept diagonals still exceed the fill budget or the residual fraction
+    is too large to be worth the hybrid.
+    """
+    m, n = csr.shape
+    rows = csr.row_ids().astype(np.int64)
+    offs = csr.indices - rows
+    uniq, inv, cnt = np.unique(offs, return_inverse=True, return_counts=True)
+    keep_off = cnt >= max(min_occ_frac * m, 2)
+    nnz_kept = int(cnt[keep_off].sum())
+    nnz_resid = csr.nnz - nnz_kept
+    m_pad = max(_ceil_to(max(m, 1), LANE), LANE)
+    if not keep_off.any() or int(keep_off.sum()) * m_pad > max_fill_ratio * max(
+        nnz_kept, 1
+    ):
+        raise DiaFillError("no dense-diagonal core under the fill budget")
+    if nnz_resid > max_resid_frac * csr.nnz:
+        raise DiaFillError(
+            f"residual {nnz_resid}/{csr.nnz} nnz exceeds "
+            f"{max_resid_frac:.0%} hybrid budget"
+        )
+    return keep_off[inv]
+
+
 def pad_x_dia(x: jax.Array, mat: DeviceDIA) -> jax.Array:
     """Zero-pad x into the (S + 2*pad_sub, LANE) sublane-row layout.
 

@@ -20,10 +20,12 @@ from .dia import DeviceDIA
 from .lanes import LanesSmall
 from .matrix import DeviceCSR, DeviceELL
 from .routed import RoutedCSR
+from .window import WindowCSR
 from ..ops.route import PlannedPermutation
 
 PreparedFormat = Union[
-    BinnedCSR, DeviceDIA, DeviceELL, DeviceCSR, LanesSmall, RoutedCSR
+    BinnedCSR, DeviceDIA, DeviceELL, DeviceCSR, LanesSmall, RoutedCSR,
+    WindowCSR,
 ]
 
 
@@ -86,6 +88,16 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "shape": list(mat.shape),
             "nnz": mat.nnz,
             "n_groups": mat.n_groups,
+        }
+    if isinstance(mat, WindowCSR):
+        return {
+            "shape": list(mat.shape),
+            "nnz": mat.nnz,
+            "g": mat.g,
+            "k_pad": mat.k_pad,
+            "wr": mat.wr,
+            "nspecs": mat.nspecs,
+            "nblocks": mat.nblocks,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -191,6 +203,17 @@ def load_prepared(path: str) -> PreparedFormat:
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
             n_groups=aux["n_groups"],
+        )
+    if kind == "WindowCSR":
+        return WindowCSR(
+            *r.take(n_leaves),
+            shape=tuple(aux["shape"]),
+            nnz=aux["nnz"],
+            g=aux["g"],
+            k_pad=aux["k_pad"],
+            wr=aux["wr"],
+            nspecs=aux["nspecs"],
+            nblocks=aux["nblocks"],
         )
     if kind == "RoutedCSR":
         # leaf order follows the registered dataclass data_fields:

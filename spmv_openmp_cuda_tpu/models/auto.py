@@ -61,7 +61,21 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
             np.unique(csr.indices[idx] - rows_s).shape[0] > max_offs
         )
     if not sampled_reject:
-        offs = np.unique(csr.indices - csr.row_ids())
+        offs, cnt = np.unique(
+            csr.indices - csr.row_ids(), return_counts=True
+        )
+        dense = int((cnt >= max(0.12 * m, 2)).sum())
+        # dense-diagonal core + scattered fringe (raefsky-class): the
+        # DIA+windowed-residual hybrid beats paying a full m_pad diagonal
+        # per straggler offset whenever the split sheds >= 25% of them
+        if dense < 0.75 * offs.shape[0]:
+            from ..formats.dia import split_offsets
+
+            try:
+                split_offsets(csr)
+                return "dia_resid"
+            except DiaFillError:
+                pass
         if offs.shape[0] <= max_offs:
             return "dia"
     # banded LOCALITY without banded structure (unstructured FEM): the
@@ -109,8 +123,18 @@ class AutoSpMV:
         fmt = select_format(csr) if format == "auto" else format
         # float64 runs on the XLA paths: Pallas/Mosaic kernels are 32-bit
         f64 = cfg.dtype == "float64"
-        if f64 and fmt in ("lanes", "routed", "window"):
+        if f64 and fmt in ("lanes", "routed", "window", "dia_resid"):
             fmt = "binned"
+        if fmt == "dia_resid":
+            from ..ops.spmv_pallas import dia_spmv_pallas, prepare_dia_resid
+
+            try:
+                ops = prepare_dia_resid(csr, dtype=cfg.jnp_dtype)
+                run = lambda o, x: dia_spmv_pallas(
+                    o[0].mat, x, o[1], resid=o[0]
+                )
+            except DiaFillError:
+                fmt = "routed"
         if fmt == "window":
             from ..formats.window import WindowError, prepare_window_auto, window_spmv
 

@@ -108,7 +108,11 @@ class DiaPallasPlan:
     s_pad: int  # padded sublane-row count (= bs * nblocks)
 
 
-def plan_dia(mat: DeviceDIA, vmem_budget: int = 2 << 20) -> DiaPallasPlan:
+def plan_dia(
+    mat: DeviceDIA, vmem_budget: int = 2 << 20, max_bs: int | None = None
+) -> DiaPallasPlan:
+    from ..formats.dia import DiaFillError
+
     d, s, _ = mat.data.shape
     # data block d*bs*LANE*4 bytes ~ vmem_budget; bs a multiple of 16 (the
     # bf16 sublane tile height, also valid for f32), and bs > pad_sub so the
@@ -119,6 +123,12 @@ def plan_dia(mat: DeviceDIA, vmem_budget: int = 2 << 20) -> DiaPallasPlan:
     # the 3-block window invariant bs > pad_sub outranks the s clamp (wide
     # bands on short matrices: shifts reach far beyond one block of rows)
     bs = max(bs, _ceil_to(mat.pad_sub + 1, 2 * SUBLANE))
+    if max_bs is not None:
+        # residual mode: the 3-block window must fit the 128-row transposed
+        # staging tile (3*bs <= 128)
+        if _ceil_to(mat.pad_sub + 1, 2 * SUBLANE) > max_bs:
+            raise DiaFillError("band too wide for the residual window")
+        bs = min(bs, max_bs)
     s_pad = _ceil_to(s, bs)
     return DiaPallasPlan(bs=bs, nblocks=s_pad // bs, s_pad=s_pad)
 
@@ -140,8 +150,132 @@ def pad_dia_for_pallas(mat: DeviceDIA, plan: DiaPallasPlan) -> DeviceDIA:
     )
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mat", "rvals", "rsidx", "rgid", "rsrc"],
+    meta_fields=["k_pad", "nnz_resid"],
+)
+@dataclasses.dataclass
+class DiaResid:
+    """DIA + windowed-residual hybrid (real banded matrices = dense
+    diagonals + a scattered fringe; reference corpus example: raefsky1).
+
+    The dense-offset core rides the fused diagonal kernel; the fringe nnz
+    become windowed-gather slots (the formats/window.py layout, with the
+    DIA kernel's own 3-block x window as the gather source and the block's
+    bs sublane-rows as the masked-reduce groups) evaluated INSIDE the same
+    kernel — zero extra launches or memory passes."""
+
+    mat: DeviceDIA
+    rvals: jax.Array  # (nblocks*k_pad, 128)
+    rsidx: jax.Array  # (nblocks*k_pad, 128) int8: c % 128
+    rgid: jax.Array  # (nblocks*k_pad, 128) int8: sublane-row within block
+    rsrc: jax.Array  # (nblocks*n_ktiles*8, 128) int32: window row/slot-row
+    k_pad: int = 16
+    nnz_resid: int = 0
+
+    @property
+    def n_ktiles(self) -> int:
+        return -(-self.k_pad // LANE)
+
+
+def prepare_dia_resid(
+    csr, dtype=jnp.float32, dia_dtype=None, vals_dtype=None
+):
+    """(DiaResid, plan): dense-offset DIA core + windowed residual fringe.
+
+    dia_dtype/vals_dtype default to dtype; pass bfloat16 for the halved-HBM
+    variant (accumulation stays f32)."""
+    import numpy as _np
+
+    from ..formats.dia import prepare_dia, split_offsets
+    from ..formats.matrix import CSRMatrix
+
+    if dia_dtype is None:
+        dia_dtype = dtype
+    if vals_dtype is None:
+        vals_dtype = dtype
+    m, n = csr.shape
+    keep = split_offsets(csr)
+    rows_all = csr.row_ids().astype(_np.int64)
+    kept = CSRMatrix(
+        shape=(m, n),
+        indptr=_np.r_[
+            0, _np.cumsum(_np.bincount(rows_all[keep], minlength=m))
+        ].astype(_np.int64),
+        indices=csr.indices[keep],
+        data=csr.data[keep],
+    )
+    mat = prepare_dia(kept, dtype=dia_dtype)
+    plan = plan_dia(mat, max_bs=42)
+    mat = pad_dia_for_pallas(mat, plan)
+    bs, ps, nblocks = plan.bs, mat.pad_sub, plan.nblocks
+
+    rows_r = rows_all[~keep]
+    cols_r = csr.indices[~keep].astype(_np.int64)
+    data_r = csr.data[~keep]
+    blk = rows_r // (bs * LANE)
+    lane = rows_r % LANE
+    gid_v = (rows_r // LANE) % bs
+    dq = cols_r // LANE + ps - blk * bs
+    assert dq.min(initial=0) >= 0 and dq.max(initial=0) < 3 * bs, "window"
+    # depth within (block, window-row, lane)
+    nqw = 3 * bs
+    cell = (blk * nqw + dq) * LANE + lane
+    order = _np.argsort(cell, kind="stable")
+    cs = cell[order]
+    if cs.size:
+        starts = _np.r_[0, _np.flatnonzero(_np.diff(cs)) + 1]
+        rid = _np.zeros(cs.shape[0], dtype=_np.int64)
+        rid[starts] = 1
+        rid = _np.cumsum(rid) - 1
+        depth = _np.arange(cs.shape[0]) - starts[rid]
+    else:  # fully dense band: empty residual, zero slots only
+        depth = _np.zeros(0, dtype=_np.int64)
+    depth_u = _np.empty_like(depth)
+    depth_u[order] = depth
+    bq_id = blk * nqw + dq
+    need = _np.zeros(nblocks * nqw, dtype=_np.int64)
+    if bq_id.size:
+        _np.maximum.at(need, bq_id, depth_u + 1)
+    base = _np.zeros(nblocks * nqw, dtype=_np.int64)
+    csum = need.reshape(nblocks, nqw).cumsum(axis=1)
+    base.reshape(nblocks, nqw)[:, 1:] = csum[:, :-1]
+    k_max = int(csum[:, -1].max(initial=1))
+    k_pad = max(_ceil_to(k_max, 2 * SUBLANE), 2 * SUBLANE)
+    n_ktiles = -(-k_pad // LANE)
+    slot_row = blk * k_pad + base[bq_id] + depth_u
+    rvals = _np.zeros((nblocks * k_pad, LANE), dtype=_np.float64)
+    rsidx = _np.zeros((nblocks * k_pad, LANE), dtype=_np.int8)
+    rgid = _np.zeros((nblocks * k_pad, LANE), dtype=_np.int8)
+    rvals[slot_row, lane] = data_r
+    rsidx[slot_row, lane] = (cols_r % LANE).astype(_np.int8)
+    rgid[slot_row, lane] = gid_v.astype(_np.int8)
+    rsrc_rows = _np.zeros(nblocks * k_pad, dtype=_np.int32)
+    rsrc_rows[slot_row] = dq.astype(_np.int32)
+    rsrc = _np.zeros((nblocks * n_ktiles * 8, LANE), dtype=_np.int32)
+    for t in range(n_ktiles):
+        seg = _np.zeros((nblocks, LANE), dtype=_np.int32)
+        lo, hi = t * LANE, min((t + 1) * LANE, k_pad)
+        seg[:, : hi - lo] = rsrc_rows.reshape(nblocks, k_pad)[:, lo:hi]
+        rsrc.reshape(nblocks, n_ktiles, 8, LANE)[:, t, 0, :] = seg
+    dr = DiaResid(
+        mat=mat,
+        rvals=jnp.asarray(rvals, dtype=vals_dtype),
+        rsidx=jnp.asarray(rsidx),
+        rgid=jnp.asarray(rgid),
+        rsrc=jnp.asarray(rsrc),
+        k_pad=k_pad,
+        nnz_resid=int(rows_r.shape[0]),
+    )
+    return dr, plan
+
+
 def dia_spmv_pallas(
-    mat: DeviceDIA, x: jax.Array, plan: DiaPallasPlan | None = None
+    mat: DeviceDIA,
+    x: jax.Array,
+    plan: DiaPallasPlan | None = None,
+    resid: "DiaResid | None" = None,
 ) -> jax.Array:
     """y = A @ x over diagonals, fully fused in one Pallas kernel.
 
@@ -172,8 +306,19 @@ def dia_spmv_pallas(
     xk = jnp.pad(xp, ((0, (plan.nblocks + 2) * bs - xp.shape[0]), (0, 0)))
 
     use_roll = os.environ.get("SPMV_DIA_ROLL", "0") == "1"
+    k_pad = resid.k_pad if resid is not None else 0
+    n_kt = resid.n_ktiles if resid is not None else 0
 
-    def kernel(x0_ref, x1_ref, x2_ref, dia_ref, o_ref, w_ref):
+    def kernel(*refs):
+        refs_l = list(refs)
+        x0_ref, x1_ref, x2_ref, dia_ref = refs_l[:4]
+        refs_l = refs_l[4:]
+        if resid is not None:
+            rvals_ref, rsidx_ref, rgid_ref, rsrc_ref = refs_l[:4]
+            refs_l = refs_l[4:]
+        o_ref, w_ref = refs_l[:2]
+        if resid is not None:
+            s128_ref, src_ref = refs_l[2:4]
         # Stage the 3-block window in a VMEM scratch *ref*: slicing the lane-
         # shifted views out of a ref lowers to clean VMEM loads, while the
         # same slices of a concatenated SSA value crash the Mosaic backend.
@@ -200,23 +345,76 @@ def dia_spmv_pallas(
                 hi = w_ref[ps + q + 1 : ps + q + 1 + bs, :]
                 sh = jnp.concatenate([lo[:, r:], hi[:, :r]], axis=1)
             acc = acc + dia_ref[k].astype(acc_dtype) * sh
+        if resid is not None:
+            # windowed residual fringe (see DiaResid): assemble per-slot-row
+            # source rows from the transposed 3-block window, lane-gather,
+            # masked sublane-sums into the block's bs accumulator rows
+            s128_ref[0 : 3 * bs, :] = w_ref[:]
+            if 3 * bs < LANE:
+                s128_ref[3 * bs :, :] = jnp.zeros(
+                    (LANE - 3 * bs, LANE), acc_dtype
+                )
+            wt = s128_ref[:].T
+            for t in range(n_kt):
+                qv = jnp.broadcast_to(
+                    rsrc_ref[t * 8 : t * 8 + 8, :][0:1, :], (LANE, LANE)
+                )
+                src_ref[t * LANE : (t + 1) * LANE, :] = jnp.take_along_axis(
+                    wt, qv, axis=1
+                ).T
+            gathered = jnp.take_along_axis(
+                src_ref[0:k_pad, :], rsidx_ref[:].astype(jnp.int32), axis=1
+            )
+            prod = rvals_ref[:].astype(acc_dtype) * gathered
+            gv = rgid_ref[:].astype(jnp.int32)
+            racc = jnp.concatenate(
+                [
+                    jnp.sum(
+                        jnp.where(gv == gg, prod, 0.0), axis=0, keepdims=True
+                    )
+                    for gg in range(bs)
+                ],
+                axis=0,
+            )
+            acc = acc + racc
         o_ref[:] = acc
+
+    in_specs = [
+        pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs, LANE), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bs, LANE), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (d, bs, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [xk, xk, xk, mat.data]
+    scratch = [pltpu.VMEM((3 * bs, LANE), acc_dtype)]
+    if resid is not None:
+        kspec = pl.BlockSpec(
+            (k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [
+            kspec,
+            kspec,
+            kspec,
+            pl.BlockSpec(
+                (n_kt * 8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        args += [resid.rvals, resid.rsidx, resid.rgid, resid.rsrc]
+        scratch += [
+            pltpu.VMEM((LANE, LANE), acc_dtype),
+            pltpu.VMEM((n_kt * LANE, LANE), acc_dtype),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(plan.nblocks,),
-        in_specs=[
-            pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, LANE), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, LANE), lambda i: (i + 2, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (d, bs, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s_pad, LANE), acc_dtype),
-        scratch_shapes=[pltpu.VMEM((3 * bs, LANE), acc_dtype)],
+        scratch_shapes=scratch,
         interpret=_interpret(),
-    )(xk, xk, xk, mat.data)
+    )(*args)
     return out.reshape(-1)[: mat.shape[0]]
 
 
@@ -264,6 +462,45 @@ def _register() -> None:
             "3-block sliding x window, two-slice lane shifts (~500 GB/s)",
         )
     )
+    def _mk_prep_resid(dt=None):
+        def _prep(csr, ell, cfg):
+            return prepare_dia_resid(
+                csr,
+                dtype=cfg.jnp_dtype,
+                dia_dtype=dt,
+                vals_dtype=dt,
+            )
+
+        return _prep
+
+    def _run_resid(ops, x):
+        dr, plan = ops
+        return dia_spmv_pallas(dr.mat, x, plan, resid=dr)
+
+    register(
+        KernelSpec(
+            name="PL_DIA_RESID",
+            fmt="csr",
+            impl="pallas",
+            prepare=_mk_prep_resid(),
+            run=_run_resid,
+            doc="DIA + windowed-residual hybrid: dense-offset diagonals in "
+            "the fused DIA kernel, the scattered fringe as windowed-gather "
+            "slots inside the SAME kernel (real banded matrices = band + "
+            "fringe; pure DIA pays a full diagonal per straggler offset)",
+        )
+    )
+    register(
+        KernelSpec(
+            name="PL_DIA_RESID_BF16",
+            fmt="csr",
+            impl="pallas",
+            prepare=_mk_prep_resid(jnp.bfloat16),
+            run=_run_resid,
+            doc="DIA+residual hybrid with bf16 slabs (f32 accumulate)",
+        )
+    )
+
     register(
         KernelSpec(
             name="PL_DIA_BF16",

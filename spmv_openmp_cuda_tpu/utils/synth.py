@@ -60,10 +60,12 @@ def _exact_pattern(
     """
     assert m * n < 2**62, "key space overflow"
     key = np.unique(rows.astype(np.int64) * n + cols.astype(np.int64))
-    for _ in range(24):
+    for round_ in range(24):
         if key.shape[0] >= target:
             break
-        need = int((target - key.shape[0]) * 1.4) + 16
+        # escalate draws: concentrated offset distributions mostly re-hit
+        # occupied slots when the free capacity is thin
+        need = int((target - key.shape[0]) * (1.4 + round_)) + 16
         r = rng.integers(0, m, size=need)
         if spread is None:
             c = rng.integers(0, n, size=need)

@@ -169,3 +169,56 @@ def test_auto_spmv_unknown_format():
     csr = S.coo_to_csr(synth.banded(200, 200, 3, seed=1))
     with _pytest.raises(ValueError, match="unknown format"):
         AutoSpMV.from_csr(csr, format="csr")
+
+
+def test_dia_resid_hybrid():
+    """DIA+windowed-residual: dense band + scattered fringe (raefsky-class).
+
+    The fringe rides windowed-gather slots inside the DIA kernel; pure DIA
+    would pay a full m_pad diagonal per straggler offset."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import spmv_openmp_cuda_tpu as S
+    from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+    from spmv_openmp_cuda_tpu.ops import spmv_pallas as SP
+    from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
+    from spmv_openmp_cuda_tpu.utils import synth
+    from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
+
+    coo = synth.banded(3000, 3000, 30, fill=1.0, exact_nnz=185000, seed=0)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(3000, seed=1)
+    oracle = serial_csr_spmv(csr, x)
+    for dt in (None, jnp.bfloat16):
+        dr, plan = SP.prepare_dia_resid(csr, dia_dtype=dt, vals_dtype=dt)
+        assert dr.nnz_resid > 0  # the fringe actually split out
+        assert len(dr.mat.offsets) == 61  # dense band only
+        y = np.asarray(
+            SP.dia_spmv_pallas(dr.mat, jnp.asarray(x, jnp.float32), plan, resid=dr),
+            np.float64,
+        )
+        rep = vectors_diff(y, oracle)
+        assert rep.ok, rep
+
+
+def test_auto_selects_dia_resid():
+    from spmv_openmp_cuda_tpu.models.auto import AutoSpMV, select_format
+    import numpy as np
+
+    import spmv_openmp_cuda_tpu as S
+    from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+    from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
+    from spmv_openmp_cuda_tpu.utils import synth
+    from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
+
+    # band 25 diagonals + a fringe of ~47 near-empty offsets: the hybrid
+    # sheds >= 25% of the diagonals
+    coo = synth.banded(2500, 2500, 12, fill=1.0, exact_nnz=66000, seed=2)
+    csr = S.coo_to_csr(coo)
+    assert select_format(csr) == "dia_resid"
+    model = AutoSpMV.from_csr(csr)
+    assert model.format == "dia_resid"
+    x = fill_rnd_vector(2500, seed=3)
+    rep = vectors_diff(np.asarray(model(x), np.float64), serial_csr_spmv(csr, x))
+    assert rep.ok, rep

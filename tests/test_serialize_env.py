@@ -111,3 +111,25 @@ def test_serialize_roundtrip_routed_heavy(tmp_path):
     y1 = np.asarray(routed_spmv(mat, jnp.asarray(x, jnp.float32)))
     y2 = np.asarray(routed_spmv(mat2, jnp.asarray(x, jnp.float32)))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_serialize_roundtrip_window(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    import spmv_openmp_cuda_tpu as S
+    from spmv_openmp_cuda_tpu.formats.serialize import load_prepared, save_prepared
+    from spmv_openmp_cuda_tpu.formats.window import prepare_window_auto, window_spmv
+    from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+    from spmv_openmp_cuda_tpu.utils import synth
+
+    coo = synth.fem_like(m=2000, n=2000, nnz=20000, spread=300, lo=4, hi=14, seed=6)
+    csr = S.coo_to_csr(coo)
+    mat = prepare_window_auto(csr, vals_dtype=jnp.bfloat16)
+    path = str(tmp_path / "win.npz")
+    save_prepared(path, mat)
+    mat2 = load_prepared(path)
+    x = jnp.asarray(fill_rnd_vector(2000, seed=1), jnp.float32)
+    y1 = np.asarray(window_spmv(mat, x))
+    y2 = np.asarray(window_spmv(mat2, x))
+    assert np.array_equal(y1, y2)
