@@ -45,7 +45,7 @@ SUITE = [
     ("caida_like", 10.47, ["PL_CSR_ROUTED_BF16"]),
     ("thermal2_like", 26.34, ["PL_CSR_WINDOW_BF16"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_BF16"]),
-    ("delaunay_n12_like", 5.81, ["PL_CSR_ROUTED"]),
+    ("delaunay_n12_like", 5.81, ["PL_CSR_WINDOW"]),
 ]
 # BENCH_AB=1: run the full A/B candidate set per proxy (like the reference
 # harness running every registered kernel) so the on-TPU winner selection
@@ -56,7 +56,7 @@ AB_EXTRA = {
     "caida_like": ["PL_CSR_ROUTED"],
     "thermal2_like": ["PL_CSR_ROUTED_BF16"],
     "fem_3d_thermal2_like": ["PL_CSR_ROUTED_BF16"],
-    "delaunay_n12_like": ["PL_CSR_ROUTED_BF16"],
+    "delaunay_n12_like": ["PL_CSR_ROUTED"],
 }
 # SPMV_DTYPE=float64 suite: the reference's semantics are double precision
 # throughout (reference src/include/macros.h:63-76); Mosaic kernels are

@@ -9,20 +9,25 @@ capability the reference's ELL covers for such matrices
 (reference src/SpMV_ELL_OMP.c:33-67) re-designed TPU-first.
 
 Layout (one grid step per block of G*128 rows):
-- slot rows are grouped by column CHUNK q = c // 128 (sorted); a slot at
-  (k, l) holds one nnz with lane l = row % 128, source chunk q_k, and an
-  in-chunk index c % 128. Per (block, chunk, lane) collisions stack in
-  depth rows. Padding factor = sum_q max_l count(l, q) / ideal; larger G
-  raises chunk occupancy and lowers padding.
+- a slot at (k, l) holds one nnz with lane l = row % 128 and in-chunk index
+  c % 128; slot rows may MIX source chunks freely: the only constraint is
+  that within one slot row, all slots sourcing the same residue class
+  (c % 128) share a window row — because the source assembly materializes,
+  per slot row, one window row PER RESIDUE (the Q map below). Packing is a
+  multi-pass lane-major fill: pass ranks each lane's nnz into rows, entries
+  violating the per-(row, residue) single-window-row constraint are evicted
+  to the next pass. Padding ~= out-lane imbalance (max_l count_l / mean)
+  plus a small eviction slack — far below the one-chunk-per-row scheme's
+  Poisson-max penalty on scattered matrices.
 - the block's x window (the 2*Wr + G chunk rows it can touch) is staged
   through a sliding set of (G, 128) input blocks (the DIA 3-block-window
-  pattern generalized); per-slot-row source rows are assembled fully
-  data-driven with one transposed take_along_axis per 128-slot-row tile:
-  S_T = taa(window^T, broadcast(rsrc)) — so one compiled kernel serves
-  every block (uniform grid, no per-block unrolled code).
+  pattern generalized); slot-row sources are assembled fully data-driven
+  with one transposed take_along_axis per 128-slot-row tile:
+  S_T[residue, k] = window[Q[residue, k], residue] — so one compiled kernel
+  serves every block (uniform grid, no per-block unrolled code).
 - gather: one same-shape taa picks c % 128 within each assembled row;
   reduce: G masked sublane-sums into the (G, 128) output block (measured
-  ~0.7 ps/slot/group on v5e — cheaper than any routing pass).
+  ~0.35 ps/slot/group on v5e — cheaper than any routing pass).
 
 Eligibility: window radius (max |chunk(c) - block| over nnz) must keep the
 staged window under 128 rows, and the padding factor under a cap; power-law
@@ -62,8 +67,9 @@ class WindowCSR:
     vals: jax.Array  # (nblocks*k_pad, 128) dtype — slot values
     sidx: jax.Array  # (nblocks*k_pad, 128) int8 — c % 128 per slot
     gid: jax.Array  # (nblocks*k_pad, 128) int8 — (row//128) % G per slot
-    rsrc: jax.Array  # (nblocks*n_ktiles*8, 128) int32 — window row per
-    # slot-row (row 0 of each 8-row group carries the tile's 128 values)
+    rsrc: jax.Array  # (nblocks*n_ktiles*128, 128) int8 — the Q map:
+    # per slot-row tile, Q[residue, slot-row-in-tile] = window row that
+    # slots of this row sourcing this residue read from
     shape: Tuple[int, int] = (0, 0)
     nnz: int = 0
     g: int = 8  # row groups per block (block = g*128 rows)
@@ -77,8 +83,19 @@ class WindowCSR:
         return -(-self.k_pad // LANE)
 
 
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p *= 2
+    return p
+
+
 def _pack_stats(csr: CSRMatrix, g: int):
-    """(k_rows_total, k_max, wr) for group size g — host-side cost probe."""
+    """(slots_total, d_colors, wr, nspecs) for group size g.
+
+    d_colors is EXACT (the Latin/edge-coloring packer uses exactly
+    next_pow2(max bipartite degree) rows per block), so the auto scan can
+    pick the g whose degree lands just under a power of two."""
     m, n = csr.shape
     b = g * LANE
     rows = csr.row_ids().astype(np.int64)
@@ -89,22 +106,57 @@ def _pack_stats(csr: CSRMatrix, g: int):
     d = q - blk * g  # chunk relative to block start
     wr = max(int(max(-d.min(initial=0), 0)), int(max(d.max(initial=0) - g + 1, 0)), 1)
     s_w = g + 2 * wr
-    nspecs = -(-s_w // g)
-    if nspecs * g > LANE:
+    # the x window is staged in 8-row blocks at index (i*g)//8 + j, with the
+    # per-block remainder (i*g) % 8 folded into the Q data host-side — so g
+    # is NOT restricted to sublane multiples
+    nspecs = -(-(s_w + 7) // 8)
+    if nspecs * 8 > LANE:
         raise WindowError(f"window span {s_w} chunk-rows exceeds the 128 cap")
-    # slot rows per (block, chunk) = max over lanes of cell count
-    nq = n // LANE + 2
-    cell = (blk * LANE + lane) * nq + q
-    uk, cnt = np.unique(cell, return_counts=True)
-    bq = (uk // nq // LANE) * nq + uk % nq  # (block, chunk) id
-    order = np.argsort(bq, kind="stable")
-    bq_s, cnt_s = bq[order], cnt[order]
-    starts = np.r_[0, np.flatnonzero(np.diff(bq_s)) + 1, bq_s.shape[0]]
-    kmax_pc = np.maximum.reduceat(cnt_s, starts[:-1])
-    ub = bq_s[starts[:-1]] // nq  # block per (block, chunk) run
-    k_per_block = np.zeros(-(-m // b), dtype=np.int64)
-    np.add.at(k_per_block, ub, kmax_pc)
-    return int(k_per_block.sum()), int(k_per_block.max(initial=1)), wr, nspecs
+    nblocks = -(-m // b)
+    dl = np.bincount(blk * LANE + lane, minlength=nblocks * LANE)
+    dr = np.bincount(blk * LANE + (cols % LANE), minlength=nblocks * LANE)
+    d_colors = _next_pow2(
+        max(int(dl.max(initial=1)), int(dr.max(initial=1)), 16)
+    )
+    if d_colors > _K_CAP:
+        raise WindowError(f"{d_colors} colors exceed the row cap")
+    return nblocks * d_colors * LANE, d_colors, wr, nspecs
+
+
+#: packing row cap per block (VMEM residency of the slot slabs)
+_K_CAP = 16 * LANE
+
+
+def _pack_coloring(blk, lane, jres, nblocks, d_target):
+    """Latin packing by bipartite edge coloring: slot row = color.
+
+    Entries are edges (out-lane -> source-residue) of a per-block bipartite
+    multigraph; a proper D-coloring puts at most one entry per (row, lane)
+    and per (row, residue) in every block — so the per-(row, residue)
+    single-window-row constraint holds with NOTHING evicted, and every
+    block uses exactly D = d_target rows (k_pad uniformity by
+    construction). The graph is padded to exactly D-regular with dummy
+    edges and colored by the Euler-split router (ops/route.py, native C++
+    when built); D must be a power of two.
+    """
+    from ..ops.route import color_bipartite_pow2
+
+    assert d_target & (d_target - 1) == 0
+    n = blk.shape[0]
+    left = blk * LANE + lane
+    right = blk * LANE + jres
+    dl = np.bincount(left, minlength=nblocks * LANE)
+    dr = np.bincount(right, minlength=nblocks * LANE)
+    if max(dl.max(initial=0), dr.max(initial=0)) > d_target:
+        raise WindowError("degree exceeds the color budget")
+    # dummy edges: pair left/right deficiency slots blockwise (both sides
+    # lack exactly D*128 - n_b edges per block)
+    pad_l = np.repeat(np.arange(nblocks * LANE), d_target - dl)
+    pad_r = np.repeat(np.arange(nblocks * LANE), d_target - dr)
+    colors = color_bipartite_pow2(
+        np.r_[left, pad_l], np.r_[right, pad_r], d_target
+    )
+    return colors[:n].astype(np.int64)
 
 
 def prepare_window(
@@ -116,16 +168,15 @@ def prepare_window(
     m, n = csr.shape
     if csr.nnz == 0 or m == 0:
         raise WindowError("empty matrix")
-    assert g in (8, 16, 32), "g must be 8/16/32 (output block height)"
-    k_total, k_max, wr, nspecs = _pack_stats(csr, g)
-    if k_max > 16 * LANE:
-        raise WindowError(f"k_max {k_max} slot rows per block")
+    assert 2 <= g <= 64, "g must be in [2, 64] (output rows per block)"
+    _slots, k_pad, wr, nspecs = _pack_stats(csr, g)
     b = g * LANE
     nblocks = -(-m // b)
-    if nblocks * k_max * LANE > max_pad * csr.nnz:
+    n_ktiles = -(-k_pad // LANE)
+    if nblocks * k_pad * LANE > max_pad * csr.nnz:
         raise WindowError(
-            f"padding {nblocks * k_max * LANE / csr.nnz:.1f}x exceeds "
-            f"{max_pad}x cap"
+            f"padding {nblocks * k_pad * LANE / csr.nnz:.1f}x "
+            f"exceeds {max_pad}x cap"
         )
 
     rows = csr.row_ids().astype(np.int64)
@@ -134,48 +185,30 @@ def prepare_window(
     lane = rows % LANE
     q = cols // LANE
     dq = q - blk * g + wr  # window row in [0, nspecs*g)
+    jres = cols % LANE  # source residue
 
-    # depth within (block, window-row, lane)
-    nqw = nspecs * g
-    cell = (blk * nqw + dq) * LANE + lane
-    order = np.argsort(cell, kind="stable")
-    cs = cell[order]
-    starts = np.r_[0, np.flatnonzero(np.diff(cs)) + 1]
-    rid = np.zeros(cs.shape[0], dtype=np.int64)
-    rid[starts] = 1
-    rid = np.cumsum(rid) - 1
-    depth = np.arange(cs.shape[0]) - starts[rid]
-    depth_u = np.empty_like(depth)
-    depth_u[order] = depth
+    srow = _pack_coloring(blk, lane, jres, nblocks, k_pad)
 
-    # per (block, window-row): rows needed = max depth + 1; bases by cumsum
-    bq_id = blk * nqw + dq
-    need = np.zeros(nblocks * nqw, dtype=np.int64)
-    np.maximum.at(need, bq_id, depth_u + 1)
-    base = np.zeros(nblocks * nqw, dtype=np.int64)
-    base_flat = need.reshape(nblocks, nqw).cumsum(axis=1)
-    base.reshape(nblocks, nqw)[:, 1:] = base_flat[:, :-1]
-    # 16-row alignment: bf16 value slabs need >= 16-sublane tiles (Mosaic)
-    k_pad = max(_ceil_to(k_max, 16), 16)
-    n_ktiles = -(-k_pad // LANE)
-
-    slot_row = blk * k_pad + base[bq_id] + depth_u
+    slot_row = blk * k_pad + srow
     vals = np.zeros((nblocks * k_pad, LANE), dtype=np.float64)
     sidx = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
     gid = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
     vals[slot_row, lane] = csr.data
-    sidx[slot_row, lane] = (cols % LANE).astype(np.int8)
+    sidx[slot_row, lane] = jres.astype(np.int8)
     gid[slot_row, lane] = ((rows // LANE) % g).astype(np.int8)
 
-    # per-slot-row window row (pad rows point at row 0; their vals are 0)
-    rsrc_rows = np.zeros(nblocks * k_pad, dtype=np.int32)
-    rsrc_rows[slot_row] = dq.astype(np.int32)
-    rsrc = np.zeros((nblocks * n_ktiles * 8, LANE), dtype=np.int32)
-    for t in range(n_ktiles):
-        seg = np.zeros((nblocks, LANE), dtype=np.int32)
-        lo, hi = t * LANE, min((t + 1) * LANE, k_pad)
-        seg[:, : hi - lo] = rsrc_rows.reshape(nblocks, k_pad)[:, lo:hi]
-        rsrc.reshape(nblocks, n_ktiles, 8, LANE)[:, t, 0, :] = seg
+    # Q map: per slot-row tile, Q[residue, slot-row-in-tile] = window row
+    # (unset pairs read window row 0; their slots have vals == 0)
+    rsrc = np.zeros((nblocks * n_ktiles * LANE, LANE), dtype=np.int8)
+    t_of = srow // LANE
+    jj_in = srow % LANE
+    # window row within the staged 8-row blocks: dq plus the per-block
+    # staging remainder (the window starts at x2d row blk*g, staged from
+    # 8-row block (blk*g)//8)
+    dq_staged = dq + (blk * g) % 8
+    rsrc[(blk * n_ktiles + t_of) * LANE + jres, jj_in] = dq_staged.astype(
+        np.int8
+    )
 
     return WindowCSR(
         vals=jnp.asarray(vals, dtype=vals_dtype),
@@ -192,22 +225,30 @@ def prepare_window(
     )
 
 
+#: candidate group sizes for the auto scan: the Latin packer uses exactly
+#: next_pow2(max degree) rows, so the winning g usually puts the degree
+#: just under a power of two
+_G_LADDER = (4, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64)
+
+
+def window_cost(csr: CSRMatrix, g: int) -> float:
+    """Predicted SpMV cost in ps (v5e-measured constants: ~14 ps/slot
+    gather/assembly + ~0.35*g masked reduce + ~0.17 us fixed per step)."""
+    slots, _d, _wr, _ns = _pack_stats(csr, g)
+    nblocks = -(-csr.shape[0] // (g * LANE))
+    return slots * (14.0 + 0.3 * g) + nblocks * 250_000.0
+
+
 def prepare_window_auto(
     csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5
 ) -> WindowCSR:
-    """Pick the group size G by a slots-based cost model (gather cost ~14
-    ps/slot + masked reduce ~0.7*G ps/slot, measured on v5e)."""
+    """Pick the group size g by the exact-slots cost model."""
     best = None
-    for g in (8, 16, 32):
+    for g in _G_LADDER:
         try:
-            k_total, k_max, wr, nspecs = _pack_stats(csr, g)
+            cost = window_cost(csr, g)
         except WindowError:
             continue
-        nblocks = -(-csr.shape[0] // (g * LANE))
-        slots = nblocks * max(_ceil_to(k_max, 16), 16) * LANE
-        # measured v5e: ~14 ps/slot gather/assembly + ~0.35*G masked
-        # reduce + ~0.17 us fixed per grid step
-        cost = slots * (14.0 + 0.35 * g) + nblocks * 170_000.0
         if best is None or cost < best[1]:
             best = (g, cost)
     if best is None:
@@ -223,10 +264,11 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
     g, k_pad, wr, nspecs = mat.g, mat.k_pad, mat.wr, mat.nspecs
     n_ktiles = mat.n_ktiles
     nblocks = mat.nblocks
+    g_pad = max(-(-g // 8) * 8, 8)  # output tile height (sublane multiple)
     acc_dtype = jnp.float32
 
     # padded x: wr leading zero chunk-rows; tail covers the last window
-    total_rows = (nblocks - 1 + nspecs) * g
+    total_rows = -(-((nblocks - 1) * g) // 8) * 8 + nspecs * 8 + 8
     xp = jnp.zeros(total_rows * LANE, dtype=acc_dtype)
     xp = jax.lax.dynamic_update_slice(
         xp, x[: (total_rows * LANE - wr * LANE)].astype(acc_dtype), (wr * LANE,)
@@ -239,17 +281,16 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
             nspecs:
         ]
         for j in range(nspecs):
-            w_ref[j * g : (j + 1) * g, :] = xrefs[j][:]
-        if nspecs * g < LANE:
-            w_ref[nspecs * g :, :] = jnp.zeros(
-                (LANE - nspecs * g, LANE), acc_dtype
+            w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j][:]
+        if nspecs * 8 < LANE:
+            w_ref[nspecs * 8 :, :] = jnp.zeros(
+                (LANE - nspecs * 8, LANE), acc_dtype
             )
-        wt = w_ref[:].T  # (lane, window row)
+        wt = w_ref[:].T  # (residue, window row)
         for t in range(n_ktiles):
-            qv = jnp.broadcast_to(
-                rsrc_ref[t * 8 : t * 8 + 8, :][0:1, :], (LANE, LANE)
-            )
-            st = jnp.take_along_axis(wt, qv, axis=1)  # [l, j] = w[rsrc[j], l]
+            qv = rsrc_ref[t * LANE : (t + 1) * LANE, :].astype(jnp.int32)
+            # st[residue, k] = window[Q[residue, k], residue]
+            st = jnp.take_along_axis(wt, qv, axis=1)
             src_ref[t * LANE : (t + 1) * LANE, :] = st.T
         gathered = jnp.take_along_axis(
             src_ref[0:k_pad, :], sidx_ref[:].astype(jnp.int32), axis=1
@@ -260,10 +301,15 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
             jnp.sum(jnp.where(gv == gg, prod, 0.0), axis=0, keepdims=True)
             for gg in range(g)
         ]
+        if g_pad > g:
+            rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
         o_ref[:] = jnp.concatenate(rows, axis=0)
 
     xspec = [
-        pl.BlockSpec((g, LANE), functools.partial(lambda j, i: (i + j, 0), j))
+        pl.BlockSpec(
+            (8, LANE),
+            functools.partial(lambda j, i: ((i * g) // 8 + j, 0), j),
+        )
         for j in range(nspecs)
     ]
     out = pl.pallas_call(
@@ -275,15 +321,21 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
             pl.BlockSpec((k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_ktiles * 8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (n_ktiles * LANE, LANE),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((g, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks * g, LANE), acc_dtype),
+        out_specs=pl.BlockSpec(
+            (g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks * g_pad, LANE), acc_dtype),
         scratch_shapes=[
             pltpu.VMEM((LANE, LANE), acc_dtype),
             pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
         ],
         interpret=_interp(),
     )(xp2, *([xp2] * (nspecs - 1)), mat.vals, mat.sidx, mat.gid, mat.rsrc)
+    if g_pad > g:
+        out = out.reshape(nblocks, g_pad, LANE)[:, :g, :]
     return out.reshape(-1)[:m]

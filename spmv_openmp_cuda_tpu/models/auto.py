@@ -81,19 +81,14 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
     # banded LOCALITY without banded structure (unstructured FEM): the
     # windowed gather engine beats the routed pipeline (~50 ps/nnz on the
     # Clos route) when its padded slot count stays low
-    from ..formats.window import WindowError, _pack_stats
+    from ..formats.window import _G_LADDER, WindowError, window_cost
 
     best = None
-    for g in (8, 16, 32):
+    for g in _G_LADDER:
         try:
-            _k_total, k_max, _wr, _ns = _pack_stats(csr, g)
+            cost = window_cost(csr, g)
         except WindowError:
             continue
-        nblocks = -(-m // (g * 128))
-        slots = nblocks * max(-(-k_max // 16) * 16, 16) * 128
-        # measured v5e: ~14 ps/slot gather/assembly + ~0.35*G masked
-        # reduce + ~0.17 us fixed per grid step
-        cost = slots * (14.0 + 0.35 * g) + nblocks * 170_000.0
         if best is None or cost < best:
             best = cost
     if best is not None and best < 50.0 * nnz:

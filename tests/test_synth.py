@@ -49,7 +49,8 @@ def test_fem_proxy_structure():
     assert lens.min() >= 1
     with pytest.raises(DiaFillError):
         prepare_dia(csr)
-    assert select_format(csr) == "routed"
+    # a general engine (the windowed local-gather for this locality), not DIA
+    assert select_format(csr) in ("window", "routed")
     # diagonal present on every row (FEM)
     diag_mask = csr.indices == csr.row_ids()
     assert np.bincount(csr.row_ids()[diag_mask], minlength=20000).min() == 1
