@@ -62,8 +62,13 @@ AB_EXTRA = {
 # throughout (reference src/include/macros.h:63-76); Mosaic kernels are
 # 32-bit, so f64 rides the XLA engines. Results land in
 # BENCH_DETAILS_F64.json (the headline record stays f32/bf16).
+# (cavity10 reference: CUDA CSR row-per-thread 3.588e-5 s avg -> 4.26
+# GFLOPS, BASELINE.md scripts/cuda_omp.log:4-5; DIA_ROWS f64 on the wide
+# raefsky band hit a pathological XLA f64 compile, so the banded f64 row
+# uses the narrower cavity10)
 F64_SUITE = [
-    ("raefsky1_like", 46.56, ["DIA_ROWS"]),
+    ("cavity10_like", 4.26, ["DIA_ROWS"]),
+    ("raefsky1_like", 46.56, ["CSR_ROWS_BINNED"]),
     ("fem_3d_thermal2_like", 39.14, ["CSR_ROWS_BINNED"]),
     ("thermal2_like", 26.34, ["CSR_ROWS_BINNED"]),
 ]

@@ -10,7 +10,7 @@ CSV=scripts/sample_scaling_virtual.csv
 LOG=scripts/sample_scaling_virtual.log
 : > "$CSV"; : > "$LOG"
 first=1
-for path in dia_halo ell_ring ell_rows csr_psum routed_md; do
+for path in dia_halo ell_ring ell_rows csr_psum routed_md window_halo; do
   out=$(PALLAS_AXON_POOL_IPS= python -m spmv_openmp_cuda_tpu.bench.scaling \
         --preset "$PRESET" --devices 1 2 4 8 --path "$path" --virtual 8 \
         2>>"$LOG")

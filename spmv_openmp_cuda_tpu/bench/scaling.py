@@ -103,7 +103,27 @@ def run_scaling(preset: str, device_counts: List[int], path: str):
                 f"check={'OK' if rep.ok else 'FAIL'}"
             )
             continue
-        if path == "ell_rows":
+        if path == "window_halo":
+            op = sh.prepare_window_sharded(csr, mesh)
+            xs = sh.pad_x_for_window_sharded(np.asarray(x), op, mesh, jnp.float32)
+            spmv = sh.make_window_sharded(mesh, op)
+            m = csr.shape[0]
+
+            def mk(steps, spmv=spmv, op=op):
+                import jax as _jax
+
+                @_jax.jit
+                def chain(xv):
+                    def body(i, xv):
+                        yv = spmv(op, xv)
+                        return xv * (1.0 + jnp.sum(yv) * 1e-30)
+
+                    return _jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+
+                return chain
+
+            y = np.asarray(spmv(op, xs), np.float64).reshape(-1)[:m]
+        elif path == "ell_rows":
             ell = S.coo_to_ell(coo)
             op = sh.prepare_row_sharded_ell(ell, mesh)
             spmv = sh.make_ell_rows_sharded(mesh)
@@ -214,7 +234,10 @@ def main(argv=None):
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument(
         "--path",
-        choices=["dia_halo", "ell_ring", "ell_rows", "csr_psum", "routed_md"],
+        choices=[
+            "dia_halo", "ell_ring", "ell_rows", "csr_psum", "routed_md",
+            "window_halo",
+        ],
         default="dia_halo",
     )
     ap.add_argument(

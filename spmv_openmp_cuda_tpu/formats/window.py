@@ -258,22 +258,16 @@ def prepare_window_auto(
     )
 
 
-def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
-    """y = A @ x, one fused gather+reduce kernel, grid over row blocks."""
-    m, n = mat.shape
-    g, k_pad, wr, nspecs = mat.g, mat.k_pad, mat.wr, mat.nspecs
-    n_ktiles = mat.n_ktiles
-    nblocks = mat.nblocks
+def window_kernel_call(
+    vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks
+):
+    """The fused gather+reduce kernel over a prepared slot-array set and an
+    ALREADY-PADDED x window stack (xp2 row wr = x row 0). Exposed separately
+    so the row-sharded multi-chip path (parallel/sharded.py) can run it on
+    local block ranges with halo-exchanged x."""
+    n_ktiles = -(-k_pad // LANE)
     g_pad = max(-(-g // 8) * 8, 8)  # output tile height (sublane multiple)
     acc_dtype = jnp.float32
-
-    # padded x: wr leading zero chunk-rows; tail covers the last window
-    total_rows = -(-((nblocks - 1) * g) // 8) * 8 + nspecs * 8 + 8
-    xp = jnp.zeros(total_rows * LANE, dtype=acc_dtype)
-    xp = jax.lax.dynamic_update_slice(
-        xp, x[: (total_rows * LANE - wr * LANE)].astype(acc_dtype), (wr * LANE,)
-    )
-    xp2 = xp.reshape(total_rows, LANE)
 
     def kernel(*refs):
         xrefs = list(refs[:nspecs])
@@ -312,7 +306,7 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
         )
         for j in range(nspecs)
     ]
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=xspec
@@ -335,7 +329,33 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
             pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
         ],
         interpret=_interp(),
-    )(xp2, *([xp2] * (nspecs - 1)), mat.vals, mat.sidx, mat.gid, mat.rsrc)
+    )(xp2, *([xp2] * (nspecs - 1)), vals, sidx, gid, rsrc)
+
+
+def window_x_rows(nblocks: int, g: int, nspecs: int) -> int:
+    """Rows of the padded x window stack the kernel expects."""
+    return -(-((nblocks - 1) * g) // 8) * 8 + nspecs * 8 + 8
+
+
+def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
+    """y = A @ x, one fused gather+reduce kernel, grid over row blocks."""
+    m, n = mat.shape
+    g, k_pad, wr, nspecs = mat.g, mat.k_pad, mat.wr, mat.nspecs
+    nblocks = mat.nblocks
+    g_pad = max(-(-g // 8) * 8, 8)
+    acc_dtype = jnp.float32
+
+    # padded x: wr leading zero chunk-rows; tail covers the last window
+    total_rows = window_x_rows(nblocks, g, nspecs)
+    xp = jnp.zeros(total_rows * LANE, dtype=acc_dtype)
+    xp = jax.lax.dynamic_update_slice(
+        xp, x[: (total_rows * LANE - wr * LANE)].astype(acc_dtype), (wr * LANE,)
+    )
+    xp2 = xp.reshape(total_rows, LANE)
+    out = window_kernel_call(
+        mat.vals, mat.sidx, mat.gid, mat.rsrc, xp2,
+        g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nblocks,
+    )
     if g_pad > g:
         out = out.reshape(nblocks, g_pad, LANE)[:, :g, :]
     return out.reshape(-1)[:m]

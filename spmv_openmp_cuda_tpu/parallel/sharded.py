@@ -31,13 +31,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # JAX >= 0.6 public API
     from jax import shard_map as _shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, **kw):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+        )
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, **kw):
+        return _shard_map_old(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+        )
 
 from ..config import LANE, SUBLANE
 from ..formats.matrix import CSRMatrix, ELLMatrix, _ceil_to
@@ -433,7 +437,158 @@ def make_dia_sharded(mesh: Mesh, op_meta: ShardedDIA):
 
 
 # ---------------------------------------------------------------------------
-# 5) Multi-device chunked routed engine — heterogeneous row blocks
+# 5) Row-sharded windowed local-gather engine — block-DP + halo exchange
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "sidx", "gid", "rsrc"],
+    meta_fields=[
+        "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nb_local", "nd",
+    ],
+)
+@dataclasses.dataclass
+class ShardedWindow:
+    """WindowCSR block arrays row-sharded over mesh[ROWS]; x is row-sharded
+    too, with each device pulling its window reach (wr chunk-rows plus
+    staging slack) from its neighbors via one ppermute per direction — the
+    halo pattern of the DIA path applied to the windowed-gather flagship.
+
+    Wrap-around halo junk at the global edges multiplies zero slot values
+    (no nnz references window rows outside the matrix), so no masking is
+    needed."""
+
+    vals: jax.Array  # (nd*nb_local*k_pad, 128) P(ROWS, None)
+    sidx: jax.Array
+    gid: jax.Array
+    rsrc: jax.Array  # (nd*nb_local*n_ktiles*128, 128) P(ROWS, None)
+    shape: Tuple[int, int] = (0, 0)
+    nnz: int = 0
+    g: int = 8
+    k_pad: int = 16
+    wr: int = 1
+    nspecs: int = 2
+    nb_local: int = 1
+    nd: int = 1
+
+
+def prepare_window_sharded(csr: CSRMatrix, mesh: Mesh, dtype=jnp.float32):
+    """Prepare + shard the windowed engine's block arrays over mesh[ROWS]."""
+    from ..formats.window import prepare_window_auto
+
+    import math
+
+    nd = mesh.shape[ROWS]
+    mat = prepare_window_auto(csr, dtype=dtype)
+    # every shard must start at an 8-row x boundary (the kernel's staging
+    # remainder (i*g) % 8 is baked into the Q data with GLOBAL block
+    # indices): make nb_local * g divisible by 8
+    c = 8 // math.gcd(mat.g, 8)
+    nb_pad = _ceil_to(mat.nblocks, nd * c)
+    ntk = mat.n_ktiles
+
+    def _pad_blocks(a, rows_per_block):
+        pad = (nb_pad - mat.nblocks) * rows_per_block
+        return jnp.pad(a, ((0, pad), (0, 0)))
+
+    sh = NamedSharding(mesh, P(ROWS, None))
+    return ShardedWindow(
+        vals=jax.device_put(_pad_blocks(mat.vals, mat.k_pad), sh),
+        sidx=jax.device_put(_pad_blocks(mat.sidx, mat.k_pad), sh),
+        gid=jax.device_put(_pad_blocks(mat.gid, mat.k_pad), sh),
+        rsrc=jax.device_put(_pad_blocks(mat.rsrc, ntk * LANE), sh),
+        shape=mat.shape,
+        nnz=mat.nnz,
+        g=mat.g,
+        k_pad=mat.k_pad,
+        wr=mat.wr,
+        nspecs=mat.nspecs,
+        nb_local=nb_pad // nd,
+        nd=nd,
+    )
+
+
+def pad_x_for_window_sharded(x, op: ShardedWindow, mesh: Mesh, dtype):
+    """x -> (nd*nb_local*g, 128) chunk-row layout, row-sharded (each device
+    holds exactly its own blocks' x rows; halos move at run time)."""
+    rows = op.nd * op.nb_local * op.g
+    xp = jnp.pad(jnp.asarray(x, dtype), (0, rows * LANE - x.shape[0]))
+    return jax.device_put(
+        xp.reshape(rows, LANE), NamedSharding(mesh, P(ROWS, None))
+    )
+
+
+def make_window_sharded(mesh: Mesh, op_meta: ShardedWindow):
+    """y = A @ x with blocks and x row-sharded; window reach via ppermute."""
+    from ..formats.window import window_kernel_call, window_x_rows
+
+    nd = op_meta.nd
+    g, k_pad, wr, nspecs = (
+        op_meta.g, op_meta.k_pad, op_meta.wr, op_meta.nspecs,
+    )
+    nb_local = op_meta.nb_local
+    g_pad = max(-(-g // 8) * 8, 8)
+    total_loc = window_x_rows(nb_local, g, nspecs)
+    own = nb_local * g
+    h_right = total_loc - wr - own  # staging slack rows past the own range
+    # one-step halo only reaches the immediate neighbors; tiny shards whose
+    # window outreaches them fall back to an all-gather of x (still
+    # row-sharded compute — the DP-with-replicated-x regime)
+    halo_ok = h_right <= own and wr <= own
+
+    def local(vals, sidx, gid, rsrc, x_loc):
+        if halo_ok:
+            left = jax.lax.ppermute(
+                x_loc[-wr:], ROWS, [(j, (j + 1) % nd) for j in range(nd)]
+            )
+            right = jax.lax.ppermute(
+                x_loc[:h_right], ROWS, [(j, (j - 1) % nd) for j in range(nd)]
+            )
+            xp2 = jnp.concatenate(
+                [left.astype(jnp.float32), x_loc.astype(jnp.float32),
+                 right.astype(jnp.float32)],
+                axis=0,
+            )
+        else:
+            x_all = jax.lax.all_gather(x_loc, ROWS, tiled=True)
+            start = jax.lax.axis_index(ROWS) * own
+            pad = jnp.zeros((wr + total_loc, LANE), x_all.dtype)
+            x_all = jnp.concatenate([pad[:wr], x_all, pad], axis=0)
+            xp2 = jax.lax.dynamic_slice(
+                x_all, (start, 0), (total_loc, LANE)
+            ).astype(jnp.float32)
+        out = window_kernel_call(
+            vals, sidx, gid, rsrc, xp2,
+            g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nb_local,
+        )
+        return out
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS, None), P(ROWS, None), P(ROWS, None), P(ROWS, None),
+            P(ROWS, None),
+        ),
+        out_specs=P(ROWS, None),
+        # the local body is a pallas_call, which does not annotate its
+        # output's varying-mesh-axes; skip the vma check
+        check_vma=False,
+    )
+
+    @jax.jit
+    def spmv(op: ShardedWindow, x_padded):
+        out = f(op.vals, op.sidx, op.gid, op.rsrc, x_padded)
+        nb = op.nd * op.nb_local
+        y = out.reshape(nb, g_pad, LANE)[:, :g, :]
+        return y.reshape(-1)[: op.shape[0]]
+
+    return spmv
+
+
+# ---------------------------------------------------------------------------
+# 6) Multi-device chunked routed engine — heterogeneous row blocks
 # ---------------------------------------------------------------------------
 
 

@@ -128,3 +128,23 @@ def test_scaling_harness_smoke(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.startswith("preset,path,virtual,devices,time_s,efficiency,ok")
+
+
+def test_window_sharded_matches_oracle():
+    from spmv_openmp_cuda_tpu.parallel.mesh import make_mesh
+    from spmv_openmp_cuda_tpu.parallel.sharded import (
+        make_window_sharded,
+        pad_x_for_window_sharded,
+        prepare_window_sharded,
+    )
+
+    coo = synth.fem_like(m=12000, n=12000, nnz=150000, spread=700, lo=5, hi=20, seed=8)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(csr.shape[1], seed=9)
+    for d in (2, 4):
+        mesh = make_mesh((d, 1), devices=jax.devices()[:d])
+        op = prepare_window_sharded(csr, mesh)
+        xs = pad_x_for_window_sharded(np.asarray(x), op, mesh, jnp.float32)
+        y = np.asarray(make_window_sharded(mesh, op)(op, xs), np.float64)
+        rep = vectors_diff(y, serial_csr_spmv(csr, x))
+        assert rep.ok, (d, rep)
