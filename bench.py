@@ -63,11 +63,12 @@ AB_EXTRA = {
 # 32-bit, so f64 rides the XLA engines. Results land in
 # BENCH_DETAILS_F64.json (the headline record stays f32/bf16).
 # (cavity10 reference: CUDA CSR row-per-thread 3.588e-5 s avg -> 4.26
-# GFLOPS, BASELINE.md scripts/cuda_omp.log:4-5; DIA_ROWS f64 on the wide
-# raefsky band hit a pathological XLA f64 compile, so the banded f64 row
-# uses the narrower cavity10)
+# GFLOPS, BASELINE.md scripts/cuda_omp.log:4-5. DIA_ROWS in f64 hits a
+# pathological XLA compile on this backend — the unrolled shifted-slice
+# graph in double never finished even at 31 diagonals — so f64 rides
+# CSR_ROWS_BINNED, the engine AUTO maps f64 to.)
 F64_SUITE = [
-    ("cavity10_like", 4.26, ["DIA_ROWS"]),
+    ("cavity10_like", 4.26, ["CSR_ROWS_BINNED"]),
     ("raefsky1_like", 46.56, ["CSR_ROWS_BINNED"]),
     ("fem_3d_thermal2_like", 39.14, ["CSR_ROWS_BINNED"]),
     ("thermal2_like", 26.34, ["CSR_ROWS_BINNED"]),
