@@ -4,7 +4,7 @@ Pipeline (all structure static, only x flows at run time):
 
 1. *Gather phase* (Pallas): x is windowed as 128-residue x 128-panel tiles
    (see formats/lanes.py); every nnz gets a slot with sublane = col % 128 so
-   the in-VMEM lane-gather (`take_along_axis(axis=1)`, ~50 Gelem/s) can fetch
+   the in-VMEM lane-gather (`take_along_axis(axis=1)`, ~225-300 Gelem/s in single-block kernels) can fetch
    its x value; lanes are packed tightly (free choice). Products come out in
    column-panel order.
 2. *Routing phase* (ops/route.py): a planned Clos permutation moves every

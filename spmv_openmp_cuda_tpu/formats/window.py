@@ -13,21 +13,24 @@ Layout (one grid step per block of G*128 rows):
   c % 128; slot rows may MIX source chunks freely: the only constraint is
   that within one slot row, all slots sourcing the same residue class
   (c % 128) share a window row — because the source assembly materializes,
-  per slot row, one window row PER RESIDUE (the Q map below). Packing is a
-  multi-pass lane-major fill: pass ranks each lane's nnz into rows, entries
-  violating the per-(row, residue) single-window-row constraint are evicted
-  to the next pass. Padding ~= out-lane imbalance (max_l count_l / mean)
-  plus a small eviction slack — far below the one-chunk-per-row scheme's
-  Poisson-max penalty on scattered matrices.
+  per slot row, one window row PER RESIDUE (the Q map below). Packing is
+  EXACT: slot rows are the colors of a proper edge coloring of the
+  per-block (out-lane x source-residue) bipartite multigraph (at most one
+  entry per (row, lane) and per (row, residue) — so the Q constraint holds
+  with nothing left over), built by the Euler-split router on the graph
+  padded to D-regular. Rows per block = D = next_pow2(max degree) exactly;
+  the auto scan picks the group size G so the degree lands just under a
+  power of two.
 - the block's x window (the 2*Wr + G chunk rows it can touch) is staged
-  through a sliding set of (G, 128) input blocks (the DIA 3-block-window
-  pattern generalized); slot-row sources are assembled fully data-driven
+  through sliding 8-row input blocks at index (i*G)//8 (the remainder is
+  folded into Q host-side, so G is unrestricted); slot-row sources are
+  assembled fully data-driven
   with one transposed take_along_axis per 128-slot-row tile:
   S_T[residue, k] = window[Q[residue, k], residue] — so one compiled kernel
   serves every block (uniform grid, no per-block unrolled code).
 - gather: one same-shape taa picks c % 128 within each assembled row;
   reduce: G masked sublane-sums into the (G, 128) output block (measured
-  ~0.35 ps/slot/group on v5e — cheaper than any routing pass).
+  ~0.7 ps/slot/group in situ on v5e — cheaper than any routing pass).
 
 Eligibility: window radius (max |chunk(c) - block| over nnz) must keep the
 staged window under 128 rows, and the padding factor under a cap; power-law

@@ -4,14 +4,20 @@ The reference makes the user pick a COMPUTE_MODE per matrix and measures all
 of them to find the winner (its report's central exercise). This model
 encodes those findings as a structure-driven selection policy — the analog of
 the reference's conclusions (relazione.tex: ELL wins when padding is bounded,
-CSR when rows are skewed, transposed layouts when coalescing pays):
+CSR when rows are skewed, transposed layouts when coalescing pays) — over
+the engine ladder, in descending structural specialization:
 
 - diagonal-concentrated -> DIA (zero-gather, no indices; fused Pallas
   kernel at ~500 GB/s)
+- dense-diagonal core + scattered fringe -> DIA+windowed-residual hybrid
+  (the fringe rides windowed-gather slots inside the DIA kernel)
+- banded LOCALITY without banded structure (unstructured FEM), or any
+  matrix whose columns fit one ~15k window -> windowed local-gather
+  engine (edge-coloring slot packing, masked group reduce; measured cost
+  model picks the group size)
 - everything else -> Clos-routed CSR (panel gather + planned permutation +
   width-binned reduces; fully general — tiny domains collapse to a single
-  fused kernel, so it also wins the small-matrix regime the lane-gather
-  engine used to own)
+  fused kernel)
 - explicit formats remain available: lanes (lane-gather + masked group
   accumulate), ell_t (transposed slabs) and binned (width-class slabs) —
   the last two are the faithful reference-shaped layouts

@@ -3,7 +3,7 @@ slot arrays at VPU speed.
 
 Why this exists: Mosaic's only fast data-movement primitives are (a)
 same-shape `take_along_axis(axis=1)` — each sublane-row permutes/gathers
-freely among its 128 lanes (~50 Gelem/s) — and (b) 128x128 tile transposes
+freely among its 128 lanes (~225-300 Gelem/s in single-block kernels) — and (b) 128x128 tile transposes
 (~300 Gelem/s). XLA's general gather runs at ~1 GB/s, unusable for routing
 nnz-scale data. This module decomposes ANY static bijection of an
 (H = T*128, 128) slot array (T a power of two <= 128) into stages built only
