@@ -98,6 +98,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "wr": mat.wr,
             "nspecs": mat.nspecs,
             "nblocks": mat.nblocks,
+            "k_c": mat.k_c,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -214,6 +215,8 @@ def load_prepared(path: str) -> PreparedFormat:
             wr=aux["wr"],
             nspecs=aux["nspecs"],
             nblocks=aux["nblocks"],
+            # pre-mod-8 checkpoints carry no k_c: 0 = legacy global packing
+            k_c=aux.get("k_c", 0),
         )
     if kind == "RoutedCSR":
         # leaf order follows the registered dataclass data_fields:

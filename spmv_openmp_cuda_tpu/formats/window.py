@@ -14,23 +14,31 @@ Layout (one grid step per block of G*128 rows):
   that within one slot row, all slots sourcing the same residue class
   (c % 128) share a window row — because the source assembly materializes,
   per slot row, one window row PER RESIDUE (the Q map below). Packing is
-  EXACT: slot rows are the colors of a proper edge coloring of the
-  per-block (out-lane x source-residue) bipartite multigraph (at most one
-  entry per (row, lane) and per (row, residue) — so the Q constraint holds
-  with nothing left over), built by the Euler-split router on the graph
-  padded to D-regular. Rows per block = D = next_pow2(max degree) exactly;
-  the auto scan picks the group size G so the degree lands just under a
-  power of two.
+  a proper edge coloring of the per-block (out-lane x source-residue)
+  bipartite multigraph (at most one entry per (row, lane) and per
+  (row, residue) — so the Q constraint holds with nothing left over),
+  built by the Euler-split router on the graph padded to D-regular.
+- MOD-8 INTERLEAVED REDUCE (the default packing): slot rows [0, k_c) are
+  additionally constrained to hold only entries with gid % 8 == k % 8
+  (gid = (row // 128) % G, the output row within the block). The coloring
+  runs per residue class r on the class subgraph peeled to degree <= cap
+  (k_c = 8*cap rows, row = r + 8*color); peeled-off excess entries land in
+  an unconstrained overflow region [k_c, k_pad) colored globally. The
+  reduce then needs only ceil(G/8) masked passes over the constrained
+  rows — a (k_c/8, 8, 128) sublane fold puts each gid's partial sum at
+  sublane gid % 8 for free — plus G masked passes over the (small)
+  overflow rows, instead of G full-slab passes. cap=None disables the
+  split (k_c = 0: the round-1 global pow2 coloring, kept for A/B and
+  checkpoint back-compat).
 - the block's x window (the 2*Wr + G chunk rows it can touch) is staged
   through sliding 8-row input blocks at index (i*G)//8 (the remainder is
   folded into Q host-side, so G is unrestricted); slot-row sources are
-  assembled fully data-driven
-  with one transposed take_along_axis per 128-slot-row tile:
-  S_T[residue, k] = window[Q[residue, k], residue] — so one compiled kernel
-  serves every block (uniform grid, no per-block unrolled code).
+  assembled fully data-driven with one transposed take_along_axis per
+  128-slot-row tile: S_T[residue, k] = window[Q[residue, k], residue] — so
+  one compiled kernel serves every block (uniform grid, no per-block
+  unrolled code).
 - gather: one same-shape taa picks c % 128 within each assembled row;
-  reduce: G masked sublane-sums into the (G, 128) output block (measured
-  ~0.7 ps/slot/group in situ on v5e — cheaper than any routing pass).
+  reduce: as above (measured ~0.35 ps/slot/masked-pass on v5e).
 
 Eligibility: window radius (max |chunk(c) - block| over nnz) must keep the
 staged window under 128 rows, and the padding factor under a cap; power-law
@@ -51,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LANE
 from ..utils.pallas_env import interpret as _interp
-from .matrix import CSRMatrix, _ceil_to
+from .matrix import CSRMatrix
 
 
 class WindowError(ValueError):
@@ -61,7 +69,9 @@ class WindowError(ValueError):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals", "sidx", "gid", "rsrc"],
-    meta_fields=["shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks"],
+    meta_fields=[
+        "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
+    ],
 )
 @dataclasses.dataclass
 class WindowCSR:
@@ -69,7 +79,8 @@ class WindowCSR:
 
     vals: jax.Array  # (nblocks*k_pad, 128) dtype — slot values
     sidx: jax.Array  # (nblocks*k_pad, 128) int8 — c % 128 per slot
-    gid: jax.Array  # (nblocks*k_pad, 128) int8 — (row//128) % G per slot
+    gid: jax.Array  # (nblocks*k_pad, 128) int8 — rows < k_c: gid // 8
+    # (gid % 8 == slot row % 8 by construction); rows >= k_c: full gid
     rsrc: jax.Array  # (nblocks*n_ktiles*128, 128) int8 — the Q map:
     # per slot-row tile, Q[residue, slot-row-in-tile] = window row that
     # slots of this row sourcing this residue read from
@@ -80,6 +91,7 @@ class WindowCSR:
     wr: int = 1  # window radius in 128-chunks
     nspecs: int = 2  # staged (G,128) window blocks per step
     nblocks: int = 1
+    k_c: int = 0  # mod-8-constrained slot rows (0 = legacy global packing)
 
     @property
     def n_ktiles(self) -> int:
@@ -93,18 +105,20 @@ def _next_pow2(v: int) -> int:
     return p
 
 
-def _pack_stats(csr: CSRMatrix, g: int):
-    """(slots_total, d_colors, wr, nspecs) for group size g.
+#: packing row cap per block (VMEM residency of the slot slabs)
+_K_CAP = 16 * LANE
 
-    d_colors is EXACT (the Latin/edge-coloring packer uses exactly
-    next_pow2(max bipartite degree) rows per block), so the auto scan can
-    pick the g whose degree lands just under a power of two."""
+#: cap ladder for the mod-8 class coloring (k_c = 8*cap); None = legacy
+_CAP_LADDER = (None, 8, 16, 32, 64, 128)
+
+
+def _geometry(csr: CSRMatrix, g: int):
+    """(wr, nspecs, nblocks) — window reach for group size g."""
     m, n = csr.shape
     b = g * LANE
     rows = csr.row_ids().astype(np.int64)
     cols = csr.indices.astype(np.int64)
     blk = rows // b
-    lane = rows % LANE
     q = cols // LANE
     d = q - blk * g  # chunk relative to block start
     wr = max(int(max(-d.min(initial=0), 0)), int(max(d.max(initial=0) - g + 1, 0)), 1)
@@ -116,31 +130,122 @@ def _pack_stats(csr: CSRMatrix, g: int):
     if nspecs * 8 > LANE:
         raise WindowError(f"window span {s_w} chunk-rows exceeds the 128 cap")
     nblocks = -(-m // b)
-    dl = np.bincount(blk * LANE + lane, minlength=nblocks * LANE)
-    dr = np.bincount(blk * LANE + (cols % LANE), minlength=nblocks * LANE)
-    d_colors = _next_pow2(
-        max(int(dl.max(initial=1)), int(dr.max(initial=1)), 16)
+    return wr, nspecs, nblocks
+
+
+def _rank_in_group(keys: np.ndarray, minlength: int) -> np.ndarray:
+    """rank[i] = #entries before i (stable order) with the same key."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    n = sk.size
+    ranks = np.empty(n, np.int64)
+    if n:
+        newrun = np.r_[True, sk[1:] != sk[:-1]]
+        run_start = np.maximum.accumulate(np.where(newrun, np.arange(n), 0))
+        ranks[order] = np.arange(n) - run_start
+    return ranks
+
+
+def _entry_fields(csr: CSRMatrix, g: int):
+    b = g * LANE
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    blk = rows // b
+    lane = rows % LANE
+    jres = cols % LANE
+    gid = ((rows // LANE) % g).astype(np.int64)
+    return rows, cols, blk, lane, jres, gid
+
+
+def _class_split(blk, lane, jres, gid, nblocks, cap):
+    """Two-pass rank peel: keep mask for the mod-8 class region (degree <=
+    cap on both sides of every (block, gid%8) subgraph) + overflow V."""
+    cls = gid % 8
+    key_l = (blk * 8 + cls) * LANE + lane
+    rl = _rank_in_group(key_l, nblocks * 8 * LANE)
+    keep = rl < cap
+    key_r = (blk * 8 + cls) * LANE + jres
+    rr = np.full(rl.shape, cap, np.int64)
+    rr[keep] = _rank_in_group(key_r[keep], nblocks * 8 * LANE)
+    keep &= rr < cap
+    # overflow graph degree (per plain block, no class namespacing)
+    of = ~keep
+    if of.any():
+        dl = np.bincount((blk * LANE + lane)[of], minlength=nblocks * LANE)
+        dr = np.bincount((blk * LANE + jres)[of], minlength=nblocks * LANE)
+        v = _next_pow2(max(int(dl.max()), int(dr.max()), 8))
+    else:
+        v = 0
+    return keep, v
+
+
+#: measured v5e reduce-pass cost (ps per slot per masked pass) and
+#: gather/assembly cost (ps per slot); see doc/REPORT.md
+_C_GATHER = 14.0
+_C_PASS = 0.3
+_C_FOLD = 0.45  # per constrained slot per ceil(g/8)-pass (mask+fold)
+_C_BLOCK = 250_000.0  # fixed per grid step (ps)
+
+
+def _cost_of(g: int, cap, k_c: int, v: int, nblocks: int) -> float:
+    nh = -(-g // 8)
+    k_pad = k_c + v
+    return (
+        k_pad * LANE * nblocks * _C_GATHER
+        + k_c * LANE * nblocks * _C_FOLD * nh
+        + v * LANE * nblocks * _C_PASS * g
+        + nblocks * _C_BLOCK
     )
-    if d_colors > _K_CAP:
-        raise WindowError(f"{d_colors} colors exceed the row cap")
-    return nblocks * d_colors * LANE, d_colors, wr, nspecs
 
 
-#: packing row cap per block (VMEM residency of the slot slabs)
-_K_CAP = 16 * LANE
+def _scan_caps(csr: CSRMatrix, g: int):
+    """Best (cap, k_c, V, cost) for group size g over the cap ladder.
+
+    V per cap is ESTIMATED from per-class degree excess (bincounts only —
+    the exact two-pass rank peel over every (g, cap) candidate costs an
+    argsort per pair, ~minutes on 8M-nnz matrices); prepare_window re-peels
+    the chosen config exactly."""
+    wr, nspecs, nblocks = _geometry(csr, g)
+    _rows, _cols, blk, lane, jres, gid = _entry_fields(csr, g)
+    cls = gid % 8
+    dl8 = np.bincount(
+        (blk * 8 + cls) * LANE + lane, minlength=nblocks * 8 * LANE
+    ).reshape(nblocks, 8, LANE)
+    dr8 = np.bincount(
+        (blk * 8 + cls) * LANE + jres, minlength=nblocks * 8 * LANE
+    ).reshape(nblocks, 8, LANE)
+    d_glob = _next_pow2(
+        max(int(dl8.sum(axis=1).max(initial=1)),
+            int(dr8.sum(axis=1).max(initial=1)), 16)
+    )
+    best = None
+    for cap in _CAP_LADDER:
+        if cap is None:
+            k_c, v = 0, d_glob
+        else:
+            ofl = np.maximum(dl8 - cap, 0).sum(axis=1)
+            ofr = np.maximum(dr8 - cap, 0).sum(axis=1)
+            d_of = max(int(ofl.max(initial=0)), int(ofr.max(initial=0)))
+            v = _next_pow2(max(d_of, 8)) if d_of else 0
+            k_c = 8 * cap
+        if k_c + v > _K_CAP:
+            continue
+        cost = _cost_of(g, cap, k_c, v, nblocks)
+        if best is None or cost < best[3]:
+            best = (cap, k_c, v, cost)
+    if best is None:
+        raise WindowError("no feasible packing under the row cap")
+    return best
 
 
 def _pack_coloring(blk, lane, jres, nblocks, d_target):
-    """Latin packing by bipartite edge coloring: slot row = color.
-
-    Entries are edges (out-lane -> source-residue) of a per-block bipartite
-    multigraph; a proper D-coloring puts at most one entry per (row, lane)
-    and per (row, residue) in every block — so the per-(row, residue)
-    single-window-row constraint holds with NOTHING evicted, and every
-    block uses exactly D = d_target rows (k_pad uniformity by
-    construction). The graph is padded to exactly D-regular with dummy
-    edges and colored by the Euler-split router (ops/route.py, native C++
-    when built); D must be a power of two.
+    """Proper edge coloring of the (out-lane x source-residue) bipartite
+    multigraph: slot row = color. A D-coloring puts at most one entry per
+    (row, lane) and per (row, residue) in every block — so the
+    per-(row, residue) single-window-row constraint holds with NOTHING
+    evicted. The graph is padded to exactly D-regular with dummy edges and
+    colored by the Euler-split router (ops/route.py, native C++ when
+    built); D must be a power of two.
     """
     from ..ops.route import color_bipartite_pow2
 
@@ -164,7 +269,7 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
 
 def prepare_window(
     csr: CSRMatrix, g: int = 8, dtype=jnp.float32, vals_dtype=None,
-    max_pad: float = 4.5,
+    max_pad: float = 4.5, cap="auto",
 ) -> WindowCSR:
     if vals_dtype is None:
         vals_dtype = dtype
@@ -172,33 +277,62 @@ def prepare_window(
     if csr.nnz == 0 or m == 0:
         raise WindowError("empty matrix")
     assert 2 <= g <= 64, "g must be in [2, 64] (output rows per block)"
-    _slots, k_pad, wr, nspecs = _pack_stats(csr, g)
-    b = g * LANE
-    nblocks = -(-m // b)
+    wr, nspecs, nblocks = _geometry(csr, g)
+    _rows, _cols, blk, lane, jres, gid = _entry_fields(csr, g)
+
+    if cap == "auto":
+        cap = _scan_caps(csr, g)[0]
+
+    srow = np.empty(gid.shape[0], np.int64)
+    if cap is None:
+        dl = np.bincount(blk * LANE + lane, minlength=nblocks * LANE)
+        dr = np.bincount(blk * LANE + jres, minlength=nblocks * LANE)
+        k_c = 0
+        v = _next_pow2(
+            max(int(dl.max(initial=1)), int(dr.max(initial=1)), 16)
+        )
+        keep = np.zeros(gid.shape[0], bool)
+    else:
+        keep, v = _class_split(blk, lane, jres, gid, nblocks, cap)
+        k_c = 8 * cap
+        cls = gid % 8
+        for r in range(8):
+            sel = keep & (cls == r)
+            if not sel.any():
+                continue
+            colors = _pack_coloring(
+                blk[sel], lane[sel], jres[sel], nblocks, cap
+            )
+            srow[sel] = r + 8 * colors
+    if v:
+        of = ~keep
+        colors = _pack_coloring(blk[of], lane[of], jres[of], nblocks, v)
+        srow[of] = k_c + colors
+
+    k_pad = k_c + v
     n_ktiles = -(-k_pad // LANE)
     if nblocks * k_pad * LANE > max_pad * csr.nnz:
         raise WindowError(
             f"padding {nblocks * k_pad * LANE / csr.nnz:.1f}x "
             f"exceeds {max_pad}x cap"
         )
+    if k_pad > _K_CAP:
+        raise WindowError(f"{k_pad} slot rows exceed the row cap")
 
-    rows = csr.row_ids().astype(np.int64)
-    cols = csr.indices.astype(np.int64)
-    blk = rows // b
-    lane = rows % LANE
-    q = cols // LANE
+    q = _cols // LANE
     dq = q - blk * g + wr  # window row in [0, nspecs*g)
-    jres = cols % LANE  # source residue
-
-    srow = _pack_coloring(blk, lane, jres, nblocks, k_pad)
 
     slot_row = blk * k_pad + srow
     vals = np.zeros((nblocks * k_pad, LANE), dtype=np.float64)
     sidx = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
-    gid = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
+    gslab = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
     vals[slot_row, lane] = csr.data
     sidx[slot_row, lane] = jres.astype(np.int8)
-    gid[slot_row, lane] = ((rows // LANE) % g).astype(np.int8)
+    # constrained rows store gid // 8 (the fold pass id); overflow rows the
+    # full gid (their masked loop compares against gid directly)
+    gslab[slot_row, lane] = np.where(srow < k_c, gid // 8, gid).astype(
+        np.int8
+    )
 
     # Q map: per slot-row tile, Q[residue, slot-row-in-tile] = window row
     # (unset pairs read window row 0; their slots have vals == 0)
@@ -216,7 +350,7 @@ def prepare_window(
     return WindowCSR(
         vals=jnp.asarray(vals, dtype=vals_dtype),
         sidx=jnp.asarray(sidx),
-        gid=jnp.asarray(gid),
+        gid=jnp.asarray(gslab),
         rsrc=jnp.asarray(rsrc),
         shape=(m, n),
         nnz=csr.nnz,
@@ -225,51 +359,51 @@ def prepare_window(
         wr=wr,
         nspecs=nspecs,
         nblocks=nblocks,
+        k_c=k_c,
     )
 
 
-#: candidate group sizes for the auto scan: the Latin packer uses exactly
-#: next_pow2(max degree) rows, so the winning g usually puts the degree
-#: just under a power of two
+#: candidate group sizes for the auto scan
 _G_LADDER = (4, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64)
 
 
 def window_cost(csr: CSRMatrix, g: int) -> float:
-    """Predicted SpMV cost in ps (v5e-measured constants: ~14 ps/slot
-    gather/assembly + ~0.35*g masked reduce + ~0.17 us fixed per step)."""
-    slots, _d, _wr, _ns = _pack_stats(csr, g)
-    nblocks = -(-csr.shape[0] // (g * LANE))
-    return slots * (14.0 + 0.3 * g) + nblocks * 250_000.0
+    """Predicted SpMV cost in ps (v5e-measured constants), minimized over
+    the packing-cap ladder."""
+    return _scan_caps(csr, g)[3]
 
 
 def prepare_window_auto(
     csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5
 ) -> WindowCSR:
-    """Pick the group size g by the exact-slots cost model."""
+    """Pick the group size g and packing cap by the exact-slots cost
+    model."""
     best = None
     for g in _G_LADDER:
         try:
-            cost = window_cost(csr, g)
+            cap, k_c, v, cost = _scan_caps(csr, g)
         except WindowError:
             continue
         if best is None or cost < best[1]:
-            best = (g, cost)
+            best = (g, cost, cap)
     if best is None:
         raise WindowError("no feasible window configuration")
     return prepare_window(
-        csr, g=best[0], dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad
+        csr, g=best[0], dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
+        cap=best[2],
     )
 
 
 def window_kernel_call(
-    vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks
+    vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks, k_c=0
 ):
     """The fused gather+reduce kernel over a prepared slot-array set and an
     ALREADY-PADDED x window stack (xp2 row wr = x row 0). Exposed separately
     so the row-sharded multi-chip path (parallel/sharded.py) can run it on
     local block ranges with halo-exchanged x."""
     n_ktiles = -(-k_pad // LANE)
-    g_pad = max(-(-g // 8) * 8, 8)  # output tile height (sublane multiple)
+    nh = -(-g // 8)
+    g_pad = nh * 8
     acc_dtype = jnp.float32
 
     def kernel(*refs):
@@ -294,13 +428,36 @@ def window_kernel_call(
         )
         prod = vals_ref[:].astype(acc_dtype) * gathered
         gv = gid_ref[:].astype(jnp.int32)
-        rows = [
-            jnp.sum(jnp.where(gv == gg, prod, 0.0), axis=0, keepdims=True)
-            for gg in range(g)
-        ]
-        if g_pad > g:
-            rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
-        o_ref[:] = jnp.concatenate(rows, axis=0)
+        if k_c:
+            # mod-8 fold: sublane s of pass h accumulates gid 8h + s
+            tiles = []
+            for h in range(nh):
+                m = jnp.where(gv[0:k_c] == h, prod[0:k_c], 0.0)
+                parts = [m[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
+                while len(parts) > 1:
+                    parts = [
+                        parts[i] + parts[i + 1]
+                        if i + 1 < len(parts)
+                        else parts[i]
+                        for i in range(0, len(parts), 2)
+                    ]
+                tiles.append(parts[0])
+            out = jnp.concatenate(tiles, axis=0)
+        else:
+            out = jnp.zeros((g_pad, LANE), acc_dtype)
+        if k_pad > k_c:
+            rows = [
+                jnp.sum(
+                    jnp.where(gv[k_c:] == gg, prod[k_c:], 0.0),
+                    axis=0,
+                    keepdims=True,
+                )
+                for gg in range(g)
+            ]
+            if g_pad > g:
+                rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
+            out = out + jnp.concatenate(rows, axis=0)
+        o_ref[:] = out
 
     xspec = [
         pl.BlockSpec(
@@ -357,7 +514,7 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
     xp2 = xp.reshape(total_rows, LANE)
     out = window_kernel_call(
         mat.vals, mat.sidx, mat.gid, mat.rsrc, xp2,
-        g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nblocks,
+        g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nblocks, k_c=mat.k_c,
     )
     if g_pad > g:
         out = out.reshape(nblocks, g_pad, LANE)[:, :g, :]

@@ -446,6 +446,7 @@ def make_dia_sharded(mesh: Mesh, op_meta: ShardedDIA):
     data_fields=["vals", "sidx", "gid", "rsrc"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nb_local", "nd",
+        "k_c",
     ],
 )
 @dataclasses.dataclass
@@ -471,6 +472,7 @@ class ShardedWindow:
     nspecs: int = 2
     nb_local: int = 1
     nd: int = 1
+    k_c: int = 0
 
 
 def prepare_window_sharded(csr: CSRMatrix, mesh: Mesh, dtype=jnp.float32):
@@ -506,6 +508,7 @@ def prepare_window_sharded(csr: CSRMatrix, mesh: Mesh, dtype=jnp.float32):
         nspecs=mat.nspecs,
         nb_local=nb_pad // nd,
         nd=nd,
+        k_c=mat.k_c,
     )
 
 
@@ -561,6 +564,7 @@ def make_window_sharded(mesh: Mesh, op_meta: ShardedWindow):
         out = window_kernel_call(
             vals, sidx, gid, rsrc, xp2,
             g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nb_local,
+            k_c=op_meta.k_c,
         )
         return out
 

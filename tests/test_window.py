@@ -79,3 +79,33 @@ def test_auto_selects_window_for_fem_locality():
     x = fill_rnd_vector(6000, seed=2)
     rep = vectors_diff(np.asarray(model(x), np.float64), serial_csr_spmv(csr, x))
     assert rep.ok, rep
+
+
+@pytest.mark.parametrize("g,cap", [(8, 4), (16, 8), (12, 16)])
+def test_window_mod8_packing(g, cap):
+    """Forced-cap mod-8 interleaved packing: class region + overflow both
+    exercised (cap chosen small enough that the rank peel spills)."""
+    coo = synth.fem_like(m=4000, n=4000, nnz=50000, spread=600, lo=5, hi=20, seed=2)
+    csr = S.coo_to_csr(coo)
+    mat = W.prepare_window(csr, g=g, cap=cap, max_pad=20.0)
+    assert mat.k_c == 8 * cap
+    assert mat.k_pad > mat.k_c, "cap should force a non-empty overflow region"
+    # slot-row invariant: rows < k_c only hold gid % 8 == row % 8 entries
+    gs = np.asarray(mat.gid).reshape(mat.nblocks, mat.k_pad, 128)
+    vs = np.asarray(mat.vals, np.float64).reshape(mat.nblocks, mat.k_pad, 128)
+    nh = -(-g // 8)
+    assert int(gs[:, : mat.k_c].max(initial=0)) < nh
+    _check(csr, mat)
+
+
+def test_window_mod8_vs_legacy_same_result():
+    coo = synth.fem_like(m=3000, n=3000, nnz=40000, spread=500, lo=4, hi=18, seed=11)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(3000, seed=3)
+    ya = np.asarray(
+        W.window_spmv(W.prepare_window(csr, g=8, cap=None), jnp.asarray(x, jnp.float32))
+    )
+    yb = np.asarray(
+        W.window_spmv(W.prepare_window(csr, g=8, cap=8, max_pad=20.0), jnp.asarray(x, jnp.float32))
+    )
+    np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-5)
