@@ -99,6 +99,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "nspecs": mat.nspecs,
             "nblocks": mat.nblocks,
             "k_c": mat.k_c,
+            "bps": mat.bps,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -217,6 +218,8 @@ def load_prepared(path: str) -> PreparedFormat:
             nblocks=aux["nblocks"],
             # pre-mod-8 checkpoints carry no k_c: 0 = legacy global packing
             k_c=aux.get("k_c", 0),
+            # pre-multiblock checkpoints ran one block per grid step
+            bps=aux.get("bps", 1),
         )
     if kind == "RoutedCSR":
         # leaf order follows the registered dataclass data_fields:

@@ -71,6 +71,7 @@ class WindowError(ValueError):
     data_fields=["vals", "sidx", "gid", "rsrc"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
+        "bps",
     ],
 )
 @dataclasses.dataclass
@@ -92,6 +93,7 @@ class WindowCSR:
     nspecs: int = 2  # staged (G,128) window blocks per step
     nblocks: int = 1
     k_c: int = 0  # mod-8-constrained slot rows (0 = legacy global packing)
+    bps: int = 1  # blocks evaluated per grid step (in-kernel sub-block loop)
 
     @property
     def n_ktiles(self) -> int:
@@ -269,7 +271,7 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
 
 def prepare_window(
     csr: CSRMatrix, g: int = 8, dtype=jnp.float32, vals_dtype=None,
-    max_pad: float = 4.5, cap="auto",
+    max_pad: float = 4.5, cap="auto", bps: int = 1,
 ) -> WindowCSR:
     if vals_dtype is None:
         vals_dtype = dtype
@@ -277,6 +279,8 @@ def prepare_window(
     if csr.nnz == 0 or m == 0:
         raise WindowError("empty matrix")
     assert 2 <= g <= 64, "g must be in [2, 64] (output rows per block)"
+    if bps > 1 and g % 8:
+        raise WindowError("bps > 1 requires g % 8 == 0 (uniform staging)")
     wr, nspecs, nblocks = _geometry(csr, g)
     _rows, _cols, blk, lane, jres, gid = _entry_fields(csr, g)
 
@@ -347,6 +351,20 @@ def prepare_window(
         np.int8
     )
 
+    nblocks_pad = -(-nblocks // bps) * bps
+    if nblocks_pad > nblocks:
+        # trailing all-zero blocks fill the last grid step; their outputs
+        # fall past row m and are sliced off
+        def _ext(a, rows):
+            return np.concatenate(
+                [a, np.zeros(((nblocks_pad - nblocks) * rows, LANE), a.dtype)]
+            )
+
+        vals = _ext(vals, k_pad)
+        sidx = _ext(sidx, k_pad)
+        gslab = _ext(gslab, k_pad)
+        rsrc = _ext(rsrc, n_ktiles * LANE)
+
     return WindowCSR(
         vals=jnp.asarray(vals, dtype=vals_dtype),
         sidx=jnp.asarray(sidx),
@@ -358,8 +376,9 @@ def prepare_window(
         k_pad=k_pad,
         wr=wr,
         nspecs=nspecs,
-        nblocks=nblocks,
+        nblocks=nblocks_pad,
         k_c=k_c,
+        bps=bps,
     )
 
 
@@ -374,10 +393,14 @@ def window_cost(csr: CSRMatrix, g: int) -> float:
 
 
 def prepare_window_auto(
-    csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5
+    csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5,
+    bps: int | None = None,
 ) -> WindowCSR:
     """Pick the group size g and packing cap by the exact-slots cost
-    model."""
+    model. bps=None keeps one block per grid step (pending an on-TPU A/B
+    of the in-kernel sub-block loop); SPMV_WINDOW_BPS overrides for A/B."""
+    import os
+
     best = None
     for g in _G_LADDER:
         try:
@@ -388,100 +411,128 @@ def prepare_window_auto(
             best = (g, cost, cap)
     if best is None:
         raise WindowError("no feasible window configuration")
+    g = best[0]
+    if os.environ.get("SPMV_WINDOW_BPS"):
+        bps = int(os.environ["SPMV_WINDOW_BPS"])
+    if bps is None:
+        bps = 1
+    if g % 8:
+        bps = 1
     return prepare_window(
-        csr, g=best[0], dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
-        cap=best[2],
+        csr, g=g, dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
+        cap=best[2], bps=bps,
     )
 
 
 def window_kernel_call(
-    vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks, k_c=0
+    vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks, k_c=0, bps=1
 ):
     """The fused gather+reduce kernel over a prepared slot-array set and an
     ALREADY-PADDED x window stack (xp2 row wr = x row 0). Exposed separately
     so the row-sharded multi-chip path (parallel/sharded.py) can run it on
-    local block ranges with halo-exchanged x."""
+    local block ranges with halo-exchanged x.
+
+    bps > 1 evaluates that many consecutive blocks per grid step with an
+    in-kernel sub-block loop (requires g % 8 == 0 and bps | nblocks): the
+    per-step pipeline overhead amortizes and the taa passes run at the
+    bigger-block VPU rate."""
+    assert nblocks % bps == 0, "prepare pads nblocks to a bps multiple"
+    assert bps == 1 or g % 8 == 0
     n_ktiles = -(-k_pad // LANE)
     nh = -(-g // 8)
     g_pad = nh * 8
     acc_dtype = jnp.float32
+    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
 
     def kernel(*refs):
-        xrefs = list(refs[:nspecs])
+        xrefs = list(refs[:ns_tot])
         vals_ref, sidx_ref, gid_ref, rsrc_ref, o_ref, w_ref, src_ref = refs[
-            nspecs:
+            ns_tot:
         ]
-        for j in range(nspecs):
-            w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j][:]
         if nspecs * 8 < LANE:
             w_ref[nspecs * 8 :, :] = jnp.zeros(
                 (LANE - nspecs * 8, LANE), acc_dtype
             )
-        wt = w_ref[:].T  # (residue, window row)
-        for t in range(n_ktiles):
-            qv = rsrc_ref[t * LANE : (t + 1) * LANE, :].astype(jnp.int32)
-            # st[residue, k] = window[Q[residue, k], residue]
-            st = jnp.take_along_axis(wt, qv, axis=1)
-            src_ref[t * LANE : (t + 1) * LANE, :] = st.T
-        gathered = jnp.take_along_axis(
-            src_ref[0:k_pad, :], sidx_ref[:].astype(jnp.int32), axis=1
-        )
-        prod = vals_ref[:].astype(acc_dtype) * gathered
-        gv = gid_ref[:].astype(jnp.int32)
-        if k_c:
-            # mod-8 fold: sublane s of pass h accumulates gid 8h + s
-            tiles = []
-            for h in range(nh):
-                m = jnp.where(gv[0:k_c] == h, prod[0:k_c], 0.0)
-                parts = [m[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
-                while len(parts) > 1:
-                    parts = [
-                        parts[i] + parts[i + 1]
-                        if i + 1 < len(parts)
-                        else parts[i]
-                        for i in range(0, len(parts), 2)
-                    ]
-                tiles.append(parts[0])
-            out = jnp.concatenate(tiles, axis=0)
-        else:
-            out = jnp.zeros((g_pad, LANE), acc_dtype)
-        if k_pad > k_c:
-            rows = [
-                jnp.sum(
-                    jnp.where(gv[k_c:] == gg, prod[k_c:], 0.0),
-                    axis=0,
-                    keepdims=True,
-                )
-                for gg in range(g)
-            ]
-            if g_pad > g:
-                rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
-            out = out + jnp.concatenate(rows, axis=0)
-        o_ref[:] = out
+        for b in range(bps):
+            j0 = b * (g // 8) if bps > 1 else 0
+            for j in range(nspecs):
+                w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j0 + j][:]
+            wt = w_ref[:].T  # (residue, window row)
+            kb, rb, ob = b * k_pad, b * n_ktiles * LANE, b * g_pad
+            for t in range(n_ktiles):
+                qv = rsrc_ref[
+                    rb + t * LANE : rb + (t + 1) * LANE, :
+                ].astype(jnp.int32)
+                # st[residue, k] = window[Q[residue, k], residue]
+                st = jnp.take_along_axis(wt, qv, axis=1)
+                src_ref[t * LANE : (t + 1) * LANE, :] = st.T
+            gathered = jnp.take_along_axis(
+                src_ref[0:k_pad, :],
+                sidx_ref[kb : kb + k_pad, :].astype(jnp.int32),
+                axis=1,
+            )
+            prod = vals_ref[kb : kb + k_pad, :].astype(acc_dtype) * gathered
+            gv = gid_ref[kb : kb + k_pad, :].astype(jnp.int32)
+            if k_c:
+                # mod-8 fold: sublane s of pass h accumulates gid 8h + s
+                tiles = []
+                for h in range(nh):
+                    m = jnp.where(gv[0:k_c] == h, prod[0:k_c], 0.0)
+                    parts = [m[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
+                    while len(parts) > 1:
+                        parts = [
+                            parts[i] + parts[i + 1]
+                            if i + 1 < len(parts)
+                            else parts[i]
+                            for i in range(0, len(parts), 2)
+                        ]
+                    tiles.append(parts[0])
+                out = jnp.concatenate(tiles, axis=0)
+            else:
+                out = jnp.zeros((g_pad, LANE), acc_dtype)
+            if k_pad > k_c:
+                rows = [
+                    jnp.sum(
+                        jnp.where(gv[k_c:] == gg, prod[k_c:], 0.0),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    for gg in range(g)
+                ]
+                if g_pad > g:
+                    rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
+                out = out + jnp.concatenate(rows, axis=0)
+            o_ref[ob : ob + g_pad, :] = out
 
     xspec = [
         pl.BlockSpec(
             (8, LANE),
-            functools.partial(lambda j, i: ((i * g) // 8 + j, 0), j),
+            functools.partial(lambda j, i: ((i * bps * g) // 8 + j, 0), j),
         )
-        for j in range(nspecs)
+        for j in range(ns_tot)
     ]
     return pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(nblocks // bps,),
         in_specs=xspec
         + [
-            pl.BlockSpec((k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_ktiles * LANE, LANE),
+                (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bps * n_ktiles * LANE, LANE),
                 lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (bps * g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((nblocks * g_pad, LANE), acc_dtype),
         scratch_shapes=[
@@ -489,7 +540,7 @@ def window_kernel_call(
             pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
         ],
         interpret=_interp(),
-    )(xp2, *([xp2] * (nspecs - 1)), vals, sidx, gid, rsrc)
+    )(xp2, *([xp2] * (ns_tot - 1)), vals, sidx, gid, rsrc)
 
 
 def window_x_rows(nblocks: int, g: int, nspecs: int) -> int:
@@ -515,6 +566,7 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
     out = window_kernel_call(
         mat.vals, mat.sidx, mat.gid, mat.rsrc, xp2,
         g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nblocks, k_c=mat.k_c,
+        bps=mat.bps,
     )
     if g_pad > g:
         out = out.reshape(nblocks, g_pad, LANE)[:, :g, :]

@@ -109,3 +109,27 @@ def test_window_mod8_vs_legacy_same_result():
         W.window_spmv(W.prepare_window(csr, g=8, cap=8, max_pad=20.0), jnp.asarray(x, jnp.float32))
     )
     np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("g,bps", [(8, 2), (16, 4), (16, 3), (32, 4)])
+def test_window_multiblock_steps(g, bps):
+    """bps > 1 runs several blocks per grid step (in-kernel sub-block loop)
+    and pads nblocks to a bps multiple; results must match bps=1 exactly."""
+    coo = synth.fem_like(m=6000, n=6000, nnz=60000, spread=700, lo=4, hi=16, seed=7)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(csr.shape[1], seed=1)
+    base = W.prepare_window(csr, g=g, bps=1)
+    multi = W.prepare_window(csr, g=g, bps=bps)
+    assert multi.nblocks % bps == 0
+    y1 = np.asarray(W.window_spmv(base, jnp.asarray(x, jnp.float32)))
+    y2 = np.asarray(W.window_spmv(multi, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_array_equal(y1, y2)
+    rep = vectors_diff(y2.astype(np.float64), serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_window_multiblock_requires_sublane_group():
+    coo = synth.fem_like(m=2000, n=2000, nnz=14000, spread=400, lo=4, hi=10, seed=3)
+    csr = S.coo_to_csr(coo)
+    with pytest.raises(WindowError):
+        W.prepare_window(csr, g=12, bps=2)  # g % 8 != 0
