@@ -100,6 +100,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "nblocks": mat.nblocks,
             "k_c": mat.k_c,
             "bps": mat.bps,
+            "xdirect": mat.xdirect,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -220,6 +221,7 @@ def load_prepared(path: str) -> PreparedFormat:
             k_c=aux.get("k_c", 0),
             # pre-multiblock checkpoints ran one block per grid step
             bps=aux.get("bps", 1),
+            xdirect=aux.get("xdirect", False),
         )
     if kind == "RoutedCSR":
         # leaf order follows the registered dataclass data_fields:

@@ -71,7 +71,7 @@ class WindowError(ValueError):
     data_fields=["vals", "sidx", "gid", "rsrc"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
-        "bps",
+        "bps", "xdirect",
     ],
 )
 @dataclasses.dataclass
@@ -94,6 +94,9 @@ class WindowCSR:
     nblocks: int = 1
     k_c: int = 0  # mod-8-constrained slot rows (0 = legacy global packing)
     bps: int = 1  # blocks evaluated per grid step (in-kernel sub-block loop)
+    # single-block fast path: Q addresses x chunk-rows DIRECTLY (no wr
+    # shift) so the kernel takes x as-is with no XLA pad/shift chain
+    xdirect: bool = False
 
     @property
     def n_ktiles(self) -> int:
@@ -271,7 +274,7 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
 
 def prepare_window(
     csr: CSRMatrix, g: int = 8, dtype=jnp.float32, vals_dtype=None,
-    max_pad: float = 4.5, cap="auto", bps: int = 1,
+    max_pad: float = 4.5, cap="auto", bps: int = 1, xdirect: bool = False,
 ) -> WindowCSR:
     if vals_dtype is None:
         vals_dtype = dtype
@@ -323,6 +326,12 @@ def prepare_window(
     if k_pad > _K_CAP:
         raise WindowError(f"{k_pad} slot rows exceed the row cap")
 
+    if xdirect:
+        if nblocks != 1 or -(-n // LANE) > LANE:
+            raise WindowError("xdirect needs a single block and x <= 128 "
+                              "chunk-rows")
+        bps = 1
+
     q = _cols // LANE
     dq = q - blk * g + wr  # window row in [0, nspecs*g)
 
@@ -346,7 +355,9 @@ def prepare_window(
     # window row within the staged 8-row blocks: dq plus the per-block
     # staging remainder (the window starts at x2d row blk*g, staged from
     # 8-row block (blk*g)//8)
-    dq_staged = dq + (blk * g) % 8
+    # xdirect: Q addresses x chunk-rows directly (window row == x row q);
+    # unset pairs read x row 0 whose product is zeroed by vals == 0
+    dq_staged = q if xdirect else dq + (blk * g) % 8
     rsrc[(blk * n_ktiles + t_of) * LANE + jres, jj_in] = dq_staged.astype(
         np.int8
     )
@@ -379,6 +390,7 @@ def prepare_window(
         nblocks=nblocks_pad,
         k_c=k_c,
         bps=bps,
+        xdirect=xdirect,
     )
 
 
@@ -394,7 +406,7 @@ def window_cost(csr: CSRMatrix, g: int) -> float:
 
 def prepare_window_auto(
     csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5,
-    bps: int | None = None,
+    bps: int | None = None, xdirect: bool | None = None,
 ) -> WindowCSR:
     """Pick the group size g and packing cap by the exact-slots cost
     model. bps=None keeps one block per grid step (pending an on-TPU A/B
@@ -418,10 +430,74 @@ def prepare_window_auto(
         bps = 1
     if g % 8:
         bps = 1
+    if xdirect is None:
+        # whole matrix in one block and x within the 128-chunk window:
+        # skip the XLA pad/shift chain (the sharded builder passes False —
+        # its halo layout needs the standard wr-shifted Q baking)
+        _wr2, _ns2, nb2 = _geometry(csr, g)
+        xdirect = nb2 == 1 and -(-csr.shape[1] // LANE) <= LANE
     return prepare_window(
         csr, g=g, dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
-        cap=best[2], bps=bps,
+        cap=best[2], bps=1 if xdirect else bps, xdirect=xdirect,
     )
+
+
+def _gather_reduce_block(
+    w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref, o_ref,
+    *, kb, rb, ob, g, k_pad, k_c,
+):
+    """Gather + reduce for ONE block whose x window is already staged in
+    w_ref; kb/rb/ob offset into the slab/rsrc/output refs (sub-block
+    position within a multi-block grid step)."""
+    n_ktiles = -(-k_pad // LANE)
+    nh = -(-g // 8)
+    g_pad = nh * 8
+    acc_dtype = jnp.float32
+    wt = w_ref[:].T  # (residue, window row)
+    for t in range(n_ktiles):
+        qv = rsrc_ref[rb + t * LANE : rb + (t + 1) * LANE, :].astype(
+            jnp.int32
+        )
+        # st[residue, k] = window[Q[residue, k], residue]
+        st = jnp.take_along_axis(wt, qv, axis=1)
+        src_ref[t * LANE : (t + 1) * LANE, :] = st.T
+    gathered = jnp.take_along_axis(
+        src_ref[0:k_pad, :],
+        sidx_ref[kb : kb + k_pad, :].astype(jnp.int32),
+        axis=1,
+    )
+    prod = vals_ref[kb : kb + k_pad, :].astype(acc_dtype) * gathered
+    gv = gid_ref[kb : kb + k_pad, :].astype(jnp.int32)
+    if k_c:
+        # mod-8 fold: sublane s of pass h accumulates gid 8h + s
+        tiles = []
+        for h in range(nh):
+            m = jnp.where(gv[0:k_c] == h, prod[0:k_c], 0.0)
+            parts = [m[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
+            while len(parts) > 1:
+                parts = [
+                    parts[i] + parts[i + 1]
+                    if i + 1 < len(parts)
+                    else parts[i]
+                    for i in range(0, len(parts), 2)
+                ]
+            tiles.append(parts[0])
+        out = jnp.concatenate(tiles, axis=0)
+    else:
+        out = jnp.zeros((g_pad, LANE), acc_dtype)
+    if k_pad > k_c:
+        rows = [
+            jnp.sum(
+                jnp.where(gv[k_c:] == gg, prod[k_c:], 0.0),
+                axis=0,
+                keepdims=True,
+            )
+            for gg in range(g)
+        ]
+        if g_pad > g:
+            rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
+        out = out + jnp.concatenate(rows, axis=0)
+    o_ref[ob : ob + g_pad, :] = out
 
 
 def window_kernel_call(
@@ -457,52 +533,11 @@ def window_kernel_call(
             j0 = b * (g // 8) if bps > 1 else 0
             for j in range(nspecs):
                 w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j0 + j][:]
-            wt = w_ref[:].T  # (residue, window row)
-            kb, rb, ob = b * k_pad, b * n_ktiles * LANE, b * g_pad
-            for t in range(n_ktiles):
-                qv = rsrc_ref[
-                    rb + t * LANE : rb + (t + 1) * LANE, :
-                ].astype(jnp.int32)
-                # st[residue, k] = window[Q[residue, k], residue]
-                st = jnp.take_along_axis(wt, qv, axis=1)
-                src_ref[t * LANE : (t + 1) * LANE, :] = st.T
-            gathered = jnp.take_along_axis(
-                src_ref[0:k_pad, :],
-                sidx_ref[kb : kb + k_pad, :].astype(jnp.int32),
-                axis=1,
+            _gather_reduce_block(
+                w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref,
+                o_ref, kb=b * k_pad, rb=b * n_ktiles * LANE, ob=b * g_pad,
+                g=g, k_pad=k_pad, k_c=k_c,
             )
-            prod = vals_ref[kb : kb + k_pad, :].astype(acc_dtype) * gathered
-            gv = gid_ref[kb : kb + k_pad, :].astype(jnp.int32)
-            if k_c:
-                # mod-8 fold: sublane s of pass h accumulates gid 8h + s
-                tiles = []
-                for h in range(nh):
-                    m = jnp.where(gv[0:k_c] == h, prod[0:k_c], 0.0)
-                    parts = [m[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
-                    while len(parts) > 1:
-                        parts = [
-                            parts[i] + parts[i + 1]
-                            if i + 1 < len(parts)
-                            else parts[i]
-                            for i in range(0, len(parts), 2)
-                        ]
-                    tiles.append(parts[0])
-                out = jnp.concatenate(tiles, axis=0)
-            else:
-                out = jnp.zeros((g_pad, LANE), acc_dtype)
-            if k_pad > k_c:
-                rows = [
-                    jnp.sum(
-                        jnp.where(gv[k_c:] == gg, prod[k_c:], 0.0),
-                        axis=0,
-                        keepdims=True,
-                    )
-                    for gg in range(g)
-                ]
-                if g_pad > g:
-                    rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
-                out = out + jnp.concatenate(rows, axis=0)
-            o_ref[ob : ob + g_pad, :] = out
 
     xspec = [
         pl.BlockSpec(
@@ -543,6 +578,38 @@ def window_kernel_call(
     )(xp2, *([xp2] * (ns_tot - 1)), vals, sidx, gid, rsrc)
 
 
+def _window_single_call(vals, sidx, gid, rsrc, x2d, *, g, k_pad, k_c):
+    """Whole-matrix single-block kernel (xdirect): x arrives as raw
+    (xrows8, 128) chunk-rows with NO leading wr pad — Q was baked with
+    direct x rows — so the caller needs no XLA pad/shift chain at all."""
+    n_ktiles = -(-k_pad // LANE)
+    g_pad = -(-g // 8) * 8
+    acc_dtype = jnp.float32
+    xrows8 = x2d.shape[0]
+
+    def kernel(x_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, o_ref, w_ref,
+               src_ref):
+        w_ref[0:xrows8, :] = x_ref[:].astype(acc_dtype)
+        if xrows8 < LANE:
+            w_ref[xrows8:, :] = jnp.zeros((LANE - xrows8, LANE), acc_dtype)
+        _gather_reduce_block(
+            w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref, o_ref,
+            kb=0, rb=0, ob=0, g=g, k_pad=k_pad, k_c=k_c,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g_pad, LANE), acc_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((LANE, LANE), acc_dtype),
+            pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
+        ],
+        interpret=_interp(),
+    )(x2d, vals, sidx, gid, rsrc)
+
+
 def window_x_rows(nblocks: int, g: int, nspecs: int) -> int:
     """Rows of the padded x window stack the kernel expects."""
     return -(-((nblocks - 1) * g) // 8) * 8 + nspecs * 8 + 8
@@ -555,6 +622,17 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
     nblocks = mat.nblocks
     g_pad = max(-(-g // 8) * 8, 8)
     acc_dtype = jnp.float32
+
+    if mat.xdirect:
+        xrows8 = -(-n // (8 * LANE)) * 8
+        xf = x.astype(acc_dtype)
+        if n < xrows8 * LANE:
+            xf = jnp.pad(xf, (0, xrows8 * LANE - n))
+        out = _window_single_call(
+            mat.vals, mat.sidx, mat.gid, mat.rsrc, xf.reshape(xrows8, LANE),
+            g=g, k_pad=k_pad, k_c=mat.k_c,
+        )
+        return out[:g].reshape(-1)[:m] if g_pad > g else out.reshape(-1)[:m]
 
     # padded x: wr leading zero chunk-rows; tail covers the last window
     total_rows = window_x_rows(nblocks, g, nspecs)

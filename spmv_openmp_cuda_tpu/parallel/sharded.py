@@ -482,7 +482,9 @@ def prepare_window_sharded(csr: CSRMatrix, mesh: Mesh, dtype=jnp.float32):
     import math
 
     nd = mesh.shape[ROWS]
-    mat = prepare_window_auto(csr, dtype=dtype)
+    # xdirect bakes Q without the wr shift; the halo layout below needs
+    # the standard staged-window baking
+    mat = prepare_window_auto(csr, dtype=dtype, xdirect=False)
     # every shard must start at an 8-row x boundary (the kernel's staging
     # remainder (i*g) % 8 is baked into the Q data with GLOBAL block
     # indices): make nb_local * g divisible by 8

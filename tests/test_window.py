@@ -133,3 +133,26 @@ def test_window_multiblock_requires_sublane_group():
     csr = S.coo_to_csr(coo)
     with pytest.raises(WindowError):
         W.prepare_window(csr, g=12, bps=2)  # g % 8 != 0
+
+
+def test_window_xdirect_single_block():
+    """xdirect bakes Q with raw x chunk-rows: whole matrix in one block,
+    kernel takes x with no pad/shift chain; must match standard baking."""
+    coo = synth.fem_like(m=3000, n=3000, nnz=20000, spread=900, lo=4, hi=10, seed=9)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(csr.shape[1], seed=2)
+    auto = W.prepare_window_auto(csr)
+    assert auto.xdirect and auto.nblocks == 1
+    std = W.prepare_window(csr, g=auto.g, xdirect=False)
+    ya = np.asarray(W.window_spmv(auto, jnp.asarray(x, jnp.float32)))
+    ys = np.asarray(W.window_spmv(std, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(ya, ys, rtol=1e-6)
+    rep = vectors_diff(ya.astype(np.float64), serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_window_xdirect_rejects_multiblock():
+    coo = synth.fem_like(m=40000, n=40000, nnz=250000, spread=2000, lo=4, hi=10, seed=4)
+    csr = S.coo_to_csr(coo)
+    with pytest.raises(WindowError):
+        W.prepare_window(csr, g=8, xdirect=True)
