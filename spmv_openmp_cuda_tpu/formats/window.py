@@ -190,26 +190,29 @@ _C_GATHER = 14.0
 _C_PASS = 0.3
 _C_FOLD = 0.45  # per constrained slot per ceil(g/8)-pass (mask+fold)
 _C_BLOCK = 250_000.0  # fixed per grid step (ps)
+#: cost of the XLA x pad/shift chain (one zeros+dynamic_update_slice
+#: dispatch feeding the kernel); single-block xdirect configs skip it, so
+#: the auto scan credits them this much (provisional until the on-TPU A/B)
+_C_PADCHAIN = 3_000_000.0
 
 
-def _cost_of(g: int, cap, k_c: int, v: int, nblocks: int) -> float:
+def _cost_of(g: int, cap, k_c: int, v: int, nblocks: int, bps: int = 1) -> float:
     nh = -(-g // 8)
     k_pad = k_c + v
     return (
         k_pad * LANE * nblocks * _C_GATHER
         + k_c * LANE * nblocks * _C_FOLD * nh
         + v * LANE * nblocks * _C_PASS * g
-        + nblocks * _C_BLOCK
+        + (-(-nblocks // bps)) * _C_BLOCK
     )
 
 
-def _scan_caps(csr: CSRMatrix, g: int):
-    """Best (cap, k_c, V, cost) for group size g over the cap ladder.
-
-    V per cap is ESTIMATED from per-class degree excess (bincounts only —
-    the exact two-pass rank peel over every (g, cap) candidate costs an
-    argsort per pair, ~minutes on 8M-nnz matrices); prepare_window re-peels
-    the chosen config exactly."""
+def _cap_candidates(csr: CSRMatrix, g: int):
+    """Feasible (cap, k_c, V) configs for group size g over the cap ladder,
+    plus nblocks. V per cap is ESTIMATED from per-class degree excess
+    (bincounts only — the exact two-pass rank peel over every (g, cap)
+    candidate costs an argsort per pair, ~minutes on 8M-nnz matrices);
+    prepare_window re-peels the chosen config exactly."""
     wr, nspecs, nblocks = _geometry(csr, g)
     _rows, _cols, blk, lane, jres, gid = _entry_fields(csr, g)
     cls = gid % 8
@@ -223,7 +226,7 @@ def _scan_caps(csr: CSRMatrix, g: int):
         max(int(dl8.sum(axis=1).max(initial=1)),
             int(dr8.sum(axis=1).max(initial=1)), 16)
     )
-    best = None
+    cands = []
     for cap in _CAP_LADDER:
         if cap is None:
             k_c, v = 0, d_glob
@@ -235,7 +238,20 @@ def _scan_caps(csr: CSRMatrix, g: int):
             k_c = 8 * cap
         if k_c + v > _K_CAP:
             continue
-        cost = _cost_of(g, cap, k_c, v, nblocks)
+        cands.append((cap, k_c, v))
+    if not cands:
+        raise WindowError("no feasible packing under the row cap")
+    return cands, nblocks
+
+
+def _scan_caps(csr: CSRMatrix, g: int, bps: int = 1):
+    """Best (cap, k_c, V, cost) for group size g at a given blocks-per-step."""
+    cands, nblocks = _cap_candidates(csr, g)
+    best = None
+    for cap, k_c, v in cands:
+        if (k_c + v) * bps > _K_CAP:
+            continue  # per-step VMEM residency of the slot slabs
+        cost = _cost_of(g, cap, k_c, v, nblocks, bps)
         if best is None or cost < best[3]:
             best = (cap, k_c, v, cost)
     if best is None:
@@ -397,39 +413,87 @@ def prepare_window(
 #: candidate group sizes for the auto scan
 _G_LADDER = (4, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56, 64)
 
+#: blocks-per-step candidates for the joint auto scan (requires g % 8 == 0)
+_BPS_LADDER = (1, 2, 4, 8)
 
-def window_cost(csr: CSRMatrix, g: int) -> float:
+#: default bps policy until the on-TPU A/B lands: a single block per grid
+#: step ("1"); flip to "auto" (joint (g, cap, bps) cost scan) on a win.
+#: SPMV_WINDOW_BPS overrides: an integer forces that bps, "auto" forces
+#: the joint scan.
+_BPS_POLICY_DEFAULT = "1"
+
+
+def _bps_policy() -> str:
+    import os
+
+    return os.environ.get("SPMV_WINDOW_BPS", "") or _BPS_POLICY_DEFAULT
+
+
+def _bps_options(g: int, nblocks: int, policy: str):
+    if policy != "auto":
+        return (int(policy),) if int(policy) == 1 or g % 8 == 0 else (1,)
+    if g % 8:
+        return (1,)
+    return tuple(b for b in _BPS_LADDER if b == 1 or b <= nblocks)
+
+
+def _xdirect_eligible(csr: CSRMatrix, nblocks: int) -> bool:
+    return nblocks == 1 and -(-csr.shape[1] // LANE) <= LANE
+
+
+def window_cost(csr: CSRMatrix, g: int, bps: int | None = None) -> float:
     """Predicted SpMV cost in ps (v5e-measured constants), minimized over
-    the packing-cap ladder."""
-    return _scan_caps(csr, g)[3]
+    the packing-cap ladder (and the bps ladder when the policy is auto).
+    Multi-block configs carry the x pad-chain cost xdirect configs skip."""
+    if bps is not None:
+        return _scan_caps(csr, g, bps)[3]
+    cands, nblocks = _cap_candidates(csr, g)
+    extra = 0.0 if _xdirect_eligible(csr, nblocks) else _C_PADCHAIN
+    best = None
+    for b in _bps_options(g, nblocks, _bps_policy()):
+        for cap, k_c, v in cands:
+            if (k_c + v) * b > _K_CAP:
+                continue
+            cost = _cost_of(g, cap, k_c, v, nblocks, b) + extra
+            if best is None or cost < best:
+                best = cost
+    if best is None:
+        raise WindowError("no feasible packing under the row cap")
+    return best
 
 
 def prepare_window_auto(
     csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5,
     bps: int | None = None, xdirect: bool | None = None,
 ) -> WindowCSR:
-    """Pick the group size g and packing cap by the exact-slots cost
-    model. bps=None keeps one block per grid step (pending an on-TPU A/B
-    of the in-kernel sub-block loop); SPMV_WINDOW_BPS overrides for A/B."""
-    import os
-
+    """Pick group size g, packing cap and blocks-per-step by the
+    exact-slots cost model. bps=None follows the policy (SPMV_WINDOW_BPS
+    env override; see _BPS_POLICY_DEFAULT); an explicit bps pins it and
+    the scan only picks (g, cap)."""
+    policy = str(bps) if bps is not None else _bps_policy()
     best = None
     for g in _G_LADDER:
         try:
-            cap, k_c, v, cost = _scan_caps(csr, g)
+            cands, nblocks = _cap_candidates(csr, g)
         except WindowError:
             continue
-        if best is None or cost < best[1]:
-            best = (g, cost, cap)
+        # multi-block configs pay the x pad/shift chain; a single-block g
+        # rides xdirect and skips it (unless the caller pinned xdirect off)
+        extra = (
+            0.0
+            if _xdirect_eligible(csr, nblocks) and xdirect is not False
+            else _C_PADCHAIN
+        )
+        for b in _bps_options(g, nblocks, policy):
+            for cap, k_c, v in cands:
+                if (k_c + v) * b > _K_CAP:
+                    continue
+                cost = _cost_of(g, cap, k_c, v, nblocks, b) + extra
+                if best is None or cost < best[1]:
+                    best = (g, cost, cap, b)
     if best is None:
         raise WindowError("no feasible window configuration")
-    g = best[0]
-    if os.environ.get("SPMV_WINDOW_BPS"):
-        bps = int(os.environ["SPMV_WINDOW_BPS"])
-    if bps is None:
-        bps = 1
-    if g % 8:
-        bps = 1
+    g, _, cap, bps_pick = best
     if xdirect is None:
         # whole matrix in one block and x within the 128-chunk window:
         # skip the XLA pad/shift chain (the sharded builder passes False —
@@ -438,7 +502,7 @@ def prepare_window_auto(
         xdirect = nb2 == 1 and -(-csr.shape[1] // LANE) <= LANE
     return prepare_window(
         csr, g=g, dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
-        cap=best[2], bps=1 if xdirect else bps, xdirect=xdirect,
+        cap=cap, bps=1 if xdirect else bps_pick, xdirect=xdirect,
     )
 
 
