@@ -31,6 +31,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def describe_ops(ops):
+    """Engine-config summary for the details record (judge transparency:
+    which (g, bps, t, ...) the auto scan actually picked)."""
+    try:
+        from spmv_openmp_cuda_tpu.formats.dia import DeviceDIA
+        from spmv_openmp_cuda_tpu.formats.routed import RoutedChunks, RoutedCSR
+        from spmv_openmp_cuda_tpu.formats.window import WindowCSR
+
+        o = ops[0] if isinstance(ops, tuple) and ops else ops
+        if isinstance(o, WindowCSR):
+            return (
+                f"g={o.g} k_pad={o.k_pad} k_c={o.k_c} bps={o.bps} "
+                f"xdirect={o.xdirect} nblocks={o.nblocks} wr={o.wr}"
+            )
+        if isinstance(o, RoutedChunks):
+            ts = [c.perm_products.t for c in o.chunks]
+            return f"chunks={len(o.chunks)} t={ts}"
+        if isinstance(o, RoutedCSR):
+            return f"t={o.perm_products.t}"
+        if isinstance(o, DeviceDIA):
+            return f"diags={len(o.offsets)}"
+        if hasattr(o, "mat") and isinstance(getattr(o, "mat", None), DeviceDIA):
+            return f"diags={len(o.mat.offsets)}"
+    except Exception:
+        pass
+    return ""
+
+
 # (preset, reference GFLOPS, candidate kernels)
 # all five CUDA headline matrices of the reference (BASELINE.md).
 # Round-2 proxies are structurally honest (utils/synth.py): thermal2 and
@@ -127,7 +155,7 @@ def main():
             f"[{preset}] {csr.shape[0]}x{csr.shape[1]} nnz={csr.nnz} "
             f"maxRowNZ={csr.max_row_nz} (setup {time.perf_counter()-t0:.0f}s)"
         )
-        best = (None, 0.0, 0.0)
+        best = (None, 0.0, 0.0, "")
         for name in candidates:
             spec = registry.get(name)
             if spec.fmt == "ell" and ell is None:
@@ -217,12 +245,15 @@ def main():
                     )
                     continue
                 gflops = 2.0 * csr.nnz / dt / 1e9
+                desc = describe_ops(ops)
                 log(
                     f"[{preset}] {name}: {dt*1e6:.1f} us -> {gflops:.2f} GFLOPS "
-                    f"(compile {compile_s:.0f}s, maxdiff {rep.max_abs_diff:.1e})"
+                    f"(compile {compile_s:.0f}s, maxdiff {rep.max_abs_diff:.1e}"
+                    + (f", {desc}" if desc else "")
+                    + ")"
                 )
                 if gflops > best[1]:
-                    best = (name, gflops, dt)
+                    best = (name, gflops, dt, desc)
             except DiaFillError as e:
                 log(f"[{preset}] {name}: DIA infeasible ({str(e)[:80]})")
             except Exception as e:
@@ -239,6 +270,7 @@ def main():
                 "n": csr.shape[1],
                 "nnz": csr.nnz,
                 "kernel": best[0],
+                "config": best[3],
                 "time_s": best[2],
                 "gflops": round(best[1], 3),
                 "ref_gflops": ref_gflops,
