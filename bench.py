@@ -87,20 +87,26 @@ AB_EXTRA = {
     "delaunay_n12_like": ["PL_CSR_ROUTED"],
 }
 # SPMV_DTYPE=float64 suite: the reference's semantics are double precision
-# throughout (reference src/include/macros.h:63-76); Mosaic kernels are
-# 32-bit, so f64 rides the XLA engines. Results land in
-# BENCH_DETAILS_F64.json (the headline record stays f32/bf16).
-# (cavity10 reference: CUDA CSR row-per-thread 3.588e-5 s avg -> 4.26
-# GFLOPS, BASELINE.md scripts/cuda_omp.log:4-5. DIA_ROWS in f64 hits a
-# pathological XLA compile on this backend — the unrolled shifted-slice
-# graph in double never finished even at 31 diagonals — so f64 rides
-# CSR_ROWS_BINNED, the engine AUTO maps f64 to.)
+# throughout (reference src/include/macros.h:63-76). Mosaic kernels are
+# 32-bit, so double rides the DOUBLE-FLOAT Pallas engines (ops/dfloat.py:
+# (hi, lo) f32 pairs, Dekker TwoProduct + Knuth TwoSum, ~1e-12 relative)
+# where the structure allows, and the XLA-f64 binned path elsewhere.
+# Results land in BENCH_DETAILS_F64.json (the headline record stays
+# f32/bf16). (cavity10 reference: CUDA CSR row-per-thread 3.588e-5 s avg
+# -> 4.26 GFLOPS, BASELINE.md scripts/cuda_omp.log:4-5. XLA-f64 DIA_ROWS
+# hits a pathological compile on wide bands — the df kernel replaces it.)
 F64_SUITE = [
-    ("cavity10_like", 4.26, ["CSR_ROWS_BINNED"]),
-    ("raefsky1_like", 46.56, ["CSR_ROWS_BINNED"]),
-    ("fem_3d_thermal2_like", 39.14, ["CSR_ROWS_BINNED"]),
-    ("thermal2_like", 26.34, ["CSR_ROWS_BINNED"]),
+    ("cavity10_like", 4.26, ["PL_DIA_F64"]),
+    ("raefsky1_like", 46.56, ["PL_DIA_F64"]),
+    ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_F64"]),
+    ("thermal2_like", 26.34, ["PL_CSR_WINDOW_F64"]),
 ]
+F64_AB_EXTRA = {
+    "cavity10_like": ["CSR_ROWS_BINNED"],
+    "raefsky1_like": ["CSR_ROWS_BINNED"],
+    "fem_3d_thermal2_like": ["CSR_ROWS_BINNED"],
+    "thermal2_like": ["CSR_ROWS_BINNED"],
+}
 STEPS = 50
 
 
@@ -126,8 +132,9 @@ def main():
     if only:
         suite = [s for s in base_suite if s[0] in only.split(",")]
     if os.environ.get("BENCH_AB"):
+        extra = F64_AB_EXTRA if cfg.dtype == "float64" else AB_EXTRA
         suite = [
-            (p, ref, cands + AB_EXTRA.get(p, [])) for p, ref, cands in suite
+            (p, ref, cands + extra.get(p, [])) for p, ref, cands in suite
         ]
     log(f"backend={jax.default_backend()} devices={jax.devices()} dtype={cfg.dtype}")
 

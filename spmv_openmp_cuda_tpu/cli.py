@@ -199,12 +199,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     except KeyError as e:
         print(f"ERROR: {e.args[0]}", file=sys.stderr)
         return 1
-    if cfg.dtype == "float64" and spec.impl == "pallas":
-        # Mosaic kernels are 32-bit only: remap explicit PL_* modes to their
-        # XLA engine analog (AUTO already maps f64 this way)
+    if cfg.dtype == "float64" and spec.impl == "pallas" and not spec.f64:
+        # Mosaic kernels are 32-bit: remap explicit PL_* modes to a
+        # double-semantics engine — the double-float Pallas DIA where the
+        # structure allows, else the XLA engine analog (AUTO maps f64 the
+        # same way)
         remap = {
-            "PL_DIA_ROWS": "DIA_ROWS",
-            "PL_DIA_BF16": "DIA_ROWS",
+            "PL_DIA_ROWS": "PL_DIA_F64",
+            "PL_DIA_BF16": "PL_DIA_F64",
             "PL_ELL_ROWS_T": "ELL_ROWS_T",
         }
         new_mode = remap.get(mode, "CSR_ROWS_BINNED")

@@ -65,9 +65,9 @@ class DeviceDIA:
         return self.data.shape[1] * LANE
 
 
-def prepare_dia(
-    csr: CSRMatrix, dtype=jnp.float32, max_fill_ratio: float = 3.0
-) -> DeviceDIA:
+def _dia_host_slab(csr: CSRMatrix, max_fill_ratio: float):
+    """Shared host-side diagonal materialization: (data64 (D, m_pad),
+    offsets, pad_sub)."""
     m, n = csr.shape
     rows = csr.row_ids().astype(np.int64)
     offs = csr.indices - rows  # c - r per nnz
@@ -82,8 +82,66 @@ def prepare_dia(
     data = np.zeros((d, m_pad), dtype=np.float64)
     data[inv, rows] = csr.data
     pad_sub = max(1, -(-int(np.abs(uniq).max(initial=0)) // LANE))
+    return data, uniq, pad_sub
+
+
+def prepare_dia(
+    csr: CSRMatrix, dtype=jnp.float32, max_fill_ratio: float = 3.0
+) -> DeviceDIA:
+    m, n = csr.shape
+    data, uniq, pad_sub = _dia_host_slab(csr, max_fill_ratio)
+    d, m_pad = data.shape
     return DeviceDIA(
         data=jnp.asarray(data.reshape(d, m_pad // LANE, LANE), dtype=dtype),
+        offsets=tuple(int(o) for o in uniq),
+        shape=(m, n),
+        nnz=csr.nnz,
+        pad_sub=pad_sub,
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "data_lo"],
+    meta_fields=["offsets", "shape", "nnz", "pad_sub"],
+)
+@dataclasses.dataclass
+class DeviceDIADF:
+    """Double-float DIA: the f64 diagonal slab carried as an (hi, lo) f32
+    pair (48 mantissa bits; ops/dfloat.py). The TPU-native storage for the
+    reference's double-precision semantics (macros.h:63-76) on a chip with
+    no fast f64 datapath."""
+
+    data: jax.Array  # (D, S, LANE) f32 — hi words
+    data_lo: jax.Array  # (D, S, LANE) f32 — lo words
+    offsets: Tuple[int, ...]
+    shape: Tuple[int, int] = (0, 0)
+    nnz: int = 0
+    pad_sub: int = 0
+
+    def as_dia(self) -> DeviceDIA:
+        """DeviceDIA view of the hi slab (for plan/pad geometry reuse)."""
+        return DeviceDIA(
+            data=self.data,
+            offsets=self.offsets,
+            shape=self.shape,
+            nnz=self.nnz,
+            pad_sub=self.pad_sub,
+        )
+
+
+def prepare_dia_df(
+    csr: CSRMatrix, max_fill_ratio: float = 3.0
+) -> DeviceDIADF:
+    m, n = csr.shape
+    data, uniq, pad_sub = _dia_host_slab(csr, max_fill_ratio)
+    d, m_pad = data.shape
+    hi = data.astype(np.float32)
+    lo = (data - hi.astype(np.float64)).astype(np.float32)
+    shape3 = (d, m_pad // LANE, LANE)
+    return DeviceDIADF(
+        data=jnp.asarray(hi.reshape(shape3)),
+        data_lo=jnp.asarray(lo.reshape(shape3)),
         offsets=tuple(int(o) for o in uniq),
         shape=(m, n),
         nnz=csr.nnz,

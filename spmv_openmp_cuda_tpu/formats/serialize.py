@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .binned import BinnedCSR
-from .dia import DeviceDIA
+from .dia import DeviceDIA, DeviceDIADF
 from .lanes import LanesSmall
 from .matrix import DeviceCSR, DeviceELL
 from .routed import RoutedCSR
@@ -24,16 +24,20 @@ from .window import WindowCSR
 from ..ops.route import PlannedPermutation
 
 PreparedFormat = Union[
-    BinnedCSR, DeviceDIA, DeviceELL, DeviceCSR, LanesSmall, RoutedCSR,
-    WindowCSR,
+    BinnedCSR, DeviceDIA, DeviceDIADF, DeviceELL, DeviceCSR, LanesSmall,
+    RoutedCSR, WindowCSR,
 ]
 
 
 def save_prepared(path: str, mat) -> None:
     with_plan = False
-    if isinstance(mat, tuple) and len(mat) == 2 and isinstance(mat[0], DeviceDIA):
-        # the Pallas DIA modes prepare a (DeviceDIA, DiaPallasPlan) pair;
-        # the plan is all-static and cheap to re-derive on load
+    if (
+        isinstance(mat, tuple)
+        and len(mat) == 2
+        and isinstance(mat[0], (DeviceDIA, DeviceDIADF))
+    ):
+        # the Pallas DIA modes prepare a (DeviceDIA[DF], DiaPallasPlan)
+        # pair; the plan is all-static and cheap to re-derive on load
         mat, with_plan = mat[0], True
     import jax
 
@@ -71,7 +75,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "shape": list(mat.shape),
             "nnz": mat.nnz,
         }
-    if isinstance(mat, DeviceDIA):
+    if isinstance(mat, (DeviceDIA, DeviceDIADF)):
         return {
             "offsets": list(mat.offsets),
             "shape": list(mat.shape),
@@ -196,6 +200,20 @@ def load_prepared(path: str) -> PreparedFormat:
 
             plan = plan_dia(mat)
             return (pad_dia_for_pallas(mat, plan), plan)
+        return mat
+    if kind == "DeviceDIADF":
+        mat = DeviceDIADF(
+            *r.take(n_leaves),
+            offsets=tuple(aux["offsets"]),
+            shape=tuple(aux["shape"]),
+            nnz=aux["nnz"],
+            pad_sub=aux["pad_sub"],
+        )
+        if aux.get("with_plan"):
+            from ..ops.spmv_pallas import pad_dia_df_for_pallas, plan_dia
+
+            plan = plan_dia(mat.as_dia(), vmem_budget=1 << 20)
+            return (pad_dia_df_for_pallas(mat, plan), plan)
         return mat
     if kind == "DeviceELL":
         return DeviceELL(

@@ -68,7 +68,7 @@ class WindowError(ValueError):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "sidx", "gid", "rsrc"],
+    data_fields=["vals", "sidx", "gid", "rsrc", "vals_lo"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
         "bps", "xdirect",
@@ -85,6 +85,9 @@ class WindowCSR:
     rsrc: jax.Array  # (nblocks*n_ktiles*128, 128) int8 — the Q map:
     # per slot-row tile, Q[residue, slot-row-in-tile] = window row that
     # slots of this row sourcing this residue read from
+    vals_lo: jax.Array | None = None  # double-float mode: f32 low words of
+    # the f64 slot values (ops/dfloat.py); the engine then carries x and
+    # the accumulators as (hi, lo) pairs and returns f64
     shape: Tuple[int, int] = (0, 0)
     nnz: int = 0
     g: int = 8  # row groups per block (block = g*128 rows)
@@ -291,6 +294,7 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
 def prepare_window(
     csr: CSRMatrix, g: int = 8, dtype=jnp.float32, vals_dtype=None,
     max_pad: float = 4.5, cap="auto", bps: int = 1, xdirect: bool = False,
+    df: bool = False,
 ) -> WindowCSR:
     if vals_dtype is None:
         vals_dtype = dtype
@@ -392,11 +396,20 @@ def prepare_window(
         gslab = _ext(gslab, k_pad)
         rsrc = _ext(rsrc, n_ktiles * LANE)
 
+    if df:
+        # double-float slot values: (hi, lo) f32 pair of the f64 slab
+        vhi = vals.astype(np.float32)
+        vlo = (vals - vhi.astype(np.float64)).astype(np.float32)
+        vals_j, vals_lo_j = jnp.asarray(vhi), jnp.asarray(vlo)
+    else:
+        vals_j, vals_lo_j = jnp.asarray(vals, dtype=vals_dtype), None
+
     return WindowCSR(
-        vals=jnp.asarray(vals, dtype=vals_dtype),
+        vals=vals_j,
         sidx=jnp.asarray(sidx),
         gid=jnp.asarray(gslab),
         rsrc=jnp.asarray(rsrc),
+        vals_lo=vals_lo_j,
         shape=(m, n),
         nnz=csr.nnz,
         g=g,
@@ -464,7 +477,7 @@ def window_cost(csr: CSRMatrix, g: int, bps: int | None = None) -> float:
 
 def prepare_window_auto(
     csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5,
-    bps: int | None = None, xdirect: bool | None = None,
+    bps: int | None = None, xdirect: bool | None = None, df: bool = False,
 ) -> WindowCSR:
     """Pick group size g, packing cap and blocks-per-step by the
     exact-slots cost model. bps=None follows the policy (SPMV_WINDOW_BPS
@@ -502,22 +515,46 @@ def prepare_window_auto(
         xdirect = nb2 == 1 and -(-csr.shape[1] // LANE) <= LANE
     return prepare_window(
         csr, g=g, dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
-        cap=cap, bps=1 if xdirect else bps_pick, xdirect=xdirect,
+        cap=cap, bps=1 if xdirect else bps_pick, xdirect=xdirect, df=df,
     )
+
+
+def _df_add(ah, al, bh, bl):
+    from ..ops.dfloat import two_sum
+
+    s, e = two_sum(ah, bh)
+    return s, al + bl + e
+
+
+def _halve_pairs(parts, add):
+    while len(parts) > 1:
+        parts = [
+            add(parts[i], parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
 
 
 def _gather_reduce_block(
     w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref, o_ref,
     *, kb, rb, ob, g, k_pad, k_c,
+    wl_ref=None, vlo_ref=None, srcl_ref=None, olo_ref=None,
 ):
     """Gather + reduce for ONE block whose x window is already staged in
     w_ref; kb/rb/ob offset into the slab/rsrc/output refs (sub-block
-    position within a multi-block grid step)."""
+    position within a multi-block grid step).
+
+    Double-float mode (wl_ref/vlo_ref/srcl_ref/olo_ref given): the x
+    window, slot values and accumulators are (hi, lo) f32 pairs; products
+    use Dekker TwoProduct, every reduction add is a Knuth TwoSum
+    (ops/dfloat.py) — f64 semantics on the f32 VPU."""
+    df = wl_ref is not None
     n_ktiles = -(-k_pad // LANE)
     nh = -(-g // 8)
     g_pad = nh * 8
     acc_dtype = jnp.float32
     wt = w_ref[:].T  # (residue, window row)
+    wtl = wl_ref[:].T if df else None
     for t in range(n_ktiles):
         qv = rsrc_ref[rb + t * LANE : rb + (t + 1) * LANE, :].astype(
             jnp.int32
@@ -525,47 +562,95 @@ def _gather_reduce_block(
         # st[residue, k] = window[Q[residue, k], residue]
         st = jnp.take_along_axis(wt, qv, axis=1)
         src_ref[t * LANE : (t + 1) * LANE, :] = st.T
-    gathered = jnp.take_along_axis(
-        src_ref[0:k_pad, :],
-        sidx_ref[kb : kb + k_pad, :].astype(jnp.int32),
-        axis=1,
-    )
-    prod = vals_ref[kb : kb + k_pad, :].astype(acc_dtype) * gathered
+        if df:
+            stl = jnp.take_along_axis(wtl, qv, axis=1)
+            srcl_ref[t * LANE : (t + 1) * LANE, :] = stl.T
+    sv = sidx_ref[kb : kb + k_pad, :].astype(jnp.int32)
+    gathered = jnp.take_along_axis(src_ref[0:k_pad, :], sv, axis=1)
+    vh = vals_ref[kb : kb + k_pad, :].astype(acc_dtype)
+    if df:
+        from ..ops.dfloat import two_prod
+
+        g_lo = jnp.take_along_axis(srcl_ref[0:k_pad, :], sv, axis=1)
+        vl = vlo_ref[kb : kb + k_pad, :]
+        ph, pe = two_prod(vh, gathered)
+        prod = ph
+        prod_lo = pe + (vh * g_lo + vl * gathered)
+    else:
+        prod = vh * gathered
+        prod_lo = None
     gv = gid_ref[kb : kb + k_pad, :].astype(jnp.int32)
+
+    def masked(h_sel, lo, hi):
+        m = jnp.where(gv[lo:hi] == h_sel, prod[lo:hi], 0.0)
+        if df:
+            return m, jnp.where(gv[lo:hi] == h_sel, prod_lo[lo:hi], 0.0)
+        return (m,)
+
+    add = (
+        (lambda a, b: _df_add(a[0], a[1], b[0], b[1]))
+        if df
+        else (lambda a, b: (a[0] + b[0],))
+    )
+
+    def rows_of(t8, r):
+        return tuple(v[r * 8 : (r + 1) * 8] for v in t8)
+
     if k_c:
         # mod-8 fold: sublane s of pass h accumulates gid 8h + s
         tiles = []
         for h in range(nh):
-            m = jnp.where(gv[0:k_c] == h, prod[0:k_c], 0.0)
-            parts = [m[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
-            while len(parts) > 1:
-                parts = [
-                    parts[i] + parts[i + 1]
-                    if i + 1 < len(parts)
-                    else parts[i]
-                    for i in range(0, len(parts), 2)
-                ]
-            tiles.append(parts[0])
-        out = jnp.concatenate(tiles, axis=0)
-    else:
-        out = jnp.zeros((g_pad, LANE), acc_dtype)
-    if k_pad > k_c:
-        rows = [
-            jnp.sum(
-                jnp.where(gv[k_c:] == gg, prod[k_c:], 0.0),
-                axis=0,
-                keepdims=True,
+            m8 = masked(h, 0, k_c)
+            tiles.append(
+                _halve_pairs([rows_of(m8, i) for i in range(k_c // 8)], add)
             )
-            for gg in range(g)
-        ]
+        out = tuple(
+            jnp.concatenate([t[j] for t in tiles], axis=0)
+            for j in range(2 if df else 1)
+        )
+    else:
+        out = tuple(
+            jnp.zeros((g_pad, LANE), acc_dtype) for _ in range(2 if df else 1)
+        )
+    if k_pad > k_c:
+        v_rows = k_pad - k_c
+        grows = []
+        for gg in range(g):
+            mv = masked(gg, k_c, k_pad)
+            if df:
+                # error-compensated tree over the overflow rows: halve
+                # 8-row chunks, then fold the final 8 sublanes pairwise
+                t8 = _halve_pairs(
+                    [rows_of(mv, i) for i in range(v_rows // 8)], add
+                )
+                srow = _halve_pairs(
+                    [tuple(v[j : j + 1] for v in t8) for j in range(8)], add
+                )
+                grows.append(srow)
+            else:
+                grows.append(
+                    (jnp.sum(mv[0], axis=0, keepdims=True),)
+                )
         if g_pad > g:
-            rows.append(jnp.zeros((g_pad - g, LANE), acc_dtype))
-        out = out + jnp.concatenate(rows, axis=0)
-    o_ref[ob : ob + g_pad, :] = out
+            grows.append(
+                tuple(
+                    jnp.zeros((g_pad - g, LANE), acc_dtype)
+                    for _ in range(2 if df else 1)
+                )
+            )
+        ovf = tuple(
+            jnp.concatenate([r[j] for r in grows], axis=0)
+            for j in range(2 if df else 1)
+        )
+        out = add(out, ovf) if df else (out[0] + ovf[0],)
+    o_ref[ob : ob + g_pad, :] = out[0]
+    if df:
+        olo_ref[ob : ob + g_pad, :] = out[1]
 
 
 def window_kernel_call(
-    vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks, k_c=0, bps=1
+    vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks, k_c=0, bps=1,
+    vals_lo=None, xp2_lo=None,
 ):
     """The fused gather+reduce kernel over a prepared slot-array set and an
     ALREADY-PADDED x window stack (xp2 row wr = x row 0). Exposed separately
@@ -575,9 +660,13 @@ def window_kernel_call(
     bps > 1 evaluates that many consecutive blocks per grid step with an
     in-kernel sub-block loop (requires g % 8 == 0 and bps | nblocks): the
     per-step pipeline overhead amortizes and the taa passes run at the
-    bigger-block VPU rate."""
+    bigger-block VPU rate.
+
+    vals_lo/xp2_lo switch on the double-float mode: returns the
+    (hi, lo) output pair instead of a single slab."""
     assert nblocks % bps == 0, "prepare pads nblocks to a bps multiple"
     assert bps == 1 or g % 8 == 0
+    df = vals_lo is not None
     n_ktiles = -(-k_pad // LANE)
     nh = -(-g // 8)
     g_pad = nh * 8
@@ -585,93 +674,147 @@ def window_kernel_call(
     ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
 
     def kernel(*refs):
-        xrefs = list(refs[:ns_tot])
-        vals_ref, sidx_ref, gid_ref, rsrc_ref, o_ref, w_ref, src_ref = refs[
-            ns_tot:
-        ]
+        refs_l = list(refs)
+        xrefs = [refs_l.pop(0) for _ in range(ns_tot)]
+        xlrefs = [refs_l.pop(0) for _ in range(ns_tot)] if df else None
+        vals_ref = refs_l.pop(0)
+        vlo_ref = refs_l.pop(0) if df else None
+        sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:4]
+        refs_l = refs_l[4:]
+        olo_ref = refs_l.pop(0) if df else None
+        w_ref = refs_l.pop(0)
+        wl_ref = refs_l.pop(0) if df else None
+        src_ref = refs_l.pop(0)
+        srcl_ref = refs_l.pop(0) if df else None
         if nspecs * 8 < LANE:
-            w_ref[nspecs * 8 :, :] = jnp.zeros(
-                (LANE - nspecs * 8, LANE), acc_dtype
-            )
+            z = jnp.zeros((LANE - nspecs * 8, LANE), acc_dtype)
+            w_ref[nspecs * 8 :, :] = z
+            if df:
+                wl_ref[nspecs * 8 :, :] = z
         for b in range(bps):
             j0 = b * (g // 8) if bps > 1 else 0
             for j in range(nspecs):
                 w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j0 + j][:]
+                if df:
+                    wl_ref[j * 8 : (j + 1) * 8, :] = xlrefs[j0 + j][:]
             _gather_reduce_block(
                 w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref,
                 o_ref, kb=b * k_pad, rb=b * n_ktiles * LANE, ob=b * g_pad,
                 g=g, k_pad=k_pad, k_c=k_c,
+                wl_ref=wl_ref, vlo_ref=vlo_ref, srcl_ref=srcl_ref,
+                olo_ref=olo_ref,
             )
 
-    xspec = [
+    def xspec_list():
+        return [
+            pl.BlockSpec(
+                (8, LANE),
+                functools.partial(lambda j, i: ((i * bps * g) // 8 + j, 0), j),
+            )
+            for j in range(ns_tot)
+        ]
+
+    kspec = pl.BlockSpec(
+        (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec(
+        (bps * g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    oshape = jax.ShapeDtypeStruct((nblocks * g_pad, LANE), acc_dtype)
+    in_specs = xspec_list() + ([] if not df else xspec_list()) + [kspec] * (
+        3 + df
+    ) + [
         pl.BlockSpec(
-            (8, LANE),
-            functools.partial(lambda j, i: ((i * bps * g) // 8 + j, 0), j),
+            (bps * n_ktiles * LANE, LANE),
+            lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
         )
-        for j in range(ns_tot)
     ]
-    return pl.pallas_call(
+    scratch = [
+        pltpu.VMEM((LANE, LANE), acc_dtype),
+        pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
+    ]
+    if df:
+        scratch = [scratch[0], scratch[0], scratch[1], scratch[1]]
+    args = [xp2] * ns_tot
+    if df:
+        args += [xp2_lo] * ns_tot
+    args += [vals] + ([vals_lo] if df else []) + [sidx, gid, rsrc]
+    out = pl.pallas_call(
         kernel,
         grid=(nblocks // bps,),
-        in_specs=xspec
-        + [
-            pl.BlockSpec(
-                (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (bps * n_ktiles * LANE, LANE),
-                lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (bps * g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nblocks * g_pad, LANE), acc_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((LANE, LANE), acc_dtype),
-            pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
-        ],
+        in_specs=in_specs,
+        out_specs=[ospec, ospec] if df else ospec,
+        out_shape=[oshape, oshape] if df else oshape,
+        scratch_shapes=scratch,
         interpret=_interp(),
-    )(xp2, *([xp2] * (ns_tot - 1)), vals, sidx, gid, rsrc)
+    )(*args)
+    return out
 
 
-def _window_single_call(vals, sidx, gid, rsrc, x2d, *, g, k_pad, k_c):
+def _window_single_call(
+    vals, sidx, gid, rsrc, x2d, *, g, k_pad, k_c, vals_lo=None, x2d_lo=None
+):
     """Whole-matrix single-block kernel (xdirect): x arrives as raw
     (xrows8, 128) chunk-rows with NO leading wr pad — Q was baked with
-    direct x rows — so the caller needs no XLA pad/shift chain at all."""
+    direct x rows — so the caller needs no XLA pad/shift chain at all.
+    vals_lo/x2d_lo = double-float mode (returns the (hi, lo) pair)."""
+    df = vals_lo is not None
     n_ktiles = -(-k_pad // LANE)
     g_pad = -(-g // 8) * 8
     acc_dtype = jnp.float32
     xrows8 = x2d.shape[0]
 
-    def kernel(x_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, o_ref, w_ref,
-               src_ref):
+    def kernel(*refs):
+        refs_l = list(refs)
+        x_ref = refs_l.pop(0)
+        xl_ref = refs_l.pop(0) if df else None
+        vals_ref = refs_l.pop(0)
+        vlo_ref = refs_l.pop(0) if df else None
+        sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:4]
+        refs_l = refs_l[4:]
+        olo_ref = refs_l.pop(0) if df else None
+        w_ref = refs_l.pop(0)
+        wl_ref = refs_l.pop(0) if df else None
+        src_ref = refs_l.pop(0)
+        srcl_ref = refs_l.pop(0) if df else None
         w_ref[0:xrows8, :] = x_ref[:].astype(acc_dtype)
+        if df:
+            wl_ref[0:xrows8, :] = xl_ref[:].astype(acc_dtype)
         if xrows8 < LANE:
-            w_ref[xrows8:, :] = jnp.zeros((LANE - xrows8, LANE), acc_dtype)
+            z = jnp.zeros((LANE - xrows8, LANE), acc_dtype)
+            w_ref[xrows8:, :] = z
+            if df:
+                wl_ref[xrows8:, :] = z
         _gather_reduce_block(
             w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref, o_ref,
             kb=0, rb=0, ob=0, g=g, k_pad=k_pad, k_c=k_c,
+            wl_ref=wl_ref, vlo_ref=vlo_ref, srcl_ref=srcl_ref,
+            olo_ref=olo_ref,
         )
 
+    oshape = jax.ShapeDtypeStruct((g_pad, LANE), acc_dtype)
+    scratch = [
+        pltpu.VMEM((LANE, LANE), acc_dtype),
+        pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
+    ]
+    if df:
+        scratch = [scratch[0], scratch[0], scratch[1], scratch[1]]
+    args = [x2d] + ([x2d_lo] if df else []) + [vals] + (
+        [vals_lo] if df else []
+    ) + [sidx, gid, rsrc]
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g_pad, LANE), acc_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((LANE, LANE), acc_dtype),
-            pltpu.VMEM((n_ktiles * LANE, LANE), acc_dtype),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            if df
+            else pl.BlockSpec(memory_space=pltpu.VMEM)
+        ),
+        out_shape=[oshape, oshape] if df else oshape,
+        scratch_shapes=scratch,
         interpret=_interp(),
-    )(x2d, vals, sidx, gid, rsrc)
+    )(*args)
 
 
 def window_x_rows(nblocks: int, g: int, nspecs: int) -> int:
@@ -680,36 +823,66 @@ def window_x_rows(nblocks: int, g: int, nspecs: int) -> int:
 
 
 def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
-    """y = A @ x, one fused gather+reduce kernel, grid over row blocks."""
+    """y = A @ x, one fused gather+reduce kernel, grid over row blocks.
+
+    Double-float formats (mat.vals_lo set) take x in f64, run the whole
+    pipeline as (hi, lo) f32 pairs and return f64 (ops/dfloat.py)."""
     m, n = mat.shape
     g, k_pad, wr, nspecs = mat.g, mat.k_pad, mat.wr, mat.nspecs
     nblocks = mat.nblocks
     g_pad = max(-(-g // 8) * 8, 8)
     acc_dtype = jnp.float32
+    df = mat.vals_lo is not None
+    if df:
+        from ..ops.dfloat import df_combine64, split_f64_jnp
+
+        xh, xl = split_f64_jnp(x.astype(jnp.float64))
+    else:
+        xh, xl = x, None
+
+    def _finish(out):
+        outs = out if df else (out,)
+        ys = []
+        for o in outs:
+            if g_pad > g and not mat.xdirect:
+                o = o.reshape(nblocks, g_pad, LANE)[:, :g, :]
+            elif g_pad > g:
+                o = o[:g]
+            ys.append(o.reshape(-1)[:m])
+        return df_combine64(ys[0], ys[1]) if df else ys[0]
 
     if mat.xdirect:
         xrows8 = -(-n // (8 * LANE)) * 8
-        xf = x.astype(acc_dtype)
-        if n < xrows8 * LANE:
-            xf = jnp.pad(xf, (0, xrows8 * LANE - n))
+
+        def _xd(xs):
+            xf = xs.astype(acc_dtype)
+            if n < xrows8 * LANE:
+                xf = jnp.pad(xf, (0, xrows8 * LANE - n))
+            return xf.reshape(xrows8, LANE)
+
         out = _window_single_call(
-            mat.vals, mat.sidx, mat.gid, mat.rsrc, xf.reshape(xrows8, LANE),
+            mat.vals, mat.sidx, mat.gid, mat.rsrc, _xd(xh),
             g=g, k_pad=k_pad, k_c=mat.k_c,
+            vals_lo=mat.vals_lo, x2d_lo=_xd(xl) if df else None,
         )
-        return out[:g].reshape(-1)[:m] if g_pad > g else out.reshape(-1)[:m]
+        return _finish(out)
 
     # padded x: wr leading zero chunk-rows; tail covers the last window
     total_rows = window_x_rows(nblocks, g, nspecs)
-    xp = jnp.zeros(total_rows * LANE, dtype=acc_dtype)
-    xp = jax.lax.dynamic_update_slice(
-        xp, x[: (total_rows * LANE - wr * LANE)].astype(acc_dtype), (wr * LANE,)
-    )
-    xp2 = xp.reshape(total_rows, LANE)
+
+    def _padded(xs):
+        xp = jnp.zeros(total_rows * LANE, dtype=acc_dtype)
+        xp = jax.lax.dynamic_update_slice(
+            xp,
+            xs[: (total_rows * LANE - wr * LANE)].astype(acc_dtype),
+            (wr * LANE,),
+        )
+        return xp.reshape(total_rows, LANE)
+
     out = window_kernel_call(
-        mat.vals, mat.sidx, mat.gid, mat.rsrc, xp2,
+        mat.vals, mat.sidx, mat.gid, mat.rsrc, _padded(xh),
         g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nblocks, k_c=mat.k_c,
         bps=mat.bps,
+        vals_lo=mat.vals_lo, xp2_lo=_padded(xl) if df else None,
     )
-    if g_pad > g:
-        out = out.reshape(nblocks, g_pad, LANE)[:, :g, :]
-    return out.reshape(-1)[:m]
+    return _finish(out)

@@ -122,9 +122,13 @@ class AutoSpMV:
     ) -> "AutoSpMV":
         cfg = cfg or Config()
         fmt = select_format(csr) if format == "auto" else format
-        # float64 runs on the XLA paths: Pallas/Mosaic kernels are 32-bit
+        # float64: diagonal-concentrated structures ride the double-float
+        # Pallas DIA (ops/dfloat.py); gather-shaped engines fall back to
+        # the XLA f64 binned path
         f64 = cfg.dtype == "float64"
-        if f64 and fmt in ("lanes", "routed", "window", "dia_resid"):
+        if f64 and fmt == "dia_resid":
+            fmt = "dia"  # pure-DIA df (fill cap may still reject -> binned)
+        if f64 and fmt in ("lanes", "routed"):
             fmt = "binned"
         if fmt == "dia_resid":
             from ..ops.spmv_pallas import dia_spmv_pallas, prepare_dia_resid
@@ -140,19 +144,32 @@ class AutoSpMV:
             from ..formats.window import WindowError, prepare_window_auto, window_spmv
 
             try:
-                ops = prepare_window_auto(csr, dtype=cfg.jnp_dtype)
+                # f64: the double-float window engine (ops/dfloat.py)
+                ops = prepare_window_auto(
+                    csr, dtype=jnp.float32 if f64 else cfg.jnp_dtype, df=f64
+                )
                 run = window_spmv
             except WindowError:
-                fmt = "routed"
+                fmt = "binned" if f64 else "routed"
         if fmt == "dia":
-            from ..formats.dia import dia_spmv
-            from ..ops.spmv_pallas import dia_spmv_pallas, pad_dia_for_pallas, plan_dia
+            from ..ops.spmv_pallas import (
+                dia_spmv_pallas,
+                dia_spmv_pallas_df,
+                pad_dia_for_pallas,
+                plan_dia,
+                prepare_dia_df_pallas,
+            )
 
             try:
-                mat = prepare_dia(csr, dtype=cfg.jnp_dtype)
                 if f64:
-                    ops, run = mat, dia_spmv
+                    # double semantics ride the double-float Pallas kernel
+                    # (ops/dfloat.py) — the XLA-f64 DIA path hits
+                    # pathological compiles on wide bands and runs ~0.1
+                    # GFLOP/s on this backend
+                    ops = prepare_dia_df_pallas(csr)
+                    run = lambda o, x: dia_spmv_pallas_df(o[0], x, o[1])
                 else:
+                    mat = prepare_dia(csr, dtype=cfg.jnp_dtype)
                     plan = plan_dia(mat)
                     ops = (pad_dia_for_pallas(mat, plan), plan)
                     run = lambda o, x: dia_spmv_pallas(o[0], x, o[1])

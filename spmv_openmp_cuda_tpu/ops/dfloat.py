@@ -1,0 +1,92 @@
+"""Double-float (float-float) arithmetic on the f32 VPU.
+
+The reference computes in IEEE double throughout (reference
+src/include/macros.h:63-76, config.h:113).  This TPU has no fast f64
+datapath: XLA's software-emulated f64 runs the gather-shaped engines at
+~0.1 GFLOP/s (BENCH_DETAILS_F64.json, round 2 pre-df).  The TPU-native
+answer is classic *double-float* arithmetic (Dekker 1971; Knuth TAOCP v2
+two-sum): every f64 operand is carried as an (hi, lo) pair of f32s with
+hi = f32(a), lo = f32(a - hi) — 48 mantissa bits — and the SpMV inner
+loops run error-compensated on the f32 vector units:
+
+- products via Veltkamp splitting (no FMA on the VPU): exact
+  TwoProduct of the hi words + the two cross terms, error O(2^-48)
+  relative per product;
+- accumulation via branch-free Knuth TwoSum into an (acc_hi, acc_lo)
+  pair: per-add rounding is captured exactly into the low word.
+
+Total error after K accumulations is O(K * 2^-47) relative — measured
+~1e-12 relative on dense O(1) inputs where plain f32 engines sit at
+~1e-6 (tests/test_dfloat.py) — vs f64's 2^-52.  All primitives are plain
+jnp elementwise ops, Mosaic-lowerable inside Pallas kernels and
+identical under CPU interpret mode.
+
+These helpers are TRACE-level (no custom_jvp etc.); XLA does not apply
+unsafe FP reassociation, so the error-extraction identities survive
+compilation.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+#: Veltkamp split constant for f32 (2^12 + 1): splits a 24-bit mantissa
+#: into two 12-bit halves whose pairwise products are exact in f32.
+_SPLIT = np.float32(4097.0)
+
+
+def split_f64(a: np.ndarray):
+    """Host-side split of an f64 array into the (hi, lo) f32 pair."""
+    a = np.asarray(a, np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def split_f64_jnp(a):
+    """Trace-level split of an f64 array into the (hi, lo) f32 pair."""
+    hi = a.astype(jnp.float32)
+    lo = (a - hi.astype(a.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def two_sum(a, b):
+    """Branch-free Knuth TwoSum: s + e == a + b exactly, s = fl(a + b)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _veltkamp(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Dekker TwoProduct without FMA: p + e == a * b exactly in f32."""
+    p = a * b
+    ah, al = _veltkamp(a)
+    bh, bl = _veltkamp(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def df_mul_acc(acc_hi, acc_lo, a_hi, a_lo, b_hi, b_lo):
+    """acc += a * b where every operand is an (hi, lo) f32 pair.
+
+    The hi-hi product is exact (TwoProduct); the cross terms a_hi*b_lo +
+    a_lo*b_hi are plain f32 (their own rounding is O(2^-48) relative to
+    the product); a_lo*b_lo is below the representable pair and dropped.
+    The product's hi word enters acc_hi through TwoSum; everything else
+    accumulates in the low word. ~28 VPU flops per element."""
+    p, e = two_prod(a_hi, b_hi)
+    e = e + (a_hi * b_lo + a_lo * b_hi)
+    acc_hi, err = two_sum(acc_hi, p)
+    return acc_hi, acc_lo + (err + e)
+
+
+def df_combine64(hi, lo):
+    """(hi, lo) pair -> f64 (one elementwise pass; the only f64 math)."""
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)

@@ -44,6 +44,8 @@ class KernelSpec:
     prepare: Callable  # (csr, ell, cfg) -> operands
     run: Callable  # (operands, x) -> y ; jittable
     doc: str = ""
+    f64: bool = False  # True: carries double-precision semantics (either
+    # native XLA f64 or a double-float Pallas engine, ops/dfloat.py)
 
     def jitted(self, operands):
         """Return a jitted closure over prepared operands."""

@@ -213,8 +213,9 @@ def test_cli_f64_pallas_mode_remaps(tmp_path, capsys):
                "--check", "--no-dump"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "remapping to DIA_ROWS" in out
-    assert "computeMode:DIA_ROWS" in out
+    # f64 + Pallas DIA remaps to the double-float Pallas engine
+    assert "remapping to PL_DIA_F64" in out
+    assert "computeMode:PL_DIA_F64" in out
 
 
 def test_cli_save_load_prepared_dia_pallas(tmp_path, capsys):

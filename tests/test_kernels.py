@@ -61,11 +61,13 @@ def test_kernel_matches_oracle(mat_name, kname):
         # DIA legitimately rejects diagonal-sparse matrices (the ELL-size-cap
         # analog); the harness records this and moves on.
         assert kname in ("DIA_ROWS", "PL_DIA_ROWS", "PL_DIA_BF16",
-                         "PL_DIA_RESID", "PL_DIA_RESID_BF16")
+                         "PL_DIA_RESID", "PL_DIA_RESID_BF16", "PL_DIA_F64")
         return
     except WindowError:
         # the windowed engine legitimately rejects non-local matrices
-        assert kname in ("PL_CSR_WINDOW", "PL_CSR_WINDOW_BF16")
+        assert kname in (
+            "PL_CSR_WINDOW", "PL_CSR_WINDOW_BF16", "PL_CSR_WINDOW_F64"
+        )
         return
     f = spec.jitted(operands)
     y = np.asarray(f(jnp.asarray(x, dtype=CFG.jnp_dtype)), dtype=np.float64)
