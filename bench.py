@@ -97,13 +97,13 @@ AB_EXTRA = {
 # hits a pathological compile on wide bands — the df kernel replaces it.)
 F64_SUITE = [
     ("cavity10_like", 4.26, ["PL_DIA_F64"]),
-    ("raefsky1_like", 46.56, ["PL_DIA_F64"]),
+    ("raefsky1_like", 46.56, ["PL_DIA_RESID_F64"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_F64"]),
     ("thermal2_like", 26.34, ["PL_CSR_WINDOW_F64"]),
 ]
 F64_AB_EXTRA = {
     "cavity10_like": ["CSR_ROWS_BINNED"],
-    "raefsky1_like": ["CSR_ROWS_BINNED"],
+    "raefsky1_like": ["PL_DIA_F64", "CSR_ROWS_BINNED"],
     "fem_3d_thermal2_like": ["CSR_ROWS_BINNED"],
     "thermal2_like": ["CSR_ROWS_BINNED"],
 }

@@ -126,20 +126,29 @@ class AutoSpMV:
         # Pallas DIA (ops/dfloat.py); gather-shaped engines fall back to
         # the XLA f64 binned path
         f64 = cfg.dtype == "float64"
-        if f64 and fmt == "dia_resid":
-            fmt = "dia"  # pure-DIA df (fill cap may still reject -> binned)
         if f64 and fmt in ("lanes", "routed"):
             fmt = "binned"
         if fmt == "dia_resid":
-            from ..ops.spmv_pallas import dia_spmv_pallas, prepare_dia_resid
+            from ..ops.spmv_pallas import (
+                dia_spmv_pallas,
+                dia_spmv_pallas_df,
+                prepare_dia_resid,
+            )
 
             try:
-                ops = prepare_dia_resid(csr, dtype=cfg.jnp_dtype)
-                run = lambda o, x: dia_spmv_pallas(
-                    o[0].mat, x, o[1], resid=o[0]
-                )
+                if f64:
+                    # double-float hybrid (ops/dfloat.py)
+                    ops = prepare_dia_resid(csr, df=True)
+                    run = lambda o, x: dia_spmv_pallas_df(
+                        o[0].mat, x, o[1], resid=o[0]
+                    )
+                else:
+                    ops = prepare_dia_resid(csr, dtype=cfg.jnp_dtype)
+                    run = lambda o, x: dia_spmv_pallas(
+                        o[0].mat, x, o[1], resid=o[0]
+                    )
             except DiaFillError:
-                fmt = "routed"
+                fmt = "dia" if f64 else "routed"
         if fmt == "window":
             from ..formats.window import WindowError, prepare_window_auto, window_spmv
 

@@ -152,7 +152,7 @@ def pad_dia_for_pallas(mat: DeviceDIA, plan: DiaPallasPlan) -> DeviceDIA:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["mat", "rvals", "rsidx", "rgid", "rsrc"],
+    data_fields=["mat", "rvals", "rsidx", "rgid", "rsrc", "rvals_lo"],
     meta_fields=["k_pad", "nnz_resid"],
 )
 @dataclasses.dataclass
@@ -166,11 +166,12 @@ class DiaResid:
     bs sublane-rows as the masked-reduce groups) evaluated INSIDE the same
     kernel — zero extra launches or memory passes."""
 
-    mat: DeviceDIA
+    mat: DeviceDIA  # DeviceDIADF in double-float mode
     rvals: jax.Array  # (nblocks*k_pad, 128)
     rsidx: jax.Array  # (nblocks*k_pad, 128) int8: c % 128
     rgid: jax.Array  # (nblocks*k_pad, 128) int8: sublane-row within block
     rsrc: jax.Array  # (nblocks*n_ktiles*8, 128) int32: window row/slot-row
+    rvals_lo: jax.Array | None = None  # double-float mode: f32 low words
     k_pad: int = 16
     nnz_resid: int = 0
 
@@ -180,15 +181,16 @@ class DiaResid:
 
 
 def prepare_dia_resid(
-    csr, dtype=jnp.float32, dia_dtype=None, vals_dtype=None
+    csr, dtype=jnp.float32, dia_dtype=None, vals_dtype=None, df: bool = False
 ):
     """(DiaResid, plan): dense-offset DIA core + windowed residual fringe.
 
     dia_dtype/vals_dtype default to dtype; pass bfloat16 for the halved-HBM
-    variant (accumulation stays f32)."""
+    variant (accumulation stays f32). df=True builds the double-float
+    hybrid: DeviceDIADF core + (hi, lo) residual values (ops/dfloat.py)."""
     import numpy as _np
 
-    from ..formats.dia import prepare_dia, split_offsets
+    from ..formats.dia import prepare_dia, prepare_dia_df, split_offsets
     from ..formats.matrix import CSRMatrix
 
     if dia_dtype is None:
@@ -206,9 +208,14 @@ def prepare_dia_resid(
         indices=csr.indices[keep],
         data=csr.data[keep],
     )
-    mat = prepare_dia(kept, dtype=dia_dtype)
-    plan = plan_dia(mat, max_bs=42)
-    mat = pad_dia_for_pallas(mat, plan)
+    if df:
+        mat = prepare_dia_df(kept)
+        plan = plan_dia(mat.as_dia(), vmem_budget=1 << 20, max_bs=42)
+        mat = pad_dia_df_for_pallas(mat, plan)
+    else:
+        mat = prepare_dia(kept, dtype=dia_dtype)
+        plan = plan_dia(mat, max_bs=42)
+        mat = pad_dia_for_pallas(mat, plan)
     bs, ps, nblocks = plan.bs, mat.pad_sub, plan.nblocks
 
     rows_r = rows_all[~keep]
@@ -259,12 +266,19 @@ def prepare_dia_resid(
         lo, hi = t * LANE, min((t + 1) * LANE, k_pad)
         seg[:, : hi - lo] = rsrc_rows.reshape(nblocks, k_pad)[:, lo:hi]
         rsrc.reshape(nblocks, n_ktiles, 8, LANE)[:, t, 0, :] = seg
+    if df:
+        rhi = rvals.astype(_np.float32)
+        rlo = (rvals - rhi.astype(_np.float64)).astype(_np.float32)
+        rvals_j, rvals_lo_j = jnp.asarray(rhi), jnp.asarray(rlo)
+    else:
+        rvals_j, rvals_lo_j = jnp.asarray(rvals, dtype=vals_dtype), None
     dr = DiaResid(
         mat=mat,
-        rvals=jnp.asarray(rvals, dtype=vals_dtype),
+        rvals=rvals_j,
         rsidx=jnp.asarray(rsidx),
         rgid=jnp.asarray(rgid),
         rsrc=jnp.asarray(rsrc),
+        rvals_lo=rvals_lo_j,
         k_pad=k_pad,
         nnz_resid=int(rows_r.shape[0]),
     )
@@ -441,22 +455,29 @@ def pad_dia_df_for_pallas(mat, plan: DiaPallasPlan):
     )
 
 
-def dia_spmv_pallas_df(mat, x: jax.Array, plan: DiaPallasPlan) -> jax.Array:
+def dia_spmv_pallas_df(
+    mat, x: jax.Array, plan: DiaPallasPlan, resid: "DiaResid | None" = None
+) -> jax.Array:
     """y = A @ x with double-precision semantics: A and x carried as
     (hi, lo) f32 pairs, the inner loop error-compensated on the f32 VPU
     (Dekker TwoProduct + Knuth TwoSum, ops/dfloat.py), one f64 combine at
-    the end. Same fused 3-block-window structure as dia_spmv_pallas.
+    the end. Same fused 3-block-window structure as dia_spmv_pallas,
+    including the optional windowed residual fringe (df slot values,
+    compensated reduce trees).
 
     The reference computes double throughout (macros.h:63-76); XLA's
     emulated f64 runs gather engines at ~0.1 GFLOP/s on this chip — this
     kernel is the TPU-native double path (~28 VPU flops/nnz, measured
     ~1e-12 relative error on O(1) dense inputs vs f32's ~1e-6)."""
     from ..formats.dia import pad_x_dia
-    from .dfloat import df_combine64, df_mul_acc, split_f64_jnp
+    from ..formats.window import _df_add, _halve_pairs
+    from .dfloat import df_combine64, df_mul_acc, split_f64_jnp, two_prod
 
     d, s_pad, _ = mat.data.shape
     bs, ps = plan.bs, mat.pad_sub
     offsets = mat.offsets
+    k_pad = resid.k_pad if resid is not None else 0
+    n_kt = resid.n_ktiles if resid is not None else 0
 
     xh, xl = split_f64_jnp(x.astype(jnp.float64))
     dia_view = mat.as_dia()
@@ -468,10 +489,17 @@ def dia_spmv_pallas_df(mat, x: jax.Array, plan: DiaPallasPlan) -> jax.Array:
 
     xkh, xkl = _padded(xh), _padded(xl)
 
-    def kernel(
-        x0h, x1h, x2h, x0l, x1l, x2l, diah_ref, dial_ref,
-        ohi_ref, olo_ref, wh_ref, wl_ref,
-    ):
+    def kernel(*refs):
+        refs_l = list(refs)
+        x0h, x1h, x2h, x0l, x1l, x2l, diah_ref, dial_ref = refs_l[:8]
+        refs_l = refs_l[8:]
+        if resid is not None:
+            rv_ref, rvlo_ref, rsidx_ref, rgid_ref, rsrc_ref = refs_l[:5]
+            refs_l = refs_l[5:]
+        ohi_ref, olo_ref, wh_ref, wl_ref = refs_l[:4]
+        refs_l = refs_l[4:]
+        if resid is not None:
+            sh128_ref, sl128_ref, srch_ref, srcl_ref = refs_l[:4]
         wh_ref[0:bs] = x0h[:]
         wh_ref[bs : 2 * bs] = x1h[:]
         wh_ref[2 * bs : 3 * bs] = x2h[:]
@@ -494,6 +522,56 @@ def dia_spmv_pallas_df(mat, x: jax.Array, plan: DiaPallasPlan) -> jax.Array:
             acc_hi, acc_lo = df_mul_acc(
                 acc_hi, acc_lo, diah_ref[k], dial_ref[k], sh_h, sh_l
             )
+        if resid is not None:
+            # windowed residual fringe in df (see the f32 twin above)
+            sh128_ref[0 : 3 * bs, :] = wh_ref[:]
+            sl128_ref[0 : 3 * bs, :] = wl_ref[:]
+            if 3 * bs < LANE:
+                z = jnp.zeros((LANE - 3 * bs, LANE), jnp.float32)
+                sh128_ref[3 * bs :, :] = z
+                sl128_ref[3 * bs :, :] = z
+            wt_h = sh128_ref[:].T
+            wt_l = sl128_ref[:].T
+            for t in range(n_kt):
+                qv = jnp.broadcast_to(
+                    rsrc_ref[t * 8 : t * 8 + 8, :][0:1, :], (LANE, LANE)
+                )
+                srch_ref[t * LANE : (t + 1) * LANE, :] = jnp.take_along_axis(
+                    wt_h, qv, axis=1
+                ).T
+                srcl_ref[t * LANE : (t + 1) * LANE, :] = jnp.take_along_axis(
+                    wt_l, qv, axis=1
+                ).T
+            sv = rsidx_ref[:].astype(jnp.int32)
+            g_hi = jnp.take_along_axis(srch_ref[0:k_pad, :], sv, axis=1)
+            g_lo = jnp.take_along_axis(srcl_ref[0:k_pad, :], sv, axis=1)
+            vh = rv_ref[:]
+            ph, pe = two_prod(vh, g_hi)
+            p_lo = pe + (vh * g_lo + rvlo_ref[:] * g_hi)
+            gv = rgid_ref[:].astype(jnp.int32)
+            grows = []
+            for gg in range(bs):
+                mh = jnp.where(gv == gg, ph, 0.0)
+                ml = jnp.where(gv == gg, p_lo, 0.0)
+                t8 = _halve_pairs(
+                    [
+                        (mh[i * 8 : (i + 1) * 8], ml[i * 8 : (i + 1) * 8])
+                        for i in range(k_pad // 8)
+                    ],
+                    lambda a, b: _df_add(a[0], a[1], b[0], b[1]),
+                )
+                grows.append(
+                    _halve_pairs(
+                        [
+                            (t8[0][j : j + 1], t8[1][j : j + 1])
+                            for j in range(8)
+                        ],
+                        lambda a, b: _df_add(a[0], a[1], b[0], b[1]),
+                    )
+                )
+            r_hi = jnp.concatenate([r[0] for r in grows], axis=0)
+            r_lo = jnp.concatenate([r[1] for r in grows], axis=0)
+            acc_hi, acc_lo = _df_add(acc_hi, acc_lo, r_hi, r_lo)
         ohi_ref[:] = acc_hi
         olo_ref[:] = acc_lo
 
@@ -505,21 +583,42 @@ def dia_spmv_pallas_df(mat, x: jax.Array, plan: DiaPallasPlan) -> jax.Array:
         (d, bs, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     ospec = pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [xspec(0), xspec(1), xspec(2)] * 2 + [dspec, dspec]
+    args = [xkh, xkh, xkh, xkl, xkl, xkl, mat.data, mat.data_lo]
+    scratch = [
+        pltpu.VMEM((3 * bs, LANE), jnp.float32),
+        pltpu.VMEM((3 * bs, LANE), jnp.float32),
+    ]
+    if resid is not None:
+        kspec = pl.BlockSpec(
+            (k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [
+            kspec, kspec, kspec, kspec,
+            pl.BlockSpec(
+                (n_kt * 8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        args += [resid.rvals, resid.rvals_lo, resid.rsidx, resid.rgid,
+                 resid.rsrc]
+        scratch += [
+            pltpu.VMEM((LANE, LANE), jnp.float32),
+            pltpu.VMEM((LANE, LANE), jnp.float32),
+            pltpu.VMEM((n_kt * LANE, LANE), jnp.float32),
+            pltpu.VMEM((n_kt * LANE, LANE), jnp.float32),
+        ]
     out_hi, out_lo = pl.pallas_call(
         kernel,
         grid=(plan.nblocks,),
-        in_specs=[xspec(0), xspec(1), xspec(2)] * 2 + [dspec, dspec],
+        in_specs=in_specs,
         out_specs=[ospec, ospec],
         out_shape=[
             jax.ShapeDtypeStruct((s_pad, LANE), jnp.float32),
             jax.ShapeDtypeStruct((s_pad, LANE), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((3 * bs, LANE), jnp.float32),
-            pltpu.VMEM((3 * bs, LANE), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
-    )(xkh, xkh, xkh, xkl, xkl, xkl, mat.data, mat.data_lo)
+    )(*args)
     m = mat.shape[0]
     return df_combine64(
         out_hi.reshape(-1)[:m], out_lo.reshape(-1)[:m]
@@ -616,6 +715,25 @@ def _register() -> None:
             prepare=_mk_prep_resid(jnp.bfloat16),
             run=_run_resid,
             doc="DIA+residual hybrid with bf16 slabs (f32 accumulate)",
+        )
+    )
+    def _run_resid_df(ops, x):
+        dr, plan = ops
+        return dia_spmv_pallas_df(dr.mat, x, plan, resid=dr)
+
+    register(
+        KernelSpec(
+            name="PL_DIA_RESID_F64",
+            fmt="csr",
+            impl="pallas",
+            prepare=lambda csr, ell, cfg: prepare_dia_resid(csr, df=True),
+            run=_run_resid_df,
+            doc="double-precision DIA+residual hybrid on the f32 VPU: "
+            "double-float diagonal core + df residual slots with "
+            "compensated reduce trees (ops/dfloat.py) — halves the pure "
+            "PL_DIA_F64 slot padding on band+fringe matrices (raefsky "
+            "class)",
+            f64=True,
         )
     )
 

@@ -183,6 +183,35 @@ def test_auto_f64_routes_to_df():
     assert rep.ok, rep
 
 
+def test_dia_resid_df_engine_precision():
+    """PL_DIA_RESID_F64 (df core + df residual fringe) matches the f64
+    oracle to ~1e-12 relative on O(1) inputs (raefsky band+fringe class)."""
+    from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
+    from spmv_openmp_cuda_tpu.ops.spmv_pallas import (
+        dia_spmv_pallas_df,
+        prepare_dia_resid,
+    )
+
+    Config(dtype="float64")
+    csr = S.coo_to_csr(synth.preset("raefsky1_like"))
+    dr, plan = prepare_dia_resid(csr, df=True)
+    assert dr.rvals_lo is not None and dr.nnz_resid > 0
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(csr.shape[1])
+    want = serial_csr_spmv(csr, x)
+    y = np.asarray(
+        jax.jit(
+            lambda d, p, xv: dia_spmv_pallas_df(d.mat, xv, p, resid=d),
+            static_argnums=1,
+        )(dr, plan, jnp.asarray(x, jnp.float64)),
+        np.float64,
+    )
+    assert y.dtype == np.float64
+    scale = float(np.abs(want).max())
+    err = float(np.abs(y - want).max()) / scale
+    assert err < 1e-11, err
+
+
 @pytest.mark.parametrize("xdirect", [False, True])
 def test_window_df_engine_precision(xdirect):
     """PL_CSR_WINDOW_F64 (both grid and xdirect paths) matches the f64

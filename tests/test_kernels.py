@@ -61,7 +61,8 @@ def test_kernel_matches_oracle(mat_name, kname):
         # DIA legitimately rejects diagonal-sparse matrices (the ELL-size-cap
         # analog); the harness records this and moves on.
         assert kname in ("DIA_ROWS", "PL_DIA_ROWS", "PL_DIA_BF16",
-                         "PL_DIA_RESID", "PL_DIA_RESID_BF16", "PL_DIA_F64")
+                         "PL_DIA_RESID", "PL_DIA_RESID_BF16", "PL_DIA_F64",
+                         "PL_DIA_RESID_F64")
         return
     except WindowError:
         # the windowed engine legitimately rejects non-local matrices
