@@ -35,7 +35,7 @@ def describe_ops(ops):
     """Engine-config summary for the details record (judge transparency:
     which (g, bps, t, ...) the auto scan actually picked)."""
     try:
-        from spmv_openmp_cuda_tpu.formats.dia import DeviceDIA
+        from spmv_openmp_cuda_tpu.formats.dia import DeviceDIA, DeviceDIADF
         from spmv_openmp_cuda_tpu.formats.routed import RoutedChunks, RoutedCSR
         from spmv_openmp_cuda_tpu.formats.window import WindowCSR
 
@@ -44,16 +44,23 @@ def describe_ops(ops):
             return (
                 f"g={o.g} k_pad={o.k_pad} k_c={o.k_c} bps={o.bps} "
                 f"xdirect={o.xdirect} nblocks={o.nblocks} wr={o.wr}"
+                + (" df" if o.vals_lo is not None else "")
             )
         if isinstance(o, RoutedChunks):
             ts = [c.perm_products.t for c in o.chunks]
             return f"chunks={len(o.chunks)} t={ts}"
         if isinstance(o, RoutedCSR):
             return f"t={o.perm_products.t}"
-        if isinstance(o, DeviceDIA):
-            return f"diags={len(o.offsets)}"
-        if hasattr(o, "mat") and isinstance(getattr(o, "mat", None), DeviceDIA):
-            return f"diags={len(o.mat.offsets)}"
+        if isinstance(o, (DeviceDIA, DeviceDIADF)):
+            return f"diags={len(o.offsets)}" + (
+                " df" if isinstance(o, DeviceDIADF) else ""
+            )
+        inner = getattr(o, "mat", None)
+        if isinstance(inner, (DeviceDIA, DeviceDIADF)):
+            return (
+                f"diags={len(inner.offsets)} resid={getattr(o, 'nnz_resid', 0)}"
+                + (" df" if isinstance(inner, DeviceDIADF) else "")
+            )
     except Exception:
         pass
     return ""
