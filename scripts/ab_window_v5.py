@@ -78,9 +78,10 @@ def main():
             configs += [("xdirect", dict(xdirect=True, bps=None)),
                         ("std-bps1", dict(xdirect=False, bps=1))]
         else:
+            # bps=2 dropped: the cost model puts it strictly between 1 and
+            # 4 everywhere — save the remote-compile budget
             configs += [
                 ("bps1", dict(xdirect=False, bps=1)),
-                ("bps2", dict(xdirect=False, bps=2)),
                 ("bps4", dict(xdirect=False, bps=4)),
                 ("bps8", dict(xdirect=False, bps=8)),
             ]
