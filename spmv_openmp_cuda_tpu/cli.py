@@ -94,7 +94,7 @@ def _adapt_loaded(operands, spec, cfg):
     mismatch is a friendly error instead of a trace-time crash.
     """
     from .formats.binned import BinnedCSR
-    from .formats.dia import DeviceDIA
+    from .formats.dia import DeviceDIA, DeviceDIADF
     from .formats.lanes import LanesSmall
     from .formats.matrix import DeviceCSR, DeviceELL
     from .formats.routed import RoutedCSR, RoutedChunks
@@ -105,6 +105,11 @@ def _adapt_loaded(operands, spec, cfg):
         and len(operands) == 2
         and isinstance(operands[0], DeviceDIA)
     )
+    is_diadf_pair = (
+        isinstance(operands, tuple)
+        and len(operands) == 2
+        and isinstance(operands[0], DeviceDIADF)
+    )
     if spec.name in ("PL_DIA_ROWS", "PL_DIA_BF16"):
         if is_dia_pair:
             return operands, None
@@ -113,6 +118,21 @@ def _adapt_loaded(operands, spec, cfg):
 
             plan = plan_dia(operands)
             return (pad_dia_for_pallas(operands, plan), plan), None
+    if spec.name == "PL_DIA_F64":
+        if is_diadf_pair:
+            return operands, None
+        if isinstance(operands, DeviceDIADF):
+            from .ops.spmv_pallas import pad_dia_df_for_pallas, plan_dia
+
+            plan = plan_dia(operands.as_dia(), vmem_budget=1 << 20)
+            return (pad_dia_df_for_pallas(operands, plan), plan), None
+    if spec.name == "PL_CSR_WINDOW_F64":
+        if isinstance(operands, WindowCSR) and operands.vals_lo is not None:
+            return operands, None
+        return None, (
+            "mode PL_CSR_WINDOW_F64 needs a double-float WindowCSR "
+            "checkpoint (vals_lo present)"
+        )
     expected = {
         "DIA_ROWS": DeviceDIA,
         "CSR_ROWS": DeviceCSR,
@@ -138,6 +158,11 @@ def _adapt_loaded(operands, spec, cfg):
         kind = type(operands[0] if is_dia_pair else operands).__name__
         return None, (
             f"loaded prepared format {kind} does not match mode {spec.name}"
+        )
+    if isinstance(operands, WindowCSR) and operands.vals_lo is not None:
+        return None, (
+            f"loaded double-float WindowCSR needs mode PL_CSR_WINDOW_F64, "
+            f"not {spec.name}"
         )
     if isinstance(operands, DeviceELL):
         want_t = spec.name in ("ELL_ROWS_T", "PL_ELL_ROWS_T")

@@ -264,6 +264,28 @@ def test_auto_f64_window_routes_to_df():
     assert rep.ok, rep
 
 
+def test_cli_save_load_dia_df(tmp_path, capsys):
+    """--save-prepared / --load-prepared round-trips PL_DIA_F64."""
+    from spmv_openmp_cuda_tpu.cli import main
+    from spmv_openmp_cuda_tpu.io.mmio import write_mtx
+
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, synth.banded(400, 400, 4, fill=1.0, seed=2))
+    ckpt = str(tmp_path / "prep.npz")
+    rc = main([mtx, "RNDVECT", "PL_DIA_F64", "--check", "--no-dump",
+               "--dtype", "float64", "--save-prepared", ckpt])
+    assert rc == 0
+    rc = main([mtx, "RNDVECT", "PL_DIA_F64", "--check", "--no-dump",
+               "--dtype", "float64", "--load-prepared", ckpt])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "#check: OK" in out
+    # the df checkpoint refuses to run under a non-df window/dia mode
+    rc = main([mtx, "RNDVECT", "PL_CSR_WINDOW", "--check", "--no-dump",
+               "--load-prepared", ckpt])
+    assert rc == 1
+
+
 def test_dia_df_registry_roundtrip():
     """PL_DIA_F64 runs through the registry ABI and returns f64."""
     from spmv_openmp_cuda_tpu.ops import registry
