@@ -188,17 +188,24 @@ def main():
                 # loop's ~0.3us/iteration overhead.
                 K = 8
 
+                # f64 chains: the carry reduce runs in f32 — an emulated
+                # f64 tree-reduce over m rows per step would otherwise be
+                # charged to every spmv and poison the slope
+                def _dep(y):
+                    s = jnp.sum(y.astype(jnp.float32))
+                    return 1.0 + s.astype(cfg.jnp_dtype) * 1e-30
+
                 @jax.jit
                 def loop(x, iters):
                     y0 = run(ops, x)
-                    x = x * (1.0 + jnp.sum(y0) * 1e-30)
+                    x = x * _dep(y0)
 
                     def body(i, c):
                         x, _ = c
                         for _ in range(K):
                             y = run(ops, x)
                             # un-foldable dependency: can't be elided
-                            x = x * (1.0 + jnp.sum(y) * 1e-30)
+                            x = x * _dep(y)
                         return (x, y)
 
                     # iters is TRACED: every chain length shares one compile;
