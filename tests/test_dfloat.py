@@ -244,6 +244,24 @@ def test_window_df_engine_precision(xdirect):
     assert err < 1e-11, err
 
 
+def test_window_df_multiblock_bps():
+    """df + bps > 1 compose (the in-kernel sub-block loop runs the paired
+    slabs): results match bps=1 exactly."""
+    from spmv_openmp_cuda_tpu.formats.window import prepare_window, window_spmv
+
+    Config(dtype="float64")
+    csr = S.coo_to_csr(
+        synth.fem_like(8000, 8000, 64000, spread=1500, lo=4, hi=12, seed=3)
+    )
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(csr.shape[1]), jnp.float64)
+    base = prepare_window(csr, g=16, bps=1, df=True)
+    multi = prepare_window(csr, g=16, bps=4, df=True)
+    y1 = np.asarray(window_spmv(base, x))
+    y4 = np.asarray(window_spmv(multi, x))
+    np.testing.assert_array_equal(y1, y4)
+
+
 def test_auto_f64_window_routes_to_df():
     from spmv_openmp_cuda_tpu.models.auto import AutoSpMV
     from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
