@@ -188,24 +188,34 @@ def main():
                 # loop's ~0.3us/iteration overhead.
                 K = 8
 
-                # f64 chains: the carry reduce runs in f32 — an emulated
-                # f64 tree-reduce over m rows per step would otherwise be
-                # charged to every spmv and poison the slope
+                # f64 chains: the dependency must not cost emulated-f64
+                # vector work per step (it would be charged to every
+                # chained spmv and poison the slope): the carry reduce
+                # runs in f32, and the perturbation touches only the
+                # leading 8 x elements (an in-place dynamic-update-slice;
+                # the data dependence alone serializes the chain)
+                f64_chain = cfg.jnp_dtype == jnp.float64
+
                 def _dep(y):
                     s = jnp.sum(y.astype(jnp.float32))
                     return 1.0 + s.astype(cfg.jnp_dtype) * 1e-30
 
+                def _step(x, y):
+                    if f64_chain:
+                        return x.at[:8].multiply(_dep(y))
+                    return x * _dep(y)
+
                 @jax.jit
                 def loop(x, iters):
                     y0 = run(ops, x)
-                    x = x * _dep(y0)
+                    x = _step(x, y0)
 
                     def body(i, c):
                         x, _ = c
                         for _ in range(K):
                             y = run(ops, x)
                             # un-foldable dependency: can't be elided
-                            x = x * _dep(y)
+                            x = _step(x, y)
                         return (x, y)
 
                     # iters is TRACED: every chain length shares one compile;

@@ -207,15 +207,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if is_auto:
         # structure-driven selection (models.auto policy): DIA when the
         # diagonal fill stays bounded, the routed engine otherwise; f64
-        # rides the XLA engines (Pallas kernels are 32-bit)
+        # rides the double-float Pallas engines (ops/dfloat.py) where the
+        # structure allows and the XLA binned path for general sparsity
         from .models.auto import select_format
 
         fmt = select_format(csr)
         f64 = cfg.dtype == "float64"
         mode = {
-            "dia": "DIA_ROWS" if f64 else "PL_DIA_ROWS",
-            "dia_resid": "CSR_ROWS_BINNED" if f64 else "PL_DIA_RESID",
-            "window": "CSR_ROWS_BINNED" if f64 else "PL_CSR_WINDOW",
+            "dia": "PL_DIA_F64" if f64 else "PL_DIA_ROWS",
+            "dia_resid": "PL_DIA_RESID_F64" if f64 else "PL_DIA_RESID",
+            "window": "PL_CSR_WINDOW_F64" if f64 else "PL_CSR_WINDOW",
             "routed": "CSR_ROWS_BINNED" if f64 else "PL_CSR_ROUTED",
         }[fmt]
         print(f"#auto: format={fmt} -> {mode}")

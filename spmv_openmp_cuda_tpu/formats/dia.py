@@ -136,8 +136,9 @@ def prepare_dia_df(
     m, n = csr.shape
     data, uniq, pad_sub = _dia_host_slab(csr, max_fill_ratio)
     d, m_pad = data.shape
-    hi = data.astype(np.float32)
-    lo = (data - hi.astype(np.float64)).astype(np.float32)
+    from ..ops.dfloat import split_f64
+
+    hi, lo = split_f64(data)
     shape3 = (d, m_pad // LANE, LANE)
     return DeviceDIADF(
         data=jnp.asarray(hi.reshape(shape3)),

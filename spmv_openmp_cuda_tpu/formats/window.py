@@ -247,18 +247,26 @@ def _cap_candidates(csr: CSRMatrix, g: int):
     return cands, nblocks
 
 
-def _scan_caps(csr: CSRMatrix, g: int, bps: int = 1):
+def _pad_ok(nnz: int, k_pad: int, nblocks: int, max_pad: float) -> bool:
+    """prepare_window's slot-padding feasibility cap — the scans must
+    apply it too, or the auto policy picks configs prepare rejects."""
+    return nblocks * k_pad * LANE <= max_pad * nnz
+
+
+def _scan_caps(csr: CSRMatrix, g: int, bps: int = 1, max_pad: float = 4.5):
     """Best (cap, k_c, V, cost) for group size g at a given blocks-per-step."""
     cands, nblocks = _cap_candidates(csr, g)
     best = None
     for cap, k_c, v in cands:
         if (k_c + v) * bps > _K_CAP:
             continue  # per-step VMEM residency of the slot slabs
+        if not _pad_ok(csr.nnz, k_c + v, nblocks, max_pad):
+            continue
         cost = _cost_of(g, cap, k_c, v, nblocks, bps)
         if best is None or cost < best[3]:
             best = (cap, k_c, v, cost)
     if best is None:
-        raise WindowError("no feasible packing under the row cap")
+        raise WindowError("no feasible packing under the row/padding caps")
     return best
 
 
@@ -345,6 +353,10 @@ def prepare_window(
         )
     if k_pad > _K_CAP:
         raise WindowError(f"{k_pad} slot rows exceed the row cap")
+    if k_pad * bps > _K_CAP:
+        raise WindowError(
+            f"bps={bps} x {k_pad} slot rows exceed the per-step VMEM cap"
+        )
 
     if xdirect:
         if nblocks != 1 or -(-n // LANE) > LANE:
@@ -398,8 +410,9 @@ def prepare_window(
 
     if df:
         # double-float slot values: (hi, lo) f32 pair of the f64 slab
-        vhi = vals.astype(np.float32)
-        vlo = (vals - vhi.astype(np.float64)).astype(np.float32)
+        from ..ops.dfloat import split_f64
+
+        vhi, vlo = split_f64(vals)
         vals_j, vals_lo_j = jnp.asarray(vhi), jnp.asarray(vlo)
     else:
         vals_j, vals_lo_j = jnp.asarray(vals, dtype=vals_dtype), None
@@ -454,12 +467,16 @@ def _xdirect_eligible(csr: CSRMatrix, nblocks: int) -> bool:
     return nblocks == 1 and -(-csr.shape[1] // LANE) <= LANE
 
 
-def window_cost(csr: CSRMatrix, g: int, bps: int | None = None) -> float:
+def window_cost(
+    csr: CSRMatrix, g: int, bps: int | None = None, max_pad: float = 4.5
+) -> float:
     """Predicted SpMV cost in ps (v5e-measured constants), minimized over
     the packing-cap ladder (and the bps ladder when the policy is auto).
-    Multi-block configs carry the x pad-chain cost xdirect configs skip."""
+    Multi-block configs carry the x pad-chain cost xdirect configs skip.
+    Configs prepare_window would reject (padding over max_pad) are skipped
+    so the selection policy and prepare agree on feasibility."""
     if bps is not None:
-        return _scan_caps(csr, g, bps)[3]
+        return _scan_caps(csr, g, bps, max_pad)[3]
     cands, nblocks = _cap_candidates(csr, g)
     extra = 0.0 if _xdirect_eligible(csr, nblocks) else _C_PADCHAIN
     best = None
@@ -467,11 +484,13 @@ def window_cost(csr: CSRMatrix, g: int, bps: int | None = None) -> float:
         for cap, k_c, v in cands:
             if (k_c + v) * b > _K_CAP:
                 continue
+            if not _pad_ok(csr.nnz, k_c + v, nblocks, max_pad):
+                continue
             cost = _cost_of(g, cap, k_c, v, nblocks, b) + extra
             if best is None or cost < best:
                 best = cost
     if best is None:
-        raise WindowError("no feasible packing under the row cap")
+        raise WindowError("no feasible packing under the row/padding caps")
     return best
 
 
@@ -490,16 +509,19 @@ def prepare_window_auto(
             cands, nblocks = _cap_candidates(csr, g)
         except WindowError:
             continue
+        eligible = _xdirect_eligible(csr, nblocks)
+        if xdirect is True and not eligible:
+            continue  # pinned xdirect: only single-block configs qualify
         # multi-block configs pay the x pad/shift chain; a single-block g
         # rides xdirect and skips it (unless the caller pinned xdirect off)
         extra = (
-            0.0
-            if _xdirect_eligible(csr, nblocks) and xdirect is not False
-            else _C_PADCHAIN
+            0.0 if eligible and xdirect is not False else _C_PADCHAIN
         )
         for b in _bps_options(g, nblocks, policy):
             for cap, k_c, v in cands:
                 if (k_c + v) * b > _K_CAP:
+                    continue
+                if not _pad_ok(csr.nnz, k_c + v, nblocks, max_pad):
                     continue
                 cost = _cost_of(g, cap, k_c, v, nblocks, b) + extra
                 if best is None or cost < best[1]:

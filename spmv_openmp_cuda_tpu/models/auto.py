@@ -97,7 +97,11 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
             continue
         if best is None or cost < best:
             best = cost
-    if best is not None and best < 50.0 * nnz:
+    # routed bar: ~50 ps/nnz of routing work plus a fixed multi-kernel
+    # pipeline dispatch cost (~10 us) — window_cost carries its own fixed
+    # terms (_C_BLOCK per step, the x pad chain), so the comparison must
+    # charge both sides' constants, not just window's
+    if best is not None and best < 50.0 * nnz + 10e6:
         return "window"
     return "routed"
 

@@ -267,8 +267,9 @@ def prepare_dia_resid(
         seg[:, : hi - lo] = rsrc_rows.reshape(nblocks, k_pad)[:, lo:hi]
         rsrc.reshape(nblocks, n_ktiles, 8, LANE)[:, t, 0, :] = seg
     if df:
-        rhi = rvals.astype(_np.float32)
-        rlo = (rvals - rhi.astype(_np.float64)).astype(_np.float32)
+        from .dfloat import split_f64
+
+        rhi, rlo = split_f64(rvals)
         rvals_j, rvals_lo_j = jnp.asarray(rhi), jnp.asarray(rlo)
     else:
         rvals_j, rvals_lo_j = jnp.asarray(rvals, dtype=vals_dtype), None

@@ -83,7 +83,8 @@ def test_cli_auto_mode_and_dtype(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "#auto: format=" in out and "#check: OK" in out
-    # f64 rides the XLA engines (x64 flag is process-global: restore it)
+    # f64 rides the double-float Pallas engines when the structure allows
+    # (x64 flag is process-global: restore it)
     import jax
 
     x64_before = jax.config.jax_enable_x64
@@ -96,7 +97,10 @@ def test_cli_auto_mode_and_dtype(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert (
-        "computeMode:CSR_ROWS_BINNED" in out or "computeMode:DIA_ROWS" in out
+        "computeMode:PL_DIA_F64" in out
+        or "computeMode:PL_DIA_RESID_F64" in out
+        or "computeMode:PL_CSR_WINDOW_F64" in out
+        or "computeMode:CSR_ROWS_BINNED" in out
     )
     assert "#check: OK" in out
 

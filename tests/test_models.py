@@ -13,7 +13,11 @@ from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
 
 def test_select_format_policy():
     assert select_format(S.coo_to_csr(synth.banded(500, 500, 5, seed=1))) == "dia"
-    assert select_format(S.coo_to_csr(synth.power_law(400, 400, 5.0, seed=2))) == "routed"
+    # tiny scattered matrices fit one window block, but power-law hubs
+    # blow the slot-padding cap — the scan must agree with prepare_window
+    # on feasibility and keep them routed
+    tiny = S.coo_to_csr(synth.power_law(400, 400, 5.0, seed=2))
+    assert select_format(tiny) == "routed"
     big = S.coo_to_csr(synth.power_law(10000, 10000, 3.0, seed=3))
     assert select_format(big) == "routed"
 

@@ -156,3 +156,23 @@ def test_window_xdirect_rejects_multiblock():
     csr = S.coo_to_csr(coo)
     with pytest.raises(WindowError):
         W.prepare_window(csr, g=8, xdirect=True)
+
+
+def test_window_bps_vmem_cap():
+    """An explicit bps whose per-step slot residency exceeds the VMEM row
+    cap must be rejected up front, not crash Mosaic at compile time."""
+    coo = synth.fem_like(m=6000, n=6000, nnz=60000, spread=700, lo=4, hi=16, seed=7)
+    csr = S.coo_to_csr(coo)
+    k_pad = W.prepare_window(csr, g=8, bps=1).k_pad
+    too_many = (W._K_CAP // k_pad) + 1
+    with pytest.raises(WindowError):
+        W.prepare_window(csr, g=8, bps=too_many)
+
+
+def test_window_auto_pinned_xdirect_requires_single_block():
+    """prepare_window_auto(xdirect=True) must only consider single-block
+    configs — a multi-block matrix has none, so the pin is an error."""
+    coo = synth.fem_like(m=40000, n=40000, nnz=250000, spread=2000, lo=4, hi=10, seed=4)
+    csr = S.coo_to_csr(coo)
+    with pytest.raises(WindowError):
+        W.prepare_window_auto(csr, xdirect=True)
