@@ -108,6 +108,18 @@ F64_SUITE = [
     ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_F64"]),
     ("thermal2_like", 26.34, ["PL_CSR_WINDOW_F64"]),
 ]
+# BENCH_SUITE=extended: the reference's OpenMP-baseline matrices
+# (SURVEY.md par.6 / BASELINE.md scripts+tables rows the CUDA suite does
+# not cover). References are the reference's own best published numbers:
+# west2021 OMP CSR RowsBlocks 1.67e-5 s -> 0.88 GF/s; webbase-1M OMP CSR
+# 2.75e-3 s -> 2.26 GF/s (ELL infeasible there, size cap); cavity10 CUDA
+# CSR row-per-thread 3.588e-5 s -> 4.26 GF/s. Results land in
+# BENCH_DETAILS_EXTENDED.json; the headline record is untouched.
+EXT_SUITE = [
+    ("cavity10_like", 4.26, ["PL_DIA_RESID_BF16", "PL_DIA_ROWS"]),
+    ("west2021_like", 0.88, ["PL_CSR_WINDOW", "PL_CSR_ROUTED"]),
+    ("webbase_like", 2.26, ["PL_CSR_ROUTED_BF16"]),
+]
 F64_AB_EXTRA = {
     "cavity10_like": ["CSR_ROWS_BINNED"],
     "raefsky1_like": ["PL_DIA_F64", "CSR_ROWS_BINNED"],
@@ -133,7 +145,12 @@ def main():
     from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
 
     cfg = Config(dtype=os.environ.get("SPMV_DTYPE", "float32"))
-    base_suite = F64_SUITE if cfg.dtype == "float64" else SUITE
+    extended = os.environ.get("BENCH_SUITE") == "extended"
+    base_suite = (
+        EXT_SUITE
+        if extended
+        else F64_SUITE if cfg.dtype == "float64" else SUITE
+    )
     suite = base_suite[:1] if os.environ.get("BENCH_FAST") else base_suite
     only = os.environ.get("BENCH_ONLY")
     if only:
@@ -322,7 +339,11 @@ def main():
     geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     value = math.exp(sum(math.log(d["gflops"]) for d in details) / len(details))
     details_file = (
-        "BENCH_DETAILS_F64.json" if cfg.dtype == "float64" else "BENCH_DETAILS.json"
+        "BENCH_DETAILS_EXTENDED.json"
+        if extended
+        else "BENCH_DETAILS_F64.json"
+        if cfg.dtype == "float64"
+        else "BENCH_DETAILS.json"
     )
     if len(details) == len(base_suite):  # partial runs must not clobber the record
         try:
@@ -331,7 +352,11 @@ def main():
         except OSError:
             pass
     rec = {
-        "metric": "spmv_gflops_geomean_headline_proxies",
+        "metric": (
+            "spmv_gflops_geomean_omp_baseline_proxies"
+            if extended
+            else "spmv_gflops_geomean_headline_proxies"
+        ),
         "value": round(value, 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(geo, 3),
