@@ -57,8 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
         "--dtype",
         choices=["float32", "float64"],
         default=None,
-        help="compute dtype (overrides SPMV_DTYPE; float64 runs the XLA "
-        "engines — Pallas kernels are 32-bit)",
+        help="compute dtype (overrides SPMV_DTYPE; float64 rides the "
+        "double-float Pallas engines where the structure allows, the XLA "
+        "engines otherwise — raw Pallas kernels are 32-bit)",
     )
     p.add_argument("--list-modes", action="store_true", help="list kernels and exit")
     p.add_argument("--no-dump", action="store_true", help="skip output vector dumps")
