@@ -120,14 +120,24 @@ _K_CAP = 16 * LANE
 _CAP_LADDER = (None, 8, 16, 32, 64, 128)
 
 
-def _geometry(csr: CSRMatrix, g: int):
+def _base_fields(csr: CSRMatrix):
+    """g-independent per-nnz fields, hoisted so the (g, cap) auto scans
+    don't recompute full-nnz divisions fifteen times (prepare-time win on
+    multi-M-nnz matrices)."""
+    rows = csr.row_ids().astype(np.int64)
+    rq = rows // LANE  # 128-row chunk of the output row
+    lane = rows % LANE
+    cols = csr.indices.astype(np.int64)
+    q = cols // LANE  # 128-element chunk of the column
+    jres = cols % LANE
+    return rq, lane, q, jres
+
+
+def _geometry(csr: CSRMatrix, g: int, base=None):
     """(wr, nspecs, nblocks) — window reach for group size g."""
     m, n = csr.shape
-    b = g * LANE
-    rows = csr.row_ids().astype(np.int64)
-    cols = csr.indices.astype(np.int64)
-    blk = rows // b
-    q = cols // LANE
+    rq, _lane, q, _jres = base if base is not None else _base_fields(csr)
+    blk = rq // g
     d = q - blk * g  # chunk relative to block start
     wr = max(int(max(-d.min(initial=0), 0)), int(max(d.max(initial=0) - g + 1, 0)), 1)
     s_w = g + 2 * wr
@@ -137,7 +147,7 @@ def _geometry(csr: CSRMatrix, g: int):
     nspecs = -(-(s_w + 7) // 8)
     if nspecs * 8 > LANE:
         raise WindowError(f"window span {s_w} chunk-rows exceeds the 128 cap")
-    nblocks = -(-m // b)
+    nblocks = -(-m // (g * LANE))
     return wr, nspecs, nblocks
 
 
@@ -154,15 +164,11 @@ def _rank_in_group(keys: np.ndarray, minlength: int) -> np.ndarray:
     return ranks
 
 
-def _entry_fields(csr: CSRMatrix, g: int):
-    b = g * LANE
-    rows = csr.row_ids().astype(np.int64)
-    cols = csr.indices.astype(np.int64)
-    blk = rows // b
-    lane = rows % LANE
-    jres = cols % LANE
-    gid = ((rows // LANE) % g).astype(np.int64)
-    return rows, cols, blk, lane, jres, gid
+def _entry_fields(csr: CSRMatrix, g: int, base=None):
+    rq, lane, q, jres = base if base is not None else _base_fields(csr)
+    blk = rq // g
+    gid = rq % g
+    return q, blk, lane, jres, gid
 
 
 def _class_split(blk, lane, jres, gid, nblocks, cap):
@@ -210,14 +216,16 @@ def _cost_of(g: int, cap, k_c: int, v: int, nblocks: int, bps: int = 1) -> float
     )
 
 
-def _cap_candidates(csr: CSRMatrix, g: int):
+def _cap_candidates(csr: CSRMatrix, g: int, base=None):
     """Feasible (cap, k_c, V) configs for group size g over the cap ladder,
     plus nblocks. V per cap is ESTIMATED from per-class degree excess
     (bincounts only — the exact two-pass rank peel over every (g, cap)
     candidate costs an argsort per pair, ~minutes on 8M-nnz matrices);
     prepare_window re-peels the chosen config exactly."""
-    wr, nspecs, nblocks = _geometry(csr, g)
-    _rows, _cols, blk, lane, jres, gid = _entry_fields(csr, g)
+    if base is None:
+        base = _base_fields(csr)
+    wr, nspecs, nblocks = _geometry(csr, g, base)
+    _q, blk, lane, jres, gid = _entry_fields(csr, g, base)
     cls = gid % 8
     dl8 = np.bincount(
         (blk * 8 + cls) * LANE + lane, minlength=nblocks * 8 * LANE
@@ -253,9 +261,11 @@ def _pad_ok(nnz: int, k_pad: int, nblocks: int, max_pad: float) -> bool:
     return nblocks * k_pad * LANE <= max_pad * nnz
 
 
-def _scan_caps(csr: CSRMatrix, g: int, bps: int = 1, max_pad: float = 4.5):
+def _scan_caps(
+    csr: CSRMatrix, g: int, bps: int = 1, max_pad: float = 4.5, base=None
+):
     """Best (cap, k_c, V, cost) for group size g at a given blocks-per-step."""
-    cands, nblocks = _cap_candidates(csr, g)
+    cands, nblocks = _cap_candidates(csr, g, base)
     best = None
     for cap, k_c, v in cands:
         if (k_c + v) * bps > _K_CAP:
@@ -312,11 +322,12 @@ def prepare_window(
     assert 2 <= g <= 64, "g must be in [2, 64] (output rows per block)"
     if bps > 1 and g % 8:
         raise WindowError("bps > 1 requires g % 8 == 0 (uniform staging)")
-    wr, nspecs, nblocks = _geometry(csr, g)
-    _rows, _cols, blk, lane, jres, gid = _entry_fields(csr, g)
+    base = _base_fields(csr)
+    wr, nspecs, nblocks = _geometry(csr, g, base)
+    q, blk, lane, jres, gid = _entry_fields(csr, g, base)
 
     if cap == "auto":
-        cap = _scan_caps(csr, g)[0]
+        cap = _scan_caps(csr, g, base=base)[0]
 
     srow = np.empty(gid.shape[0], np.int64)
     if cap is None:
@@ -364,7 +375,6 @@ def prepare_window(
                               "chunk-rows")
         bps = 1
 
-    q = _cols // LANE
     dq = q - blk * g + wr  # window row in [0, nspecs*g)
 
     slot_row = blk * k_pad + srow
@@ -468,7 +478,8 @@ def _xdirect_eligible(csr: CSRMatrix, nblocks: int) -> bool:
 
 
 def window_cost(
-    csr: CSRMatrix, g: int, bps: int | None = None, max_pad: float = 4.5
+    csr: CSRMatrix, g: int, bps: int | None = None, max_pad: float = 4.5,
+    base=None,
 ) -> float:
     """Predicted SpMV cost in ps (v5e-measured constants), minimized over
     the packing-cap ladder (and the bps ladder when the policy is auto).
@@ -476,8 +487,8 @@ def window_cost(
     Configs prepare_window would reject (padding over max_pad) are skipped
     so the selection policy and prepare agree on feasibility."""
     if bps is not None:
-        return _scan_caps(csr, g, bps, max_pad)[3]
-    cands, nblocks = _cap_candidates(csr, g)
+        return _scan_caps(csr, g, bps, max_pad, base)[3]
+    cands, nblocks = _cap_candidates(csr, g, base)
     extra = 0.0 if _xdirect_eligible(csr, nblocks) else _C_PADCHAIN
     best = None
     for b in _bps_options(g, nblocks, _bps_policy()):
@@ -494,6 +505,24 @@ def window_cost(
     return best
 
 
+def window_cost_scan(csr: CSRMatrix, max_pad: float = 4.5) -> float:
+    """Best predicted cost over the whole g ladder, sharing one per-nnz
+    field pass (the format-selection entry point — a fresh _base_fields per
+    g costs tens of seconds on multi-M-nnz matrices)."""
+    base = _base_fields(csr)
+    best = None
+    for g in _G_LADDER:
+        try:
+            cost = window_cost(csr, g, max_pad=max_pad, base=base)
+        except WindowError:
+            continue
+        if best is None or cost < best:
+            best = cost
+    if best is None:
+        raise WindowError("no feasible window configuration")
+    return best
+
+
 def prepare_window_auto(
     csr: CSRMatrix, dtype=jnp.float32, vals_dtype=None, max_pad: float = 4.5,
     bps: int | None = None, xdirect: bool | None = None, df: bool = False,
@@ -503,10 +532,11 @@ def prepare_window_auto(
     env override; see _BPS_POLICY_DEFAULT); an explicit bps pins it and
     the scan only picks (g, cap)."""
     policy = str(bps) if bps is not None else _bps_policy()
+    base = _base_fields(csr)
     best = None
     for g in _G_LADDER:
         try:
-            cands, nblocks = _cap_candidates(csr, g)
+            cands, nblocks = _cap_candidates(csr, g, base)
         except WindowError:
             continue
         eligible = _xdirect_eligible(csr, nblocks)
@@ -533,7 +563,7 @@ def prepare_window_auto(
         # whole matrix in one block and x within the 128-chunk window:
         # skip the XLA pad/shift chain (the sharded builder passes False —
         # its halo layout needs the standard wr-shifted Q baking)
-        _wr2, _ns2, nb2 = _geometry(csr, g)
+        _wr2, _ns2, nb2 = _geometry(csr, g, base)
         xdirect = nb2 == 1 and -(-csr.shape[1] // LANE) <= LANE
     return prepare_window(
         csr, g=g, dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,

@@ -87,16 +87,12 @@ def select_format(csr: CSRMatrix, dia_fill_cap: float = 2.0) -> str:
     # banded LOCALITY without banded structure (unstructured FEM): the
     # windowed gather engine beats the routed pipeline (~50 ps/nnz on the
     # Clos route) when its padded slot count stays low
-    from ..formats.window import _G_LADDER, WindowError, window_cost
+    from ..formats.window import WindowError, window_cost_scan
 
-    best = None
-    for g in _G_LADDER:
-        try:
-            cost = window_cost(csr, g)
-        except WindowError:
-            continue
-        if best is None or cost < best:
-            best = cost
+    try:
+        best = window_cost_scan(csr)
+    except WindowError:
+        best = None
     # routed bar: ~50 ps/nnz of routing work plus a fixed multi-kernel
     # pipeline dispatch cost (~10 us) — window_cost carries its own fixed
     # terms (_C_BLOCK per step, the x pad chain), so the comparison must
