@@ -144,8 +144,15 @@ def main():
     from spmv_openmp_cuda_tpu.utils import synth
     from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
 
-    cfg = Config(dtype=os.environ.get("SPMV_DTYPE", "float32"))
     extended = os.environ.get("BENCH_SUITE") == "extended"
+    dtype = os.environ.get("SPMV_DTYPE", "float32")
+    if extended and dtype == "float64":
+        # the extended suite's candidates are 32-bit/bf16 engines; running
+        # them under x64 would record f64-labeled rows nothing actually
+        # computed in double
+        log("BENCH_SUITE=extended ignores SPMV_DTYPE=float64 (f32 suite)")
+        dtype = "float32"
+    cfg = Config(dtype=dtype)
     base_suite = (
         EXT_SUITE
         if extended
@@ -186,7 +193,7 @@ def main():
             f"[{preset}] {csr.shape[0]}x{csr.shape[1]} nnz={csr.nnz} "
             f"maxRowNZ={csr.max_row_nz} (setup {time.perf_counter()-t0:.0f}s)"
         )
-        best = (None, 0.0, 0.0, "")
+        best = (None, 0.0, 0.0, "", "")
         for name in candidates:
             spec = registry.get(name)
             if spec.fmt == "ell" and ell is None:
@@ -301,7 +308,9 @@ def main():
                     + ")"
                 )
                 if gflops > best[1]:
-                    best = (name, gflops, dt, desc)
+                    # res_dtype travels with the winner (a later A/B
+                    # candidate must not relabel the recorded kernel)
+                    best = (name, gflops, dt, desc, res_dtype)
             except DiaFillError as e:
                 log(f"[{preset}] {name}: DIA infeasible ({str(e)[:80]})")
             except Exception as e:
@@ -324,7 +333,7 @@ def main():
                 "ref_gflops": ref_gflops,
                 "ratio": round(ratio, 3),
                 "dtype": cfg.dtype,
-                "result_dtype": res_dtype,
+                "result_dtype": best[4],
             }
         )
         log(f"[{preset}] BEST {best[0]}: {best[1]:.2f} GFLOPS = {ratio:.2f}x reference")

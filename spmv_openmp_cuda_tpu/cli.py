@@ -291,19 +291,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
     else:
         from .formats.dia import DiaFillError
+        from .formats.window import WindowError
 
         try:
             operands = spec.prepare(csr, ell, cfg)
-        except DiaFillError as e:
+        except (DiaFillError, WindowError) as e:
             if not is_auto:
                 print(f"ERROR: {e}", file=sys.stderr)
                 return 1
-            # the structural guess was diagonal but the padded fill tripped
-            # the cap: fall through to the general engine (AutoSpMV policy)
+            # the structural guess (DIA fill / window padding estimate)
+            # tripped the exact prepare-time cap: fall through to the
+            # general engine (AutoSpMV policy catches the same errors)
             mode = (
                 "CSR_ROWS_BINNED" if cfg.dtype == "float64" else "PL_CSR_ROUTED"
             )
-            print(f"#auto: DIA infeasible ({e}); falling back to {mode}")
+            print(f"#auto: {spec.name} infeasible ({e}); falling back to {mode}")
             spec = registry.get(mode)
             operands = spec.prepare(csr, ell, cfg)
     if args.save_prepared:

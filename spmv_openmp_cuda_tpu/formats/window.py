@@ -261,18 +261,28 @@ def _pad_ok(nnz: int, k_pad: int, nblocks: int, max_pad: float) -> bool:
     return nblocks * k_pad * LANE <= max_pad * nnz
 
 
+def _feasible_costed(cands, nblocks, bps_list, nnz, max_pad, g):
+    """The ONE feasibility + cost rule every scan shares: yields
+    (cap, k_c, v, bps, cost) for configs within the per-step VMEM row cap
+    and the slot-padding cap (the exact checks prepare_window enforces)."""
+    for b in bps_list:
+        for cap, k_c, v in cands:
+            if (k_c + v) * b > _K_CAP:
+                continue  # per-step VMEM residency of the slot slabs
+            if not _pad_ok(nnz, k_c + v, nblocks, max_pad):
+                continue
+            yield cap, k_c, v, b, _cost_of(g, cap, k_c, v, nblocks, b)
+
+
 def _scan_caps(
     csr: CSRMatrix, g: int, bps: int = 1, max_pad: float = 4.5, base=None
 ):
     """Best (cap, k_c, V, cost) for group size g at a given blocks-per-step."""
     cands, nblocks = _cap_candidates(csr, g, base)
     best = None
-    for cap, k_c, v in cands:
-        if (k_c + v) * bps > _K_CAP:
-            continue  # per-step VMEM residency of the slot slabs
-        if not _pad_ok(csr.nnz, k_c + v, nblocks, max_pad):
-            continue
-        cost = _cost_of(g, cap, k_c, v, nblocks, bps)
+    for cap, k_c, v, _b, cost in _feasible_costed(
+        cands, nblocks, (bps,), csr.nnz, max_pad, g
+    ):
         if best is None or cost < best[3]:
             best = (cap, k_c, v, cost)
     if best is None:
@@ -312,7 +322,7 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
 def prepare_window(
     csr: CSRMatrix, g: int = 8, dtype=jnp.float32, vals_dtype=None,
     max_pad: float = 4.5, cap="auto", bps: int = 1, xdirect: bool = False,
-    df: bool = False,
+    df: bool = False, base=None,
 ) -> WindowCSR:
     if vals_dtype is None:
         vals_dtype = dtype
@@ -322,12 +332,16 @@ def prepare_window(
     assert 2 <= g <= 64, "g must be in [2, 64] (output rows per block)"
     if bps > 1 and g % 8:
         raise WindowError("bps > 1 requires g % 8 == 0 (uniform staging)")
-    base = _base_fields(csr)
+    if base is None:
+        base = _base_fields(csr)
     wr, nspecs, nblocks = _geometry(csr, g, base)
     q, blk, lane, jres, gid = _entry_fields(csr, g, base)
 
     if cap == "auto":
-        cap = _scan_caps(csr, g, base=base)[0]
+        # the scan must see the caller's padding budget and per-step bps
+        # residency, or it filters configs prepare would accept (and vice
+        # versa)
+        cap = _scan_caps(csr, g, bps=bps, max_pad=max_pad, base=base)[0]
 
     srow = np.empty(gid.shape[0], np.int64)
     if cap is None:
@@ -491,15 +505,12 @@ def window_cost(
     cands, nblocks = _cap_candidates(csr, g, base)
     extra = 0.0 if _xdirect_eligible(csr, nblocks) else _C_PADCHAIN
     best = None
-    for b in _bps_options(g, nblocks, _bps_policy()):
-        for cap, k_c, v in cands:
-            if (k_c + v) * b > _K_CAP:
-                continue
-            if not _pad_ok(csr.nnz, k_c + v, nblocks, max_pad):
-                continue
-            cost = _cost_of(g, cap, k_c, v, nblocks, b) + extra
-            if best is None or cost < best:
-                best = cost
+    for *_cfg, cost in _feasible_costed(
+        cands, nblocks, _bps_options(g, nblocks, _bps_policy()),
+        csr.nnz, max_pad, g,
+    ):
+        if best is None or cost + extra < best:
+            best = cost + extra
     if best is None:
         raise WindowError("no feasible packing under the row/padding caps")
     return best
@@ -547,15 +558,12 @@ def prepare_window_auto(
         extra = (
             0.0 if eligible and xdirect is not False else _C_PADCHAIN
         )
-        for b in _bps_options(g, nblocks, policy):
-            for cap, k_c, v in cands:
-                if (k_c + v) * b > _K_CAP:
-                    continue
-                if not _pad_ok(csr.nnz, k_c + v, nblocks, max_pad):
-                    continue
-                cost = _cost_of(g, cap, k_c, v, nblocks, b) + extra
-                if best is None or cost < best[1]:
-                    best = (g, cost, cap, b)
+        for cap, _k_c, _v, b, cost in _feasible_costed(
+            cands, nblocks, _bps_options(g, nblocks, policy),
+            csr.nnz, max_pad, g,
+        ):
+            if best is None or cost + extra < best[1]:
+                best = (g, cost + extra, cap, b)
     if best is None:
         raise WindowError("no feasible window configuration")
     g, _, cap, bps_pick = best
@@ -568,6 +576,7 @@ def prepare_window_auto(
     return prepare_window(
         csr, g=g, dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
         cap=cap, bps=1 if xdirect else bps_pick, xdirect=xdirect, df=df,
+        base=base,
     )
 
 

@@ -6,6 +6,8 @@ import pytest
 import spmv_openmp_cuda_tpu as S
 from spmv_openmp_cuda_tpu.config import Config
 from spmv_openmp_cuda_tpu.formats import window as W
+from spmv_openmp_cuda_tpu.formats.convert import sort_coo
+from spmv_openmp_cuda_tpu.formats.matrix import COOMatrix
 from spmv_openmp_cuda_tpu.formats.window import WindowError
 from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
 from spmv_openmp_cuda_tpu.ops import registry
@@ -176,3 +178,26 @@ def test_window_auto_pinned_xdirect_requires_single_block():
     csr = S.coo_to_csr(coo)
     with pytest.raises(WindowError):
         W.prepare_window_auto(csr, xdirect=True)
+
+
+def test_window_auto_cap_honors_max_pad_and_bps():
+    """cap='auto' must scan with the caller's max_pad and bps: a relaxed
+    padding budget admits hub matrices the 4.5 default rejects, and the
+    chosen cap must fit the per-step residency at the requested bps."""
+    rng = np.random.default_rng(0)
+    r = np.r_[np.zeros(64, np.int64), rng.integers(0, 256, 510)]
+    c = np.r_[np.arange(64), rng.integers(0, 256, 510)]
+    coo = sort_coo(
+        COOMatrix(shape=(256, 256), rows=r, cols=c, vals=np.ones(r.size))
+    )
+    csr = S.coo_to_csr(coo)
+    with pytest.raises(WindowError):
+        W.prepare_window(csr, g=2, cap="auto")  # default 4.5x budget
+    mat = W.prepare_window(csr, g=2, cap="auto", max_pad=30.0)
+    mat8 = W.prepare_window(csr, g=8, cap="auto", bps=8, max_pad=30.0)
+    assert mat8.k_pad * 8 <= W._K_CAP
+    x = rng.standard_normal(256)
+    for m in (mat, mat8):
+        y = np.asarray(W.window_spmv(m, jnp.asarray(x, jnp.float32)))
+        rep = vectors_diff(y.astype(np.float64), serial_csr_spmv(csr, x))
+        assert rep.ok, rep
