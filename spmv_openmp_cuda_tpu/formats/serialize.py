@@ -110,6 +110,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "k_c": mat.k_c,
             "bps": mat.bps,
             "xdirect": mat.xdirect,
+            "shared_w": mat.shared_w,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -248,6 +249,8 @@ def load_prepared(path: str) -> PreparedFormat:
             # pre-multiblock checkpoints ran one block per grid step
             bps=aux.get("bps", 1),
             xdirect=aux.get("xdirect", False),
+            # pre-shared_w checkpoints baked per-sub-block Q: keep False
+            shared_w=aux.get("shared_w", False),
         )
     if kind == "RoutedCSR":
         # leaf order follows the registered dataclass data_fields:

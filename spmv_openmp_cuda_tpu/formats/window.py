@@ -71,7 +71,7 @@ class WindowError(ValueError):
     data_fields=["vals", "sidx", "gid", "rsrc", "vals_lo"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
-        "bps", "xdirect",
+        "bps", "xdirect", "shared_w",
     ],
 )
 @dataclasses.dataclass
@@ -100,6 +100,10 @@ class WindowCSR:
     # single-block fast path: Q addresses x chunk-rows DIRECTLY (no wr
     # shift) so the kernel takes x as-is with no XLA pad/shift chain
     xdirect: bool = False
+    # bps > 1 with the UNION window staged once per grid step (Q baked
+    # union-relative): the per-sub-block restage + wT transpose disappear.
+    # Needs the union span ((bps-1)*g + g + 2*wr chunk rows) under 128.
+    shared_w: bool = False
 
     @property
     def n_ktiles(self) -> int:
@@ -322,7 +326,7 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
 def prepare_window(
     csr: CSRMatrix, g: int = 8, dtype=jnp.float32, vals_dtype=None,
     max_pad: float = 4.5, cap="auto", bps: int = 1, xdirect: bool = False,
-    df: bool = False, base=None,
+    df: bool = False, base=None, shared_w: bool | None = None,
 ) -> WindowCSR:
     if vals_dtype is None:
         vals_dtype = dtype
@@ -335,6 +339,18 @@ def prepare_window(
     if base is None:
         base = _base_fields(csr)
     wr, nspecs, nblocks = _geometry(csr, g, base)
+    # union staging: one window stage + transpose per grid step instead of
+    # per sub-block; auto-on when the union span fits the 128-row window
+    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
+    if shared_w is None:
+        shared_w = bps > 1 and ns_tot * 8 <= LANE
+    elif shared_w:
+        if bps <= 1:
+            shared_w = False
+        elif ns_tot * 8 > LANE:
+            raise WindowError(
+                f"shared_w union span {ns_tot * 8} rows exceeds the 128 cap"
+            )
     q, blk, lane, jres, gid = _entry_fields(csr, g, base)
 
     if cap == "auto":
@@ -388,6 +404,7 @@ def prepare_window(
             raise WindowError("xdirect needs a single block and x <= 128 "
                               "chunk-rows")
         bps = 1
+        shared_w = False
 
     dq = q - blk * g + wr  # window row in [0, nspecs*g)
 
@@ -413,7 +430,15 @@ def prepare_window(
     # 8-row block (blk*g)//8)
     # xdirect: Q addresses x chunk-rows directly (window row == x row q);
     # unset pairs read x row 0 whose product is zeroed by vals == 0
-    dq_staged = q if xdirect else dq + (blk * g) % 8
+    # shared_w: Q is UNION-relative — sub-block b of a step sees its window
+    # g*b chunk rows into the union stage (g % 8 == 0 makes the step's
+    # staging remainder exactly zero)
+    if xdirect:
+        dq_staged = q
+    elif shared_w:
+        dq_staged = dq + (blk % bps) * g
+    else:
+        dq_staged = dq + (blk * g) % 8
     rsrc[(blk * n_ktiles + t_of) * LANE + jres, jj_in] = dq_staged.astype(
         np.int8
     )
@@ -457,6 +482,7 @@ def prepare_window(
         k_c=k_c,
         bps=bps,
         xdirect=xdirect,
+        shared_w=shared_w,
     )
 
 
@@ -600,6 +626,7 @@ def _gather_reduce_block(
     w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref, o_ref,
     *, kb, rb, ob, g, k_pad, k_c,
     wl_ref=None, vlo_ref=None, srcl_ref=None, olo_ref=None,
+    wt=None, wtl=None,
 ):
     """Gather + reduce for ONE block whose x window is already staged in
     w_ref; kb/rb/ob offset into the slab/rsrc/output refs (sub-block
@@ -608,14 +635,19 @@ def _gather_reduce_block(
     Double-float mode (wl_ref/vlo_ref/srcl_ref/olo_ref given): the x
     window, slot values and accumulators are (hi, lo) f32 pairs; products
     use Dekker TwoProduct, every reduction add is a Knuth TwoSum
-    (ops/dfloat.py) — f64 semantics on the f32 VPU."""
-    df = wl_ref is not None
+    (ops/dfloat.py) — f64 semantics on the f32 VPU.
+
+    wt (and wtl in df mode) pass an ALREADY-TRANSPOSED window — the
+    shared_w path transposes the union stage once per grid step and every
+    sub-block reuses it (its Q is baked union-relative)."""
+    df = wl_ref is not None or wtl is not None
     n_ktiles = -(-k_pad // LANE)
     nh = -(-g // 8)
     g_pad = nh * 8
     acc_dtype = jnp.float32
-    wt = w_ref[:].T  # (residue, window row)
-    wtl = wl_ref[:].T if df else None
+    if wt is None:
+        wt = w_ref[:].T  # (residue, window row)
+        wtl = wl_ref[:].T if df else None
     for t in range(n_ktiles):
         qv = rsrc_ref[rb + t * LANE : rb + (t + 1) * LANE, :].astype(
             jnp.int32
@@ -711,7 +743,7 @@ def _gather_reduce_block(
 
 def window_kernel_call(
     vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks, k_c=0, bps=1,
-    vals_lo=None, xp2_lo=None,
+    vals_lo=None, xp2_lo=None, shared_w=False,
 ):
     """The fused gather+reduce kernel over a prepared slot-array set and an
     ALREADY-PADDED x window stack (xp2 row wr = x row 0). Exposed separately
@@ -724,7 +756,11 @@ def window_kernel_call(
     bigger-block VPU rate.
 
     vals_lo/xp2_lo switch on the double-float mode: returns the
-    (hi, lo) output pair instead of a single slab."""
+    (hi, lo) output pair instead of a single slab.
+
+    shared_w stages the UNION window of the step's bps sub-blocks once and
+    transposes it once; every sub-block gathers from the shared transposed
+    window (its Q was baked union-relative by prepare)."""
     assert nblocks % bps == 0, "prepare pads nblocks to a bps multiple"
     assert bps == 1 or g % 8 == 0
     df = vals_lo is not None
@@ -733,6 +769,7 @@ def window_kernel_call(
     g_pad = nh * 8
     acc_dtype = jnp.float32
     ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
+    assert not shared_w or (bps > 1 and ns_tot * 8 <= LANE)
 
     def kernel(*refs):
         refs_l = list(refs)
@@ -747,23 +784,34 @@ def window_kernel_call(
         wl_ref = refs_l.pop(0) if df else None
         src_ref = refs_l.pop(0)
         srcl_ref = refs_l.pop(0) if df else None
-        if nspecs * 8 < LANE:
-            z = jnp.zeros((LANE - nspecs * 8, LANE), acc_dtype)
-            w_ref[nspecs * 8 :, :] = z
+        n_stage = ns_tot if shared_w else nspecs
+        if n_stage * 8 < LANE:
+            z = jnp.zeros((LANE - n_stage * 8, LANE), acc_dtype)
+            w_ref[n_stage * 8 :, :] = z
             if df:
-                wl_ref[nspecs * 8 :, :] = z
-        for b in range(bps):
-            j0 = b * (g // 8) if bps > 1 else 0
-            for j in range(nspecs):
-                w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j0 + j][:]
+                wl_ref[n_stage * 8 :, :] = z
+        wt_shared = wtl_shared = None
+        if shared_w:
+            for j in range(ns_tot):
+                w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j][:]
                 if df:
-                    wl_ref[j * 8 : (j + 1) * 8, :] = xlrefs[j0 + j][:]
+                    wl_ref[j * 8 : (j + 1) * 8, :] = xlrefs[j][:]
+            wt_shared = w_ref[:].T
+            if df:
+                wtl_shared = wl_ref[:].T
+        for b in range(bps):
+            if not shared_w:
+                j0 = b * (g // 8) if bps > 1 else 0
+                for j in range(nspecs):
+                    w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j0 + j][:]
+                    if df:
+                        wl_ref[j * 8 : (j + 1) * 8, :] = xlrefs[j0 + j][:]
             _gather_reduce_block(
                 w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref,
                 o_ref, kb=b * k_pad, rb=b * n_ktiles * LANE, ob=b * g_pad,
                 g=g, k_pad=k_pad, k_c=k_c,
                 wl_ref=wl_ref, vlo_ref=vlo_ref, srcl_ref=srcl_ref,
-                olo_ref=olo_ref,
+                olo_ref=olo_ref, wt=wt_shared, wtl=wtl_shared,
             )
 
     def xspec_list():
@@ -943,7 +991,7 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
     out = window_kernel_call(
         mat.vals, mat.sidx, mat.gid, mat.rsrc, _padded(xh),
         g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nblocks, k_c=mat.k_c,
-        bps=mat.bps,
+        bps=mat.bps, shared_w=mat.shared_w,
         vals_lo=mat.vals_lo, xp2_lo=_padded(xl) if df else None,
     )
     return _finish(out)

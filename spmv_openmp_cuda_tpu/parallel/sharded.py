@@ -483,8 +483,10 @@ def prepare_window_sharded(csr: CSRMatrix, mesh: Mesh, dtype=jnp.float32):
 
     nd = mesh.shape[ROWS]
     # xdirect bakes Q without the wr shift; the halo layout below needs
-    # the standard staged-window baking
-    mat = prepare_window_auto(csr, dtype=dtype, xdirect=False)
+    # the standard staged-window baking. bps pinned to 1: the local kernel
+    # call below runs block-at-a-time, and shared_w (union-relative Q
+    # baking, auto-on for bps > 1) would not match it
+    mat = prepare_window_auto(csr, dtype=dtype, xdirect=False, bps=1)
     # every shard must start at an 8-row x boundary (the kernel's staging
     # remainder (i*g) % 8 is baked into the Q data with GLOBAL block
     # indices): make nb_local * g divisible by 8

@@ -201,3 +201,50 @@ def test_window_auto_cap_honors_max_pad_and_bps():
         y = np.asarray(W.window_spmv(m, jnp.asarray(x, jnp.float32)))
         rep = vectors_diff(y.astype(np.float64), serial_csr_spmv(csr, x))
         assert rep.ok, rep
+
+
+@pytest.mark.parametrize("g,bps", [(8, 2), (8, 8), (16, 4)])
+def test_window_shared_staging(g, bps):
+    """shared_w (union window staged+transposed once per step, Q baked
+    union-relative) must reproduce the per-sub-block staging exactly,
+    including nblocks padding to a bps multiple."""
+    coo = synth.fem_like(m=6000, n=6000, nnz=60000, spread=700, lo=4, hi=16, seed=7)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(csr.shape[1], seed=1)
+    base = W.prepare_window(csr, g=g, bps=1)
+    per_sub = W.prepare_window(csr, g=g, bps=bps, shared_w=False)
+    shared = W.prepare_window(csr, g=g, bps=bps, shared_w=True)
+    assert shared.shared_w and not per_sub.shared_w
+    y1 = np.asarray(W.window_spmv(base, jnp.asarray(x, jnp.float32)))
+    y2 = np.asarray(W.window_spmv(per_sub, jnp.asarray(x, jnp.float32)))
+    y3 = np.asarray(W.window_spmv(shared, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_array_equal(y1, y3)
+    rep = vectors_diff(y3.astype(np.float64), serial_csr_spmv(csr, x))
+    assert rep.ok, rep
+
+
+def test_window_shared_staging_df():
+    """Double-float mode through the shared union stage."""
+    coo = synth.fem_like(m=4000, n=4000, nnz=36000, spread=500, lo=4, hi=12, seed=5)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(csr.shape[1], seed=2)
+    mat = W.prepare_window(csr, g=8, bps=4, shared_w=True, df=True)
+    y = np.asarray(W.window_spmv(mat, jnp.asarray(x, jnp.float64)))
+    err = np.abs(y - serial_csr_spmv(csr, x)).max()
+    assert err < 1e-10, err
+
+
+def test_window_shared_staging_span_cap():
+    """A union span past 128 window rows must be rejected when pinned on
+    (and silently disabled when auto)."""
+    coo = synth.fem_like(m=60000, n=60000, nnz=400000, spread=6000, lo=4, hi=10, seed=3)
+    csr = S.coo_to_csr(coo)
+    wr, nspecs, _nb = W._geometry(csr, 16)
+    bps = 8
+    if ((bps - 1) * 2 + nspecs) * 8 <= 128:
+        pytest.skip("span unexpectedly fits")
+    with pytest.raises(WindowError):
+        W.prepare_window(csr, g=16, bps=bps, shared_w=True)
+    auto = W.prepare_window(csr, g=16, bps=bps)
+    assert not auto.shared_w
