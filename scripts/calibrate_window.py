@@ -44,9 +44,16 @@ def grid(csr):
     for cap in (8, 16, 32, 64):
         cfgs.append((f"g16-cap{cap}-b1", dict(g=16, cap=cap, bps=1)))
     cfgs.append(("g16-capN-b1", dict(g=16, cap=None, bps=1)))
-    # bps ladder at two g's (per-step fixed cost + bigger-block VPU rate)
+    # bps ladder at two g's (per-step fixed cost + bigger-block VPU rate);
+    # shared_w auto-enables where the union span fits — the -nosw twins
+    # isolate the shared-staging delta
     for g, bps in ((16, 4), (16, 8), (32, 4), (32, 8)):
         cfgs.append((f"g{g}-auto-b{bps}", dict(g=g, cap="auto", bps=bps)))
+    for g, bps in ((16, 4), (16, 8)):
+        cfgs.append(
+            (f"g{g}-auto-b{bps}-nosw",
+             dict(g=g, cap="auto", bps=bps, shared_w=False))
+        )
     return cfgs
 
 
@@ -54,7 +61,7 @@ def main():
     presets = sys.argv[1:] or ["fem_3d_thermal2_like"]
     print(
         "preset,label,g,cap,k_pad,k_c,v,nblocks,bps,n_ktiles,slots,"
-        "tile_vol,fold_vol,pass_vol,steps,us,gflops,maxerr",
+        "tile_vol,fold_vol,pass_vol,steps,us,gflops,maxerr,shared_w",
         flush=True,
     )
     for preset in presets:
@@ -87,7 +94,8 @@ def main():
                 print(
                     f"{preset},{label},{g},{kw['cap']},{k_pad},{k_c},{v},"
                     f"{nb},{bps},{ktiles},{slots},{tile_vol},{fold_vol},"
-                    f"{pass_vol},{steps},{dt*1e6:.2f},{gf:.1f},{err:.1e}",
+                    f"{pass_vol},{steps},{dt*1e6:.2f},{gf:.1f},{err:.1e},"
+                    f"{int(mat.shared_w)}",
                     flush=True,
                 )
                 print(
