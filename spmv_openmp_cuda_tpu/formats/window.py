@@ -197,9 +197,14 @@ def _class_split(blk, lane, jres, gid, nblocks, cap):
     return keep, v
 
 
-#: measured v5e reduce-pass cost (ps per slot per masked pass) and
-#: gather/assembly cost (ps per slot); see doc/REPORT.md
+#: measured v5e cost-model constants (ps per element / per step); the
+#: calibration grid (scripts/calibrate_window.py + fit_window_model.py)
+#: refits these. _C_TILE charges the source-assembly taa by its TRUE
+#: volume — whole 128-slot-row tiles (n_ktiles*128*128 per block),
+#: tile-quantized regardless of k_pad; with _C_TILE = 0 the assembly cost
+#: rides _C_GATHER per slot (the pre-calibration model).
 _C_GATHER = 14.0
+_C_TILE = 0.0  # per assembly-taa element (n_ktiles*128*128 per block)
 _C_PASS = 0.3
 _C_FOLD = 0.45  # per constrained slot per ceil(g/8)-pass (mask+fold)
 _C_BLOCK = 250_000.0  # fixed per grid step (ps)
@@ -212,8 +217,10 @@ _C_PADCHAIN = 3_000_000.0
 def _cost_of(g: int, cap, k_c: int, v: int, nblocks: int, bps: int = 1) -> float:
     nh = -(-g // 8)
     k_pad = k_c + v
+    n_ktiles = -(-k_pad // LANE)
     return (
         k_pad * LANE * nblocks * _C_GATHER
+        + n_ktiles * LANE * LANE * nblocks * _C_TILE
         + k_c * LANE * nblocks * _C_FOLD * nh
         + v * LANE * nblocks * _C_PASS * g
         + (-(-nblocks // bps)) * _C_BLOCK
