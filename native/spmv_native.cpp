@@ -333,6 +333,90 @@ int spmv_color_bipartite(int64_t e, const int64_t* left, const int64_t* right,
   return SPMV_OK;
 }
 
-int spmv_native_abi_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Window-engine prepare scan (formats/window.py::_cap_candidates/_geometry):
+// one fused pass per group size g over the per-nnz base fields computes the
+// window geometry extrema (d = q - blk*g) and the two per-(block, gid%8)
+// degree histograms the packing-cap ladder estimates V from. The Python scan
+// re-walked 8M+-element arrays ~8 times per g; this is one threaded pass.
+// Entries arrive in CSR row order, so blk = rq / g is non-decreasing: thread
+// ranges are aligned to block boundaries and the histogram writes are
+// disjoint (no merge, no atomics).
+// ---------------------------------------------------------------------------
+int spmv_window_scan(int64_t nnz, const int64_t* rq, const int64_t* lane,
+                     const int64_t* q, const int64_t* jres, int64_t g,
+                     int64_t nblocks, int64_t* d_min_out, int64_t* d_max_out,
+                     int32_t* hl, int32_t* hr) {
+  if (nnz <= 0 || g <= 0 || nblocks <= 0) return SPMV_ERR_ENTRY;
+  const int64_t hist_len = nblocks * 8 * 128;
+  std::memset(hl, 0, sizeof(int32_t) * static_cast<size_t>(hist_len));
+  std::memset(hr, 0, sizeof(int32_t) * static_cast<size_t>(hist_len));
+  int64_t d_min = INT64_MAX, d_max = INT64_MIN;
+#pragma omp parallel reduction(min : d_min) reduction(max : d_max)
+  {
+    int nt = omp_get_num_threads(), tid = omp_get_thread_num();
+    // block-aligned [lo, hi): first nnz whose blk >= ceil split
+    auto lower_bound_blk = [&](int64_t blk_target) -> int64_t {
+      int64_t lo = 0, hi = nnz;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (rq[mid] / g < blk_target) lo = mid + 1;
+        else hi = mid;
+      }
+      return lo;
+    };
+    int64_t b0 = nblocks * tid / nt, b1 = nblocks * (tid + 1) / nt;
+    int64_t lo = lower_bound_blk(b0), hi = lower_bound_blk(b1);
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t blk = rq[i] / g;
+      int64_t d = q[i] - blk * g;
+      if (d < d_min) d_min = d;
+      if (d > d_max) d_max = d;
+      int64_t base = (blk * 8 + (rq[i] % g) % 8) * 128;
+      hl[base + lane[i]]++;
+      hr[base + jres[i]]++;
+    }
+  }
+  *d_min_out = d_min == INT64_MAX ? 0 : d_min;
+  *d_max_out = d_max == INT64_MIN ? 0 : d_max;
+  return SPMV_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Stable rank-within-key-group (formats/window.py::_rank_in_group): for each
+// entry, the number of earlier entries with the same key. Keys are
+// blk * stride + local with blk = key / stride NON-DECREASING (CSR row
+// order), so thread ranges split at blk boundaries and each thread walks its
+// slice sequentially with a blk-local counter table — replaces an
+// O(n log n) argsort with an O(n) pass.
+// ---------------------------------------------------------------------------
+int spmv_rank_in_group(int64_t nnz, const int64_t* key, int64_t stride,
+                       int64_t nblocks, int64_t* rank_out) {
+  if (nnz <= 0 || stride <= 0 || nblocks <= 0) return SPMV_ERR_ENTRY;
+#pragma omp parallel
+  {
+    int nt = omp_get_num_threads(), tid = omp_get_thread_num();
+    auto lower_bound_blk = [&](int64_t blk_target) -> int64_t {
+      int64_t lo = 0, hi = nnz;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (key[mid] / stride < blk_target) lo = mid + 1;
+        else hi = mid;
+      }
+      return lo;
+    };
+    int64_t b0 = nblocks * tid / nt, b1 = nblocks * (tid + 1) / nt;
+    int64_t lo = lower_bound_blk(b0), hi = lower_bound_blk(b1);
+    if (lo < hi) {
+      std::vector<int32_t> cnt(static_cast<size_t>((b1 - b0) * stride), 0);
+      const int64_t base = b0 * stride;
+      for (int64_t i = lo; i < hi; ++i)
+        rank_out[i] = cnt[static_cast<size_t>(key[i] - base)]++;
+    }
+  }
+  return SPMV_OK;
+}
+
+int spmv_native_abi_version() { return 3; }
 
 }  // extern "C"

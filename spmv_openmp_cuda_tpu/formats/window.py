@@ -137,13 +137,37 @@ def _base_fields(csr: CSRMatrix):
     return rq, lane, q, jres
 
 
-def _geometry(csr: CSRMatrix, g: int, base=None):
-    """(wr, nspecs, nblocks) — window reach for group size g."""
+def _scan_g(csr: CSRMatrix, g: int, base, want_hist: bool):
+    """Per-g prepare scan: (wr, nspecs, nblocks, dl8, dr8). One fused
+    threaded pass through the native backend when built (io/native.py),
+    numpy passes otherwise. dl8/dr8 (the (nblocks, 8, 128) per-(block,
+    gid%8) lane/residue degree histograms) are None when want_hist is
+    False and the numpy path runs."""
     m, n = csr.shape
-    rq, _lane, q, _jres = base if base is not None else _base_fields(csr)
-    blk = rq // g
-    d = q - blk * g  # chunk relative to block start
-    wr = max(int(max(-d.min(initial=0), 0)), int(max(d.max(initial=0) - g + 1, 0)), 1)
+    nblocks = -(-m // (g * LANE))
+    rq, lane, q, jres = base
+    from ..io.native import window_scan_native
+
+    res = window_scan_native(rq, lane, q, jres, g, nblocks)
+    if res is not None:
+        d_min, d_max, dl8, dr8 = res
+    else:
+        blk = rq // g
+        d = q - blk * g  # chunk relative to block start
+        d_min = int(d.min(initial=0))
+        d_max = int(d.max(initial=0))
+        if want_hist:
+            cls = (rq % g) % 8
+            key = (blk * 8 + cls) * LANE
+            dl8 = np.bincount(
+                key + lane, minlength=nblocks * 8 * LANE
+            ).reshape(nblocks, 8, LANE)
+            dr8 = np.bincount(
+                key + jres, minlength=nblocks * 8 * LANE
+            ).reshape(nblocks, 8, LANE)
+        else:
+            dl8 = dr8 = None
+    wr = max(max(-d_min, 0), max(d_max - g + 1, 0), 1)
     s_w = g + 2 * wr
     # the x window is staged in 8-row blocks at index (i*g)//8 + j, with the
     # per-block remainder (i*g) % 8 folded into the Q data host-side — so g
@@ -151,12 +175,29 @@ def _geometry(csr: CSRMatrix, g: int, base=None):
     nspecs = -(-(s_w + 7) // 8)
     if nspecs * 8 > LANE:
         raise WindowError(f"window span {s_w} chunk-rows exceeds the 128 cap")
-    nblocks = -(-m // (g * LANE))
-    return wr, nspecs, nblocks
+    return wr, nspecs, nblocks, dl8, dr8
+
+
+def _geometry(csr: CSRMatrix, g: int, base=None):
+    """(wr, nspecs, nblocks) — window reach for group size g."""
+    if base is None:
+        base = _base_fields(csr)
+    return _scan_g(csr, g, base, want_hist=False)[:3]
 
 
 def _rank_in_group(keys: np.ndarray, minlength: int) -> np.ndarray:
-    """rank[i] = #entries before i (stable order) with the same key."""
+    """rank[i] = #entries before i (stable order) with the same key.
+
+    Keys here are blk * (8*LANE) + local with a non-decreasing blk prefix
+    (CSR row order): the native O(n) threaded pass applies; the argsort
+    fallback covers unbuilt-library runs."""
+    from ..io.native import rank_in_group_native
+
+    nblocks = minlength // (8 * LANE)
+    if keys.size and nblocks > 0:
+        out = rank_in_group_native(keys, 8 * LANE, nblocks)
+        if out is not None:
+            return out
     order = np.argsort(keys, kind="stable")
     sk = keys[order]
     n = sk.size
@@ -230,20 +271,12 @@ def _cost_of(g: int, cap, k_c: int, v: int, nblocks: int, bps: int = 1) -> float
 def _cap_candidates(csr: CSRMatrix, g: int, base=None):
     """Feasible (cap, k_c, V) configs for group size g over the cap ladder,
     plus nblocks. V per cap is ESTIMATED from per-class degree excess
-    (bincounts only — the exact two-pass rank peel over every (g, cap)
+    (histograms only — the exact two-pass rank peel over every (g, cap)
     candidate costs an argsort per pair, ~minutes on 8M-nnz matrices);
     prepare_window re-peels the chosen config exactly."""
     if base is None:
         base = _base_fields(csr)
-    wr, nspecs, nblocks = _geometry(csr, g, base)
-    _q, blk, lane, jres, gid = _entry_fields(csr, g, base)
-    cls = gid % 8
-    dl8 = np.bincount(
-        (blk * 8 + cls) * LANE + lane, minlength=nblocks * 8 * LANE
-    ).reshape(nblocks, 8, LANE)
-    dr8 = np.bincount(
-        (blk * 8 + cls) * LANE + jres, minlength=nblocks * 8 * LANE
-    ).reshape(nblocks, 8, LANE)
+    _wr, _nspecs, nblocks, dl8, dr8 = _scan_g(csr, g, base, want_hist=True)
     d_glob = _next_pow2(
         max(int(dl8.sum(axis=1).max(initial=1)),
             int(dr8.sum(axis=1).max(initial=1)), 16)

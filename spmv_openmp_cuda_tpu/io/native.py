@@ -195,3 +195,62 @@ def color_bipartite_native(
     if rc != 0:
         return None
     return out
+
+
+def window_scan_native(
+    rq: np.ndarray, lane: np.ndarray, q: np.ndarray, jres: np.ndarray,
+    g: int, nblocks: int,
+):
+    """Fused per-g window-prepare scan (formats/window.py): returns
+    (d_min, d_max, hl, hr) where hl/hr are the (nblocks, 8, 128) int32
+    per-(block, gid%8) lane/residue degree histograms. None when the
+    library is not built (caller falls back to the numpy passes)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "spmv_window_scan"):
+        return None
+    fn = lib.spmv_window_scan
+    fn.restype = ctypes.c_int
+    nnz = rq.shape[0]
+    arrs = [np.ascontiguousarray(a, dtype=np.int64) for a in (rq, lane, q, jres)]
+    hl = np.empty((nblocks, 8, 128), dtype=np.int32)
+    hr = np.empty((nblocks, 8, 128), dtype=np.int32)
+    d_min = ctypes.c_int64()
+    d_max = ctypes.c_int64()
+    rc = fn(
+        ctypes.c_int64(nnz),
+        *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for a in arrs),
+        ctypes.c_int64(g),
+        ctypes.c_int64(nblocks),
+        ctypes.byref(d_min),
+        ctypes.byref(d_max),
+        hl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return int(d_min.value), int(d_max.value), hl, hr
+
+
+def rank_in_group_native(
+    key: np.ndarray, stride: int, nblocks: int
+) -> Optional[np.ndarray]:
+    """Stable rank within equal keys for keys whose key // stride prefix is
+    non-decreasing (CSR row order): O(n) threaded native pass replacing the
+    argsort in formats/window.py. None when the library is not built."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "spmv_rank_in_group"):
+        return None
+    fn = lib.spmv_rank_in_group
+    fn.restype = ctypes.c_int
+    key = np.ascontiguousarray(key, dtype=np.int64)
+    out = np.empty(key.shape[0], dtype=np.int64)
+    rc = fn(
+        ctypes.c_int64(key.shape[0]),
+        key.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(stride),
+        ctypes.c_int64(nblocks),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out
