@@ -133,3 +133,27 @@ def test_serialize_roundtrip_window(tmp_path):
     y1 = np.asarray(window_spmv(mat, x))
     y2 = np.asarray(window_spmv(mat2, x))
     assert np.array_equal(y1, y2)
+
+
+def test_serialize_roundtrip_window_shared_staging(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    import spmv_openmp_cuda_tpu as S
+    from spmv_openmp_cuda_tpu.formats.serialize import load_prepared, save_prepared
+    from spmv_openmp_cuda_tpu.formats.window import prepare_window, window_spmv
+    from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+    from spmv_openmp_cuda_tpu.utils import synth
+
+    coo = synth.fem_like(m=5000, n=5000, nnz=50000, spread=600, lo=4, hi=16, seed=8)
+    csr = S.coo_to_csr(coo)
+    mat = prepare_window(csr, g=8, bps=4)  # shared_w auto-on
+    assert mat.shared_w and mat.bps == 4
+    path = str(tmp_path / "win_sw.npz")
+    save_prepared(path, mat)
+    mat2 = load_prepared(path)
+    assert mat2.shared_w and mat2.bps == 4
+    x = jnp.asarray(fill_rnd_vector(5000, seed=1), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(window_spmv(mat, x)), np.asarray(window_spmv(mat2, x))
+    )
