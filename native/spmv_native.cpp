@@ -417,6 +417,42 @@ int spmv_rank_in_group(int64_t nnz, const int64_t* key, int64_t stride,
   return SPMV_OK;
 }
 
+// ---------------------------------------------------------------------------
+// Window slot-slab fill (formats/window.py::prepare_window): scatter every
+// nnz into the value/sidx/gid slabs and bake the Q map, one fused threaded
+// pass. The edge-coloring packing guarantees one entry per (slot row, lane)
+// and per (slot row, residue), so all writes hit distinct cells — plain
+// parallel for, no atomics. mode: 0 = standard (dq + (blk*g)%8),
+// 1 = xdirect (raw q), 2 = shared_w (dq + (blk%bps)*g).
+// ---------------------------------------------------------------------------
+int spmv_window_fill(int64_t nnz, const int64_t* rq, const int64_t* lane,
+                     const int64_t* q, const int64_t* jres,
+                     const int64_t* srow, const double* data, int64_t g,
+                     int64_t k_pad, int64_t k_c, int64_t n_ktiles, int64_t wr,
+                     int64_t bps, int mode, double* vals, int8_t* sidx,
+                     int8_t* gslab, int8_t* rsrc) {
+  if (nnz <= 0 || g <= 0 || k_pad <= 0) return SPMV_ERR_ENTRY;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t blk = rq[i] / g, gid = rq[i] % g;
+    int64_t row = blk * k_pad + srow[i];
+    int64_t cell = row * 128 + lane[i];
+    vals[cell] = data[i];
+    sidx[cell] = static_cast<int8_t>(jres[i]);
+    gslab[cell] = static_cast<int8_t>(srow[i] < k_c ? gid / 8 : gid);
+    int64_t dq_staged;
+    if (mode == 1) {
+      dq_staged = q[i];
+    } else {
+      int64_t dq = q[i] - blk * g + wr;
+      dq_staged = mode == 2 ? dq + (blk % bps) * g : dq + (blk * g) % 8;
+    }
+    int64_t rrow = (blk * n_ktiles + srow[i] / 128) * 128 + jres[i];
+    rsrc[rrow * 128 + srow[i] % 128] = static_cast<int8_t>(dq_staged);
+  }
+  return SPMV_OK;
+}
+
 int spmv_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -446,42 +446,48 @@ def prepare_window(
         bps = 1
         shared_w = False
 
-    dq = q - blk * g + wr  # window row in [0, nspecs*g)
-
-    slot_row = blk * k_pad + srow
+    # slot slabs + Q map bake. Per-cell semantics (numpy path below; the
+    # native fill fuses it all into one threaded pass):
+    # - vals/sidx at (blk*k_pad + srow, lane);
+    # - gslab: constrained rows store gid // 8 (the fold pass id), overflow
+    #   rows the full gid (their masked loop compares against gid);
+    # - rsrc (the Q map): per slot-row tile,
+    #   Q[residue, slot-row-in-tile] = window row (unset pairs read window
+    #   row 0; their slots have vals == 0). The window row is dq plus the
+    #   per-block staging remainder (window starts at x2d row blk*g, staged
+    #   from 8-row block (blk*g)//8); xdirect addresses x chunk-rows
+    #   directly (== q); shared_w is UNION-relative — sub-block b of a step
+    #   sees its window g*b chunk rows into the union stage (g % 8 == 0
+    #   makes the step's staging remainder exactly zero).
     vals = np.zeros((nblocks * k_pad, LANE), dtype=np.float64)
     sidx = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
     gslab = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
-    vals[slot_row, lane] = csr.data
-    sidx[slot_row, lane] = jres.astype(np.int8)
-    # constrained rows store gid // 8 (the fold pass id); overflow rows the
-    # full gid (their masked loop compares against gid directly)
-    gslab[slot_row, lane] = np.where(srow < k_c, gid // 8, gid).astype(
-        np.int8
-    )
-
-    # Q map: per slot-row tile, Q[residue, slot-row-in-tile] = window row
-    # (unset pairs read window row 0; their slots have vals == 0)
     rsrc = np.zeros((nblocks * n_ktiles * LANE, LANE), dtype=np.int8)
-    t_of = srow // LANE
-    jj_in = srow % LANE
-    # window row within the staged 8-row blocks: dq plus the per-block
-    # staging remainder (the window starts at x2d row blk*g, staged from
-    # 8-row block (blk*g)//8)
-    # xdirect: Q addresses x chunk-rows directly (window row == x row q);
-    # unset pairs read x row 0 whose product is zeroed by vals == 0
-    # shared_w: Q is UNION-relative — sub-block b of a step sees its window
-    # g*b chunk rows into the union stage (g % 8 == 0 makes the step's
-    # staging remainder exactly zero)
-    if xdirect:
-        dq_staged = q
-    elif shared_w:
-        dq_staged = dq + (blk % bps) * g
-    else:
-        dq_staged = dq + (blk * g) % 8
-    rsrc[(blk * n_ktiles + t_of) * LANE + jres, jj_in] = dq_staged.astype(
-        np.int8
-    )
+    from ..io.native import window_fill_native
+
+    mode = 1 if xdirect else 2 if shared_w else 0
+    if not window_fill_native(
+        base[0], lane, q, jres, srow, csr.data, g, k_pad, k_c, n_ktiles,
+        wr, bps, mode, vals, sidx, gslab, rsrc,
+    ):
+        dq = q - blk * g + wr  # window row in [0, nspecs*g)
+        slot_row = blk * k_pad + srow
+        vals[slot_row, lane] = csr.data
+        sidx[slot_row, lane] = jres.astype(np.int8)
+        gslab[slot_row, lane] = np.where(srow < k_c, gid // 8, gid).astype(
+            np.int8
+        )
+        t_of = srow // LANE
+        jj_in = srow % LANE
+        if xdirect:
+            dq_staged = q
+        elif shared_w:
+            dq_staged = dq + (blk % bps) * g
+        else:
+            dq_staged = dq + (blk * g) % 8
+        rsrc[(blk * n_ktiles + t_of) * LANE + jres, jj_in] = dq_staged.astype(
+            np.int8
+        )
 
     nblocks_pad = -(-nblocks // bps) * bps
     if nblocks_pad > nblocks:

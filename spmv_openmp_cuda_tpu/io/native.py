@@ -254,3 +254,44 @@ def rank_in_group_native(
     if rc != 0:
         return None
     return out
+
+
+def window_fill_native(
+    rq: np.ndarray, lane: np.ndarray, q: np.ndarray, jres: np.ndarray,
+    srow: np.ndarray, data: np.ndarray, g: int, k_pad: int, k_c: int,
+    n_ktiles: int, wr: int, bps: int, mode: int,
+    vals: np.ndarray, sidx: np.ndarray, gslab: np.ndarray, rsrc: np.ndarray,
+) -> bool:
+    """Fused slot-slab scatter + Q bake for prepare_window (one threaded
+    pass; packing guarantees distinct cells). mode: 0 standard, 1 xdirect,
+    2 shared_w. Returns False when the library is not built (caller runs
+    the numpy scatters)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "spmv_window_fill"):
+        return False
+    fn = lib.spmv_window_fill
+    fn.restype = ctypes.c_int
+    arrs = [
+        np.ascontiguousarray(a, dtype=np.int64)
+        for a in (rq, lane, q, jres, srow)
+    ]
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    assert vals.flags.c_contiguous and sidx.flags.c_contiguous
+    assert gslab.flags.c_contiguous and rsrc.flags.c_contiguous
+    rc = fn(
+        ctypes.c_int64(rq.shape[0]),
+        *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for a in arrs),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(g),
+        ctypes.c_int64(k_pad),
+        ctypes.c_int64(k_c),
+        ctypes.c_int64(n_ktiles),
+        ctypes.c_int64(wr),
+        ctypes.c_int64(max(bps, 1)),
+        ctypes.c_int(mode),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        gslab.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        rsrc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return rc == 0

@@ -152,3 +152,25 @@ def test_native_rank_in_group_matches_argsort():
     run_start = np.maximum.accumulate(np.where(newrun, np.arange(keys.size), 0))
     ref[order] = np.arange(keys.size) - run_start
     np.testing.assert_array_equal(out, ref)
+
+
+def test_native_window_fill_matches_numpy(monkeypatch):
+    from spmv_openmp_cuda_tpu.formats import window as W
+    from spmv_openmp_cuda_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    coo = synth.fem_like(m=4000, n=4000, nnz=40000, spread=500, lo=4, hi=16, seed=9)
+    csr = S.coo_to_csr(coo)
+    for kw in (dict(g=8, bps=1), dict(g=8, bps=4), dict(g=16, cap=None)):
+        m_nat = W.prepare_window(csr, **kw)
+        monkeypatch.setattr(
+            "spmv_openmp_cuda_tpu.io.native.window_fill_native",
+            lambda *a, **k: False,
+        )
+        m_py = W.prepare_window(csr, **kw)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(m_nat.vals), np.asarray(m_py.vals))
+        np.testing.assert_array_equal(np.asarray(m_nat.sidx), np.asarray(m_py.sidx))
+        np.testing.assert_array_equal(np.asarray(m_nat.gid), np.asarray(m_py.gid))
+        np.testing.assert_array_equal(np.asarray(m_nat.rsrc), np.asarray(m_py.rsrc))
