@@ -64,6 +64,8 @@ def main():
         "tile_vol,fold_vol,pass_vol,steps,us,gflops,maxerr,shared_w",
         flush=True,
     )
+    deadline = float(os.environ.get("CAL_DEADLINE_S", "inf"))
+    start = time.perf_counter()
     for preset in presets:
         coo = synth.preset(preset)
         csr = coo_to_csr(coo)
@@ -72,6 +74,10 @@ def main():
         xj = jnp.asarray(x, jnp.float32)
         vdt = jnp.bfloat16 if csr.nnz > 500_000 else jnp.float32
         for label, kw in grid(csr):
+            if time.perf_counter() - start > deadline:
+                print(f"# {preset},{label}: SKIPPED (past "
+                      f"{deadline:.0f}s deadline)", flush=True)
+                continue
             try:
                 t0 = time.perf_counter()
                 mat = W.prepare_window(csr, vals_dtype=vdt, max_pad=30.0, **kw)
