@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LANE
+from ..ops.dfloat import traced_x32 as _traced_x32
 from ..ops.route import (
     PlannedPermutation,
     apply_permutation,
@@ -1187,6 +1188,7 @@ def _fusemid_on() -> bool:
     return os.environ.get("SPMV_ROUTED_FUSEMID", "0") == "1"
 
 
+@_traced_x32
 def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> jax.Array:
     if xw is None:
         xw = _pack_xw(mat, x)

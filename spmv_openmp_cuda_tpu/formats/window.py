@@ -244,11 +244,19 @@ def _class_split(blk, lane, jres, gid, nblocks, cap):
 #: volume — whole 128-slot-row tiles (n_ktiles*128*128 per block),
 #: tile-quantized regardless of k_pad; with _C_TILE = 0 the assembly cost
 #: rides _C_GATHER per slot (the pre-calibration model).
-_C_GATHER = 14.0
-_C_TILE = 0.0  # per assembly-taa element (n_ktiles*128*128 per block)
+#: refit 2026-08-19 on 6 on-TPU A/B points (thermal2 g64/b1 g32/b4
+#: g24/b8, fem g40/b1 g8/b4, delaunay g32/b1; scripts/ab_combined_payload
+#: stage "window"): least squares with _C_FOLD/_C_PASS pinned drove the
+#: per-slot gather term to ZERO and the per-tile term to ~12 ps — the
+#: assembly taa really is tile-quantized (volume n_ktiles*128*128
+#: regardless of k_pad), and the per-step cost is ~0.43 us, not 0.25.
+#: Residuals: thermal2 within 1.5%, fem_b1 +24% (over), delaunay -33%
+#: (fixed kernel overhead outside the model).
+_C_GATHER = 0.0
+_C_TILE = 12.2  # per assembly-taa element (n_ktiles*128*128 per block)
 _C_PASS = 0.3
 _C_FOLD = 0.45  # per constrained slot per ceil(g/8)-pass (mask+fold)
-_C_BLOCK = 250_000.0  # fixed per grid step (ps)
+_C_BLOCK = 430_000.0  # fixed per grid step (ps)
 #: cost of the XLA x pad/shift chain (one zeros+dynamic_update_slice
 #: dispatch feeding the kernel); single-block xdirect configs skip it, so
 #: the auto scan credits them this much (provisional until the on-TPU A/B)
@@ -542,7 +550,11 @@ _BPS_LADDER = (1, 2, 4, 8)
 #: step ("1"); flip to "auto" (joint (g, cap, bps) cost scan) on a win.
 #: SPMV_WINDOW_BPS overrides: an integer forces that bps, "auto" forces
 #: the joint scan.
-_BPS_POLICY_DEFAULT = "1"
+#: "auto" since the 2026-08-19 refit: the tile-quantized cost model now
+#: predicts the measured bps ladder within ~1.5% on thermal2 (bps>1
+#: amortizes the 0.43 us step cost AND raises the per-tile taa rate) and
+#: correctly keeps fem/delaunay at bps=1.
+_BPS_POLICY_DEFAULT = "auto"
 
 
 def _bps_policy() -> str:
@@ -616,7 +628,7 @@ def prepare_window_auto(
     the scan only picks (g, cap)."""
     policy = str(bps) if bps is not None else _bps_policy()
     base = _base_fields(csr)
-    best = None
+    by_g = {}
     for g in _G_LADDER:
         try:
             cands, nblocks = _cap_candidates(csr, g, base)
@@ -625,31 +637,71 @@ def prepare_window_auto(
         eligible = _xdirect_eligible(csr, nblocks)
         if xdirect is True and not eligible:
             continue  # pinned xdirect: only single-block configs qualify
-        # multi-block configs pay the x pad/shift chain; a single-block g
-        # rides xdirect and skips it (unless the caller pinned xdirect off)
-        extra = (
-            0.0 if eligible and xdirect is not False else _C_PADCHAIN
-        )
+        # every standard-path config pays the x pad/shift chain; only a
+        # caller-pinned xdirect=True single-block config skips it
+        extra = 0.0 if (xdirect is True and eligible) else _C_PADCHAIN
         for cap, _k_c, _v, b, cost in _feasible_costed(
             cands, nblocks, _bps_options(g, nblocks, policy),
             csr.nnz, max_pad, g,
         ):
-            if best is None or cost + extra < best[1]:
-                best = (g, cost + extra, cap, b)
-    if best is None:
+            if g not in by_g or cost + extra < by_g[g][1]:
+                by_g[g] = (g, cost + extra, cap, b)
+    if not by_g:
         raise WindowError("no feasible window configuration")
-    g, _, cap, bps_pick = best
+    # The scan's V (so k_pad, so the tile-quantized assembly cost) is
+    # ESTIMATED from per-class degree histograms, and the estimate is
+    # optimistic at small g (same-lane collisions inflate the exact rank
+    # peel): measured on fem_3d, est v=64 vs exact 256 flipped the pick
+    # from the 113.8 GF/s config to a 60.9 one.  Exact-prepare the top
+    # _AUTO_SHORTLIST distinct-g candidates and decide on their EXACT
+    # geometry (native threaded prep makes each ~seconds).
+    short = sorted(by_g.values(), key=lambda t: t[1])[:_AUTO_SHORTLIST]
+    best = (None, float("inf"))
+    for g, _est, cap, bps_pick in short:
+        mat = _try_prepare_auto(
+            csr, g, cap, bps_pick, dtype, vals_dtype, max_pad, xdirect,
+            df, base,
+        )
+        if mat is None:
+            continue
+        exact = _cost_of(
+            g, cap, mat.k_c, mat.k_pad - mat.k_c, mat.nblocks, mat.bps
+        )
+        if exact < best[1]:
+            best = (mat, exact)
+    if best[0] is None:
+        raise WindowError("no feasible window configuration")
+    return best[0]
+
+
+_AUTO_SHORTLIST = 2
+
+
+def _try_prepare_auto(
+    csr, g, cap, bps_pick, dtype, vals_dtype, max_pad, xdirect, df, base
+):
     if xdirect is None:
-        # whole matrix in one block and x within the 128-chunk window:
-        # skip the XLA pad/shift chain (the sharded builder passes False —
-        # its halo layout needs the standard wr-shifted Q baking)
-        _wr2, _ns2, nb2 = _geometry(csr, g, base)
-        xdirect = nb2 == 1 and -(-csr.shape[1] // LANE) <= LANE
-    return prepare_window(
-        csr, g=g, dtype=dtype, vals_dtype=vals_dtype, max_pad=max_pad,
-        cap=cap, bps=1 if xdirect else bps_pick, xdirect=xdirect, df=df,
-        base=base,
-    )
+        # measured on TPU (delaunay_n12, single-block): the standard
+        # wr-shifted staging ran 1.66 us vs xdirect's 1.87 us — the
+        # direct-x path saves the XLA pad/shift chain but loses more in
+        # the kernel's un-shifted window addressing, so it stays opt-in
+        xdirect = False
+    # the scan's V (and so k_pad) is ESTIMATED from degree histograms;
+    # prepare re-peels exactly and can land just over the per-step VMEM
+    # cap at the chosen bps — halve bps until it fits (bps=1 always
+    # passes the same caps the scan enforced)
+    b = 1 if xdirect else bps_pick
+    while True:
+        try:
+            return prepare_window(
+                csr, g=g, dtype=dtype, vals_dtype=vals_dtype,
+                max_pad=max_pad, cap=cap, bps=b, xdirect=xdirect, df=df,
+                base=base,
+            )
+        except WindowError:
+            if b == 1:
+                return None  # shortlist entry infeasible at exact peel
+            b = max(b // 2, 1)
 
 
 def _df_add(ah, al, bh, bl):
@@ -996,6 +1048,8 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
         xh, xl = x, None
 
     def _finish(out):
+        # 32-bit reshapes here; the single f64 combine happens in the
+        # caller, outside the x32 trace scope.
         outs = out if df else (out,)
         ys = []
         for o in outs:
@@ -1004,7 +1058,21 @@ def window_spmv(mat: WindowCSR, x: jax.Array) -> jax.Array:
             elif g_pad > g:
                 o = o[:g]
             ys.append(o.reshape(-1)[:m])
-        return df_combine64(ys[0], ys[1]) if df else ys[0]
+        return ys
+
+    from ..ops.dfloat import x32_trace_scope
+
+    with x32_trace_scope():
+        ys = _window_spmv_32(mat, xh, xl, _finish, acc_dtype)
+    return df_combine64(ys[0], ys[1]) if df else ys[0]
+
+
+def _window_spmv_32(mat, xh, xl, _finish, acc_dtype):
+    """The all-32-bit body of window_spmv (traced under x32_trace_scope)."""
+    m, n = mat.shape
+    g, k_pad, wr, nspecs = mat.g, mat.k_pad, mat.wr, mat.nspecs
+    nblocks = mat.nblocks
+    df = mat.vals_lo is not None
 
     if mat.xdirect:
         xrows8 = -(-n // (8 * LANE)) * 8

@@ -27,8 +27,47 @@ compilation.
 """
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 import jax.numpy as jnp
 import numpy as np
+
+
+def x32_trace_scope():
+    """32-bit canonicalization scope for tracing Pallas engine pipelines.
+
+    The double-float suite runs with ``jax_enable_x64`` on (the
+    reference's native dtype is double, macros.h:63-76), but Mosaic is
+    32-bit only: under x64 any *strong* numpy int64 plan scalar that
+    meets a traced value inside a kernel promotes it to int64, and the
+    TPU compiler rejects the program ("64-bit types are not supported").
+    Engine bodies trace inside this scope — new arrays canonicalize to
+    32 bits exactly as with x64 off — while the f64 split/combine steps
+    stay outside it.  A no-op when x64 is already off.
+    """
+    try:
+        from jax._src.config import enable_x64
+
+        return enable_x64(False)
+    except Exception:  # pragma: no cover - future jax refactors
+        return nullcontext()
+
+
+def traced_x32(fn):
+    """Decorator: trace ``fn`` under x32_trace_scope.
+
+    For engines whose inputs, outputs and internals are all 32-bit (the
+    f32/bf16 Pallas paths) — makes them immune to an ambient
+    jax_enable_x64 (e.g. a CLI session that ran a float64 mode first;
+    the flag is process-global and sticky)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with x32_trace_scope():
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 #: Veltkamp split constant for f32 (2^12 + 1): splits a 24-bit mantissa
 #: into two 12-bit halves whose pairwise products are exact in f32.

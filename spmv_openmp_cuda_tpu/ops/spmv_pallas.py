@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import LANE, SUBLANE
 from ..formats.dia import DeviceDIA, pad_x_dia
 from ..formats.matrix import DeviceELL, _ceil_to
+from .dfloat import traced_x32 as _traced_x32
 
 
 def _interpret() -> bool:
@@ -286,6 +287,7 @@ def prepare_dia_resid(
     return dr, plan
 
 
+@_traced_x32
 def dia_spmv_pallas(
     mat: DeviceDIA,
     x: jax.Array,
@@ -481,145 +483,148 @@ def dia_spmv_pallas_df(
     n_kt = resid.n_ktiles if resid is not None else 0
 
     xh, xl = split_f64_jnp(x.astype(jnp.float64))
-    dia_view = mat.as_dia()
-    rows_k = (plan.nblocks + 2) * bs
+    from .dfloat import x32_trace_scope
 
-    def _padded(xs):
-        xp = pad_x_dia(xs, dia_view)
-        return jnp.pad(xp, ((0, rows_k - xp.shape[0]), (0, 0)))
+    with x32_trace_scope():  # 32-bit kernel trace; f64 only outside
+        dia_view = mat.as_dia()
+        rows_k = (plan.nblocks + 2) * bs
 
-    xkh, xkl = _padded(xh), _padded(xl)
+        def _padded(xs):
+            xp = pad_x_dia(xs, dia_view)
+            return jnp.pad(xp, ((0, rows_k - xp.shape[0]), (0, 0)))
 
-    def kernel(*refs):
-        refs_l = list(refs)
-        x0h, x1h, x2h, x0l, x1l, x2l, diah_ref, dial_ref = refs_l[:8]
-        refs_l = refs_l[8:]
-        if resid is not None:
-            rv_ref, rvlo_ref, rsidx_ref, rgid_ref, rsrc_ref = refs_l[:5]
-            refs_l = refs_l[5:]
-        ohi_ref, olo_ref, wh_ref, wl_ref = refs_l[:4]
-        refs_l = refs_l[4:]
-        if resid is not None:
-            sh128_ref, sl128_ref, srch_ref, srcl_ref = refs_l[:4]
-        wh_ref[0:bs] = x0h[:]
-        wh_ref[bs : 2 * bs] = x1h[:]
-        wh_ref[2 * bs : 3 * bs] = x2h[:]
-        wl_ref[0:bs] = x0l[:]
-        wl_ref[bs : 2 * bs] = x1l[:]
-        wl_ref[2 * bs : 3 * bs] = x2l[:]
-        acc_hi = jnp.zeros((bs, LANE), jnp.float32)
-        acc_lo = jnp.zeros((bs, LANE), jnp.float32)
-        for k, off in enumerate(offsets):
-            q, r = divmod(off, LANE)
-            lo_h = wh_ref[ps + q : ps + q + bs, :]
-            lo_l = wl_ref[ps + q : ps + q + bs, :]
-            if r == 0:
-                sh_h, sh_l = lo_h, lo_l
-            else:
-                hi_h = wh_ref[ps + q + 1 : ps + q + 1 + bs, :]
-                hi_l = wl_ref[ps + q + 1 : ps + q + 1 + bs, :]
-                sh_h = jnp.concatenate([lo_h[:, r:], hi_h[:, :r]], axis=1)
-                sh_l = jnp.concatenate([lo_l[:, r:], hi_l[:, :r]], axis=1)
-            acc_hi, acc_lo = df_mul_acc(
-                acc_hi, acc_lo, diah_ref[k], dial_ref[k], sh_h, sh_l
-            )
-        if resid is not None:
-            # windowed residual fringe in df (see the f32 twin above)
-            sh128_ref[0 : 3 * bs, :] = wh_ref[:]
-            sl128_ref[0 : 3 * bs, :] = wl_ref[:]
-            if 3 * bs < LANE:
-                z = jnp.zeros((LANE - 3 * bs, LANE), jnp.float32)
-                sh128_ref[3 * bs :, :] = z
-                sl128_ref[3 * bs :, :] = z
-            wt_h = sh128_ref[:].T
-            wt_l = sl128_ref[:].T
-            for t in range(n_kt):
-                qv = jnp.broadcast_to(
-                    rsrc_ref[t * 8 : t * 8 + 8, :][0:1, :], (LANE, LANE)
+        xkh, xkl = _padded(xh), _padded(xl)
+
+        def kernel(*refs):
+            refs_l = list(refs)
+            x0h, x1h, x2h, x0l, x1l, x2l, diah_ref, dial_ref = refs_l[:8]
+            refs_l = refs_l[8:]
+            if resid is not None:
+                rv_ref, rvlo_ref, rsidx_ref, rgid_ref, rsrc_ref = refs_l[:5]
+                refs_l = refs_l[5:]
+            ohi_ref, olo_ref, wh_ref, wl_ref = refs_l[:4]
+            refs_l = refs_l[4:]
+            if resid is not None:
+                sh128_ref, sl128_ref, srch_ref, srcl_ref = refs_l[:4]
+            wh_ref[0:bs] = x0h[:]
+            wh_ref[bs : 2 * bs] = x1h[:]
+            wh_ref[2 * bs : 3 * bs] = x2h[:]
+            wl_ref[0:bs] = x0l[:]
+            wl_ref[bs : 2 * bs] = x1l[:]
+            wl_ref[2 * bs : 3 * bs] = x2l[:]
+            acc_hi = jnp.zeros((bs, LANE), jnp.float32)
+            acc_lo = jnp.zeros((bs, LANE), jnp.float32)
+            for k, off in enumerate(offsets):
+                q, r = divmod(off, LANE)
+                lo_h = wh_ref[ps + q : ps + q + bs, :]
+                lo_l = wl_ref[ps + q : ps + q + bs, :]
+                if r == 0:
+                    sh_h, sh_l = lo_h, lo_l
+                else:
+                    hi_h = wh_ref[ps + q + 1 : ps + q + 1 + bs, :]
+                    hi_l = wl_ref[ps + q + 1 : ps + q + 1 + bs, :]
+                    sh_h = jnp.concatenate([lo_h[:, r:], hi_h[:, :r]], axis=1)
+                    sh_l = jnp.concatenate([lo_l[:, r:], hi_l[:, :r]], axis=1)
+                acc_hi, acc_lo = df_mul_acc(
+                    acc_hi, acc_lo, diah_ref[k], dial_ref[k], sh_h, sh_l
                 )
-                srch_ref[t * LANE : (t + 1) * LANE, :] = jnp.take_along_axis(
-                    wt_h, qv, axis=1
-                ).T
-                srcl_ref[t * LANE : (t + 1) * LANE, :] = jnp.take_along_axis(
-                    wt_l, qv, axis=1
-                ).T
-            sv = rsidx_ref[:].astype(jnp.int32)
-            g_hi = jnp.take_along_axis(srch_ref[0:k_pad, :], sv, axis=1)
-            g_lo = jnp.take_along_axis(srcl_ref[0:k_pad, :], sv, axis=1)
-            vh = rv_ref[:]
-            ph, pe = two_prod(vh, g_hi)
-            p_lo = pe + (vh * g_lo + rvlo_ref[:] * g_hi)
-            gv = rgid_ref[:].astype(jnp.int32)
-            grows = []
-            for gg in range(bs):
-                mh = jnp.where(gv == gg, ph, 0.0)
-                ml = jnp.where(gv == gg, p_lo, 0.0)
-                t8 = _halve_pairs(
-                    [
-                        (mh[i * 8 : (i + 1) * 8], ml[i * 8 : (i + 1) * 8])
-                        for i in range(k_pad // 8)
-                    ],
-                    lambda a, b: _df_add(a[0], a[1], b[0], b[1]),
-                )
-                grows.append(
-                    _halve_pairs(
+            if resid is not None:
+                # windowed residual fringe in df (see the f32 twin above)
+                sh128_ref[0 : 3 * bs, :] = wh_ref[:]
+                sl128_ref[0 : 3 * bs, :] = wl_ref[:]
+                if 3 * bs < LANE:
+                    z = jnp.zeros((LANE - 3 * bs, LANE), jnp.float32)
+                    sh128_ref[3 * bs :, :] = z
+                    sl128_ref[3 * bs :, :] = z
+                wt_h = sh128_ref[:].T
+                wt_l = sl128_ref[:].T
+                for t in range(n_kt):
+                    qv = jnp.broadcast_to(
+                        rsrc_ref[t * 8 : t * 8 + 8, :][0:1, :], (LANE, LANE)
+                    )
+                    srch_ref[t * LANE : (t + 1) * LANE, :] = jnp.take_along_axis(
+                        wt_h, qv, axis=1
+                    ).T
+                    srcl_ref[t * LANE : (t + 1) * LANE, :] = jnp.take_along_axis(
+                        wt_l, qv, axis=1
+                    ).T
+                sv = rsidx_ref[:].astype(jnp.int32)
+                g_hi = jnp.take_along_axis(srch_ref[0:k_pad, :], sv, axis=1)
+                g_lo = jnp.take_along_axis(srcl_ref[0:k_pad, :], sv, axis=1)
+                vh = rv_ref[:]
+                ph, pe = two_prod(vh, g_hi)
+                p_lo = pe + (vh * g_lo + rvlo_ref[:] * g_hi)
+                gv = rgid_ref[:].astype(jnp.int32)
+                grows = []
+                for gg in range(bs):
+                    mh = jnp.where(gv == gg, ph, 0.0)
+                    ml = jnp.where(gv == gg, p_lo, 0.0)
+                    t8 = _halve_pairs(
                         [
-                            (t8[0][j : j + 1], t8[1][j : j + 1])
-                            for j in range(8)
+                            (mh[i * 8 : (i + 1) * 8], ml[i * 8 : (i + 1) * 8])
+                            for i in range(k_pad // 8)
                         ],
                         lambda a, b: _df_add(a[0], a[1], b[0], b[1]),
                     )
-                )
-            r_hi = jnp.concatenate([r[0] for r in grows], axis=0)
-            r_lo = jnp.concatenate([r[1] for r in grows], axis=0)
-            acc_hi, acc_lo = _df_add(acc_hi, acc_lo, r_hi, r_lo)
-        ohi_ref[:] = acc_hi
-        olo_ref[:] = acc_lo
+                    grows.append(
+                        _halve_pairs(
+                            [
+                                (t8[0][j : j + 1], t8[1][j : j + 1])
+                                for j in range(8)
+                            ],
+                            lambda a, b: _df_add(a[0], a[1], b[0], b[1]),
+                        )
+                    )
+                r_hi = jnp.concatenate([r[0] for r in grows], axis=0)
+                r_lo = jnp.concatenate([r[1] for r in grows], axis=0)
+                acc_hi, acc_lo = _df_add(acc_hi, acc_lo, r_hi, r_lo)
+            ohi_ref[:] = acc_hi
+            olo_ref[:] = acc_lo
 
-    xspec = lambda j: pl.BlockSpec(  # noqa: E731
-        (bs, LANE), functools.partial(lambda j, i: (i + j, 0), j),
-        memory_space=pltpu.VMEM,
-    )
-    dspec = pl.BlockSpec(
-        (d, bs, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
-    ospec = pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    in_specs = [xspec(0), xspec(1), xspec(2)] * 2 + [dspec, dspec]
-    args = [xkh, xkh, xkh, xkl, xkl, xkl, mat.data, mat.data_lo]
-    scratch = [
-        pltpu.VMEM((3 * bs, LANE), jnp.float32),
-        pltpu.VMEM((3 * bs, LANE), jnp.float32),
-    ]
-    if resid is not None:
-        kspec = pl.BlockSpec(
-            (k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        xspec = lambda j: pl.BlockSpec(  # noqa: E731
+            (bs, LANE), functools.partial(lambda j, i: (i + j, 0), j),
+            memory_space=pltpu.VMEM,
         )
-        in_specs += [
-            kspec, kspec, kspec, kspec,
-            pl.BlockSpec(
-                (n_kt * 8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+        dspec = pl.BlockSpec(
+            (d, bs, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        ospec = pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        in_specs = [xspec(0), xspec(1), xspec(2)] * 2 + [dspec, dspec]
+        args = [xkh, xkh, xkh, xkl, xkl, xkl, mat.data, mat.data_lo]
+        scratch = [
+            pltpu.VMEM((3 * bs, LANE), jnp.float32),
+            pltpu.VMEM((3 * bs, LANE), jnp.float32),
         ]
-        args += [resid.rvals, resid.rvals_lo, resid.rsidx, resid.rgid,
-                 resid.rsrc]
-        scratch += [
-            pltpu.VMEM((LANE, LANE), jnp.float32),
-            pltpu.VMEM((LANE, LANE), jnp.float32),
-            pltpu.VMEM((n_kt * LANE, LANE), jnp.float32),
-            pltpu.VMEM((n_kt * LANE, LANE), jnp.float32),
-        ]
-    out_hi, out_lo = pl.pallas_call(
-        kernel,
-        grid=(plan.nblocks,),
-        in_specs=in_specs,
-        out_specs=[ospec, ospec],
-        out_shape=[
-            jax.ShapeDtypeStruct((s_pad, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((s_pad, LANE), jnp.float32),
-        ],
-        scratch_shapes=scratch,
-        interpret=_interpret(),
-    )(*args)
+        if resid is not None:
+            kspec = pl.BlockSpec(
+                (k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            in_specs += [
+                kspec, kspec, kspec, kspec,
+                pl.BlockSpec(
+                    (n_kt * 8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            args += [resid.rvals, resid.rvals_lo, resid.rsidx, resid.rgid,
+                     resid.rsrc]
+            scratch += [
+                pltpu.VMEM((LANE, LANE), jnp.float32),
+                pltpu.VMEM((LANE, LANE), jnp.float32),
+                pltpu.VMEM((n_kt * LANE, LANE), jnp.float32),
+                pltpu.VMEM((n_kt * LANE, LANE), jnp.float32),
+            ]
+        out_hi, out_lo = pl.pallas_call(
+            kernel,
+            grid=(plan.nblocks,),
+            in_specs=in_specs,
+            out_specs=[ospec, ospec],
+            out_shape=[
+                jax.ShapeDtypeStruct((s_pad, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((s_pad, LANE), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            interpret=_interpret(),
+        )(*args)
     m = mat.shape[0]
     return df_combine64(
         out_hi.reshape(-1)[:m], out_lo.reshape(-1)[:m]

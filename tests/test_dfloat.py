@@ -230,7 +230,8 @@ def test_window_df_engine_precision(xdirect):
             40000, 40000, 360000, spread=4000, lo=5, hi=14, seed=6
         )
     csr = S.coo_to_csr(coo)
-    mat = prepare_window_auto(csr, df=True)
+    # xdirect is opt-in since the on-TPU A/B; pin it to cover both paths
+    mat = prepare_window_auto(csr, df=True, xdirect=xdirect or None)
     assert mat.xdirect == xdirect and mat.vals_lo is not None
     rng = np.random.default_rng(8)
     x = rng.standard_normal(csr.shape[1])

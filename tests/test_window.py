@@ -143,7 +143,9 @@ def test_window_xdirect_single_block():
     coo = synth.fem_like(m=3000, n=3000, nnz=20000, spread=900, lo=4, hi=10, seed=9)
     csr = S.coo_to_csr(coo)
     x = fill_rnd_vector(csr.shape[1], seed=2)
-    auto = W.prepare_window_auto(csr)
+    # xdirect is opt-in since the on-TPU A/B (the standard staging
+    # measured faster on delaunay); pin it to cover the path
+    auto = W.prepare_window_auto(csr, xdirect=True)
     assert auto.xdirect and auto.nblocks == 1
     std = W.prepare_window(csr, g=auto.g, xdirect=False)
     ya = np.asarray(W.window_spmv(auto, jnp.asarray(x, jnp.float32)))
