@@ -100,11 +100,25 @@ def _run_bench(env):
 
 
 def stage_f64():
-    _run_bench({"SPMV_DTYPE": "float64", "BENCH_DEADLINE_S": "420"})
+    # BENCH_INPROC: this process already holds the TPU claim — bench.py's
+    # subprocess orchestrator (which spawns claiming workers) must not run
+    _run_bench(
+        {
+            "SPMV_DTYPE": "float64",
+            "BENCH_DEADLINE_S": "900",
+            "BENCH_INPROC": "1",
+        }
+    )
 
 
 def stage_extended():
-    _run_bench({"BENCH_SUITE": "extended", "BENCH_DEADLINE_S": "420"})
+    _run_bench(
+        {
+            "BENCH_SUITE": "extended",
+            "BENCH_DEADLINE_S": "900",
+            "BENCH_INPROC": "1",
+        }
+    )
 
 
 def stage_calwin():

@@ -258,8 +258,10 @@ _C_PASS = 0.3
 _C_FOLD = 0.45  # per constrained slot per ceil(g/8)-pass (mask+fold)
 _C_BLOCK = 430_000.0  # fixed per grid step (ps)
 #: cost of the XLA x pad/shift chain (one zeros+dynamic_update_slice
-#: dispatch feeding the kernel); single-block xdirect configs skip it, so
-#: the auto scan credits them this much (provisional until the on-TPU A/B)
+#: dispatch feeding the kernel). xdirect is OPT-IN (the on-TPU A/B showed
+#: the direct-x path loses in-kernel more than it saves here), so every
+#: cost estimate charges this unconditionally — only a caller-pinned
+#: xdirect=True config skips it in prepare_window_auto.
 _C_PADCHAIN = 3_000_000.0
 
 
@@ -587,7 +589,10 @@ def window_cost(
     if bps is not None:
         return _scan_caps(csr, g, bps, max_pad, base)[3]
     cands, nblocks = _cap_candidates(csr, g, base)
-    extra = 0.0 if _xdirect_eligible(csr, nblocks) else _C_PADCHAIN
+    # xdirect is opt-in (prepare_window_auto defaults to the standard
+    # staging), so the pad-chain cost applies to every auto config —
+    # keeping this estimate consistent with what AUTO selection would run
+    extra = _C_PADCHAIN
     best = None
     for *_cfg, cost in _feasible_costed(
         cands, nblocks, _bps_options(g, nblocks, _bps_policy()),
@@ -660,7 +665,7 @@ def prepare_window_auto(
     for g, _est, cap, bps_pick in short:
         mat = _try_prepare_auto(
             csr, g, cap, bps_pick, dtype, vals_dtype, max_pad, xdirect,
-            df, base,
+            df, base, bps_auto=policy == "auto",
         )
         if mat is None:
             continue
@@ -678,7 +683,8 @@ _AUTO_SHORTLIST = 2
 
 
 def _try_prepare_auto(
-    csr, g, cap, bps_pick, dtype, vals_dtype, max_pad, xdirect, df, base
+    csr, g, cap, bps_pick, dtype, vals_dtype, max_pad, xdirect, df, base,
+    bps_auto=True,
 ):
     if xdirect is None:
         # measured on TPU (delaunay_n12, single-block): the standard
@@ -689,7 +695,9 @@ def _try_prepare_auto(
     # the scan's V (and so k_pad) is ESTIMATED from degree histograms;
     # prepare re-peels exactly and can land just over the per-step VMEM
     # cap at the chosen bps — halve bps until it fits (bps=1 always
-    # passes the same caps the scan enforced)
+    # passes the same caps the scan enforced). Only when the AUTO policy
+    # chose bps: a caller-pinned bps (arg or SPMV_WINDOW_BPS) must not
+    # silently degrade — its feasibility errors propagate.
     b = 1 if xdirect else bps_pick
     while True:
         try:
@@ -699,6 +707,8 @@ def _try_prepare_auto(
                 base=base,
             )
         except WindowError:
+            if not bps_auto:
+                raise
             if b == 1:
                 return None  # shortlist entry infeasible at exact peel
             b = max(b // 2, 1)

@@ -45,11 +45,27 @@ def x32_trace_scope():
     32 bits exactly as with x64 off — while the f64 split/combine steps
     stay outside it.  A no-op when x64 is already off.
     """
+    try:  # public API first (top-level re-export of the config State)
+        import jax
+
+        return jax.enable_x64(False)
+    except Exception:
+        pass
     try:
         from jax._src.config import enable_x64
 
         return enable_x64(False)
     except Exception:  # pragma: no cover - future jax refactors
+        import warnings
+
+        warnings.warn(
+            "x32_trace_scope: no enable_x64 context found in this jax; "
+            "Pallas engine traces are NOT protected from ambient "
+            "jax_enable_x64 (expect Mosaic '64-bit types' failures under "
+            "the f64 suite)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return nullcontext()
 
 
