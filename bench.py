@@ -17,14 +17,31 @@ two on-device lax.fori_loop chains of LO and HI dependency-chained SpMVs
 (data-dependent so XLA cannot elide them), each synced by a host readback of
 a scalar; per-step = (T_HI - T_LO) / (HI - LO), which cancels every fixed
 per-call cost.
+
+Compile-stall isolation (round-3): remote-compile latency is
+NONDETERMINISTIC (the same program has compiled in 2 s and in 858 s), and a
+single stuck compile once starved 4/5 proxies (BENCH_r02.json). The default
+entry point is now an ORCHESTRATOR that never touches the TPU itself: each
+batch of proxies runs in a worker subprocess (claimed via
+scripts/tpu_claim_run.py, exit 3 = pool down). A proxy that exceeds its
+budget costs exactly itself: the worker is killed, the proxy requeues at
+the END (first a plain retry — the server-side compile cache usually hits —
+then cheap FALLBACK candidates), and the remaining proxies continue in a
+fresh worker. SIGTERM-safe: a partial geomean of landed proxies is printed
+even if the driver kills the run. BENCH_INPROC=1 restores the single-process
+path (required when the caller already holds the TPU claim, e.g.
+scripts/ab_combined_payload.py).
 """
 import json
 import math
 import os
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(msg):
@@ -73,15 +90,27 @@ def describe_ops(ops):
 # REJECTS (like the real ones) — they run the windowed local-gather engine;
 # raefsky1 (dense band + scattered fringe) runs the DIA+residual hybrid.
 SUITE = [
-    # ordered by compile-time risk: the tiny-domain single kernel
-    # (delaunay) has shown the slowest remote compiles, so it goes last —
-    # a soft-deadline skip then costs one proxy, not the whole run
-    ("raefsky1_like", 46.56, ["PL_DIA_RESID_BF16"]),
+    # cheap-compile proxies first: if the driver kills the run early,
+    # the most rows possible are already on disk (the orchestrator
+    # additionally requeues any stalled proxy at the end)
     ("caida_like", 10.47, ["PL_CSR_ROUTED_BF16"]),
     ("thermal2_like", 26.34, ["PL_CSR_WINDOW_BF16"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_BF16"]),
+    ("raefsky1_like", 46.56, ["PL_DIA_RESID_BF16"]),
     ("delaunay_n12_like", 5.81, ["PL_CSR_WINDOW"]),
 ]
+# Fallback candidates the orchestrator substitutes after a proxy's primary
+# candidates stalled twice (kill + retry): cheaper-to-compile engines that
+# still clear the reference bar, so a pathological compile records a worse
+# number instead of no number. (PL_DIA_BF16 compiled in 205 s where
+# PL_DIA_RESID_BF16 took 858 s, rounds 1-2.)
+FALLBACK = {
+    "caida_like": ["PL_CSR_ROUTED"],
+    "thermal2_like": ["PL_CSR_WINDOW"],
+    "fem_3d_thermal2_like": ["PL_CSR_WINDOW"],
+    "raefsky1_like": ["PL_DIA_BF16"],
+    "delaunay_n12_like": ["PL_CSR_WINDOW_BF16"],
+}
 # BENCH_AB=1: run the full A/B candidate set per proxy (like the reference
 # harness running every registered kernel) so the on-TPU winner selection
 # survives in the record; default stays one-winner to respect the
@@ -108,6 +137,12 @@ F64_SUITE = [
     ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_F64"]),
     ("thermal2_like", 26.34, ["PL_CSR_WINDOW_F64"]),
 ]
+F64_FALLBACK = {
+    "cavity10_like": ["CSR_ROWS_BINNED"],
+    "raefsky1_like": ["PL_DIA_F64"],
+    "fem_3d_thermal2_like": ["CSR_ROWS_BINNED"],
+    "thermal2_like": ["CSR_ROWS_BINNED"],
+}
 # BENCH_SUITE=extended: the reference's OpenMP-baseline matrices
 # (SURVEY.md par.6 / BASELINE.md scripts+tables rows the CUDA suite does
 # not cover). References are the reference's own best published numbers:
@@ -120,6 +155,11 @@ EXT_SUITE = [
     ("west2021_like", 0.88, ["PL_CSR_WINDOW", "PL_CSR_ROUTED"]),
     ("webbase_like", 2.26, ["PL_CSR_ROUTED_BF16"]),
 ]
+EXT_FALLBACK = {
+    "cavity10_like": ["PL_DIA_BF16"],
+    "west2021_like": ["CSR_ROWS_BINNED"],
+    "webbase_like": ["PL_CSR_ROUTED"],
+}
 F64_AB_EXTRA = {
     "cavity10_like": ["CSR_ROWS_BINNED"],
     "raefsky1_like": ["PL_DIA_F64", "CSR_ROWS_BINNED"],
@@ -129,21 +169,10 @@ F64_AB_EXTRA = {
 STEPS = 50
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    jax.devices()  # fail fast if the TPU claim failed at startup
-
-    import spmv_openmp_cuda_tpu as S
-    from spmv_openmp_cuda_tpu.config import Config
-    from spmv_openmp_cuda_tpu.formats.dia import DiaFillError
-    from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
-    from spmv_openmp_cuda_tpu.ops import registry
-    from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
-    from spmv_openmp_cuda_tpu.utils import synth
-    from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
-
+def build_suite():
+    """Env-driven suite selection, shared by the orchestrator (which must
+    not import jax) and the in-process path. Returns
+    (suite, fallback_map, extended, dtype, base_len)."""
     extended = os.environ.get("BENCH_SUITE") == "extended"
     dtype = os.environ.get("SPMV_DTYPE", "float32")
     if extended and dtype == "float64":
@@ -152,211 +181,224 @@ def main():
         # computed in double
         log("BENCH_SUITE=extended ignores SPMV_DTYPE=float64 (f32 suite)")
         dtype = "float32"
-    cfg = Config(dtype=dtype)
-    base_suite = (
-        EXT_SUITE
-        if extended
-        else F64_SUITE if cfg.dtype == "float64" else SUITE
-    )
+    if extended:
+        base_suite, fallback = EXT_SUITE, EXT_FALLBACK
+    elif dtype == "float64":
+        base_suite, fallback = F64_SUITE, F64_FALLBACK
+    else:
+        base_suite, fallback = SUITE, FALLBACK
     suite = base_suite[:1] if os.environ.get("BENCH_FAST") else base_suite
     only = os.environ.get("BENCH_ONLY")
     if only:
         suite = [s for s in base_suite if s[0] in only.split(",")]
     if os.environ.get("BENCH_AB"):
-        extra = F64_AB_EXTRA if cfg.dtype == "float64" else AB_EXTRA
+        extra = F64_AB_EXTRA if dtype == "float64" else AB_EXTRA
         suite = [
             (p, ref, cands + extra.get(p, [])) for p, ref, cands in suite
         ]
-    log(f"backend={jax.default_backend()} devices={jax.devices()} dtype={cfg.dtype}")
+    return suite, fallback, extended, dtype, len(base_suite)
 
-    details = []
-    ratios = []
-    start = time.perf_counter()
-    # soft deadline: remote-compiler latency is nondeterministic (the same
-    # program has compiled in 2s and in 500s); better to report a partial
-    # geomean than to be killed holding every result
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "480"))
-    for preset, ref_gflops, candidates in suite:
-        if time.perf_counter() - start > deadline:
-            log(f"[{preset}] SKIPPED (past {deadline:.0f}s soft deadline)")
+
+def measure_proxy(preset, ref_gflops, candidates, cfg, cand_cb=None):
+    """Run every candidate kernel on one proxy; return the detail dict of
+    the best, or None. ``cand_cb(name)`` fires before each candidate's
+    prepare+compile (the orchestrator's stall-attribution hook)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import spmv_openmp_cuda_tpu as S
+    from spmv_openmp_cuda_tpu.formats.dia import DiaFillError
+    from spmv_openmp_cuda_tpu.io.vectors import fill_rnd_vector
+    from spmv_openmp_cuda_tpu.ops import registry
+    from spmv_openmp_cuda_tpu.ops.oracle import serial_csr_spmv
+    from spmv_openmp_cuda_tpu.utils import synth
+    from spmv_openmp_cuda_tpu.utils.compare import vectors_diff
+
+    t0 = time.perf_counter()
+    coo = synth.preset(preset, seed=0)
+    csr = S.coo_to_csr(coo)
+    try:
+        ell = S.coo_to_ell(coo)
+    except Exception:
+        ell = None
+    x = fill_rnd_vector(coo.shape[1], seed=1)
+    oracle = serial_csr_spmv(csr, x)
+    log(
+        f"[{preset}] {csr.shape[0]}x{csr.shape[1]} nnz={csr.nnz} "
+        f"maxRowNZ={csr.max_row_nz} (setup {time.perf_counter()-t0:.0f}s)"
+    )
+    best = (None, 0.0, 0.0, "", "")
+    for name in candidates:
+        spec = registry.get(name)
+        if spec.fmt == "ell" and ell is None:
             continue
-        t0 = time.perf_counter()
-        coo = synth.preset(preset, seed=0)
-        csr = S.coo_to_csr(coo)
+        if cand_cb is not None:
+            cand_cb(name)
         try:
-            ell = S.coo_to_ell(coo)
-        except Exception:
-            ell = None
-        x = fill_rnd_vector(coo.shape[1], seed=1)
-        oracle = serial_csr_spmv(csr, x)
-        log(
-            f"[{preset}] {csr.shape[0]}x{csr.shape[1]} nnz={csr.nnz} "
-            f"maxRowNZ={csr.max_row_nz} (setup {time.perf_counter()-t0:.0f}s)"
-        )
-        best = (None, 0.0, 0.0, "", "")
-        for name in candidates:
-            spec = registry.get(name)
-            if spec.fmt == "ell" and ell is None:
+            t0 = time.perf_counter()
+            ops = spec.prepare(csr, ell, cfg)
+            run = spec.run
+            xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
+
+            # ONE program per candidate: the chain also returns the first
+            # step's exact y so the oracle check needs no separate jit —
+            # remote compiles are the dominant (and nondeterministic)
+            # cost, so halving them buys more than any chain tuning.
+            # K spmv's per loop iteration amortize the dynamic-trip
+            # loop's ~0.3us/iteration overhead.
+            K = 8
+
+            # f64 chains: the dependency must not cost emulated-f64
+            # vector work per step (it would be charged to every
+            # chained spmv and poison the slope): the carry reduce
+            # runs in f32, and the perturbation touches only the
+            # leading 8 x elements (an in-place dynamic-update-slice;
+            # the data dependence alone serializes the chain)
+            f64_chain = cfg.jnp_dtype == jnp.float64
+
+            def _dep(y):
+                s = jnp.sum(y.astype(jnp.float32))
+                return 1.0 + s.astype(cfg.jnp_dtype) * 1e-30
+
+            def _step(x, y):
+                if f64_chain:
+                    return x.at[:8].multiply(_dep(y))
+                return x * _dep(y)
+
+            @jax.jit
+            def loop(x, iters):
+                y0 = run(ops, x)
+                x = _step(x, y0)
+
+                def body(i, c):
+                    x, _ = c
+                    for _ in range(K):
+                        y = run(ops, x)
+                        # un-foldable dependency: can't be elided
+                        x = _step(x, y)
+                    return (x, y)
+
+                # iters is TRACED: every chain length shares one compile;
+                # total chain = 1 + K*iters (the +1 cancels in slopes)
+                return jax.lax.fori_loop(
+                    0, iters, body, (x, y0), unroll=False
+                )
+
+            y = jax.block_until_ready(loop(xj, jnp.int32(0))[1])
+            res_dtype = str(np.asarray(y).dtype)  # honesty: what the
+            # device actually computed (f64 needs jax_enable_x64)
+            rep = vectors_diff(
+                np.asarray(y, dtype=np.float64)[: csr.shape[0]], oracle
+            )
+            if not rep.ok:
+                log(f"[{preset}] {name}: TOLERANCE FAIL ({rep.max_abs_diff:.2e})")
                 continue
-            try:
-                t0 = time.perf_counter()
-                ops = spec.prepare(csr, ell, cfg)
-                run = spec.run
-                xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
 
-                # ONE program per candidate: the chain also returns the first
-                # step's exact y so the oracle check needs no separate jit —
-                # remote compiles are the dominant (and nondeterministic)
-                # cost, so halving them buys more than any chain tuning.
-                # K spmv's per loop iteration amortize the dynamic-trip
-                # loop's ~0.3us/iteration overhead.
-                K = 8
+            def timed_chain(steps):
+                # rounds steps up to a K multiple; returns (time, actual)
+                iters = -(-steps // K)
+                s = jnp.int32(iters)
+                _ = float(jnp.sum(loop(xj, s)[0]))  # warm + sync
+                t_best = float("inf")
+                for _rep in range(2):
+                    t1 = time.perf_counter()
+                    _ = float(jnp.sum(loop(xj, s)[0]))  # readback = sync
+                    t_best = min(t_best, time.perf_counter() - t1)
+                return t_best, iters * K
 
-                # f64 chains: the dependency must not cost emulated-f64
-                # vector work per step (it would be charged to every
-                # chained spmv and poison the slope): the carry reduce
-                # runs in f32, and the perturbation touches only the
-                # leading 8 x elements (an in-place dynamic-update-slice;
-                # the data dependence alone serializes the chain)
-                f64_chain = cfg.jnp_dtype == jnp.float64
-
-                def _dep(y):
-                    s = jnp.sum(y.astype(jnp.float32))
-                    return 1.0 + s.astype(cfg.jnp_dtype) * 1e-30
-
-                def _step(x, y):
-                    if f64_chain:
-                        return x.at[:8].multiply(_dep(y))
-                    return x * _dep(y)
-
-                @jax.jit
-                def loop(x, iters):
-                    y0 = run(ops, x)
-                    x = _step(x, y0)
-
-                    def body(i, c):
-                        x, _ = c
-                        for _ in range(K):
-                            y = run(ops, x)
-                            # un-foldable dependency: can't be elided
-                            x = _step(x, y)
-                        return (x, y)
-
-                    # iters is TRACED: every chain length shares one compile;
-                    # total chain = 1 + K*iters (the +1 cancels in slopes)
-                    return jax.lax.fori_loop(
-                        0, iters, body, (x, y0), unroll=False
-                    )
-
-                y = jax.block_until_ready(loop(xj, jnp.int32(0))[1])
-                res_dtype = str(np.asarray(y).dtype)  # honesty: what the
-                # device actually computed (f64 needs jax_enable_x64)
-                rep = vectors_diff(
-                    np.asarray(y, dtype=np.float64)[: csr.shape[0]], oracle
-                )
-                if not rep.ok:
-                    log(f"[{preset}] {name}: TOLERANCE FAIL ({rep.max_abs_diff:.2e})")
-                    continue
-
-                def timed_chain(steps):
-                    # rounds steps up to a K multiple; returns (time, actual)
-                    iters = -(-steps // K)
-                    s = jnp.int32(iters)
-                    _ = float(jnp.sum(loop(xj, s)[0]))  # warm + sync
-                    t_best = float("inf")
-                    for _rep in range(2):
-                        t1 = time.perf_counter()
-                        _ = float(jnp.sum(loop(xj, s)[0]))  # readback = sync
-                        t_best = min(t_best, time.perf_counter() - t1)
-                    return t_best, iters * K
-
-                lo_n = 16
-                t_lo, lo_n = timed_chain(lo_n)
-                # pick hi so the extra steps add ~2s of device time — far
-                # above the multi-ms fixed-cost noise, bounded for slow kernels
-                est = max(t_lo / lo_n, 1e-6)
+            lo_n = 16
+            t_lo, lo_n = timed_chain(lo_n)
+            # pick hi so the extra steps add ~2s of device time — far
+            # above the multi-ms fixed-cost noise, bounded for slow kernels
+            est = max(t_lo / lo_n, 1e-6)
+            t_hi, hi_n = timed_chain(
+                lo_n + max(50, min(STEPS * 10, int(1.2 / est)))
+            )
+            if t_hi - t_lo < 0.6:
+                # extra steps drowned in fixed-cost noise (fast kernel,
+                # t_lo dominated by dispatch): escalate the chain length
+                # until the step signal is ~1.2s. Bound by the measured
+                # per-step UPPER bound t_lo/lo_n (which includes every
+                # fixed cost) so tunnel noise collapsing the slope can
+                # never schedule a multi-hour on-device chain.
+                slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
+                cap = int(12.0 / max(t_lo / lo_n, 1e-7))
                 t_hi, hi_n = timed_chain(
-                    lo_n + max(50, min(STEPS * 10, int(1.2 / est)))
+                    lo_n + max(min(int(1.2 / slope1), cap), 50)
                 )
-                if t_hi - t_lo < 0.6:
-                    # extra steps drowned in fixed-cost noise (fast kernel,
-                    # t_lo dominated by dispatch): escalate the chain length
-                    # until the step signal is ~1.2s. Bound by the measured
-                    # per-step UPPER bound t_lo/lo_n (which includes every
-                    # fixed cost) so tunnel noise collapsing the slope can
-                    # never schedule a multi-hour on-device chain.
-                    slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
-                    cap = int(12.0 / max(t_lo / lo_n, 1e-7))
-                    t_hi, hi_n = timed_chain(
-                        lo_n + max(min(int(1.2 / slope1), cap), 50)
-                    )
-                compile_s = time.perf_counter() - t0
-                dt = (t_hi - t_lo) / (hi_n - lo_n)
-                if dt <= 0:
-                    log(
-                        f"[{preset}] {name}: nonpositive slope "
-                        f"({t_lo*1e3:.2f} vs {t_hi*1e3:.2f} ms), "
-                        "skipping"
-                    )
-                    continue
-                gflops = 2.0 * csr.nnz / dt / 1e9
-                desc = describe_ops(ops)
+            compile_s = time.perf_counter() - t0
+            dt = (t_hi - t_lo) / (hi_n - lo_n)
+            if dt <= 0:
                 log(
-                    f"[{preset}] {name}: {dt*1e6:.1f} us -> {gflops:.2f} GFLOPS "
-                    f"(compile {compile_s:.0f}s, maxdiff {rep.max_abs_diff:.1e}"
-                    + (f", {desc}" if desc else "")
-                    + ")"
+                    f"[{preset}] {name}: nonpositive slope "
+                    f"({t_lo*1e3:.2f} vs {t_hi*1e3:.2f} ms), "
+                    "skipping"
                 )
-                if gflops > best[1]:
-                    # res_dtype travels with the winner (a later A/B
-                    # candidate must not relabel the recorded kernel)
-                    best = (name, gflops, dt, desc, res_dtype)
-            except DiaFillError as e:
-                log(f"[{preset}] {name}: DIA infeasible ({str(e)[:80]})")
-            except Exception as e:
-                log(f"[{preset}] {name}: ERROR {str(e)[:200]}")
-        if best[0] is None:
-            log(f"[{preset}] no kernel passed")
-            continue
-        ratio = best[1] / ref_gflops
-        ratios.append(ratio)
-        details.append(
-            {
-                "matrix": preset,
-                "m": csr.shape[0],
-                "n": csr.shape[1],
-                "nnz": csr.nnz,
-                "kernel": best[0],
-                "config": best[3],
-                "time_s": best[2],
-                "gflops": round(best[1], 3),
-                "ref_gflops": ref_gflops,
-                "ratio": round(ratio, 3),
-                "dtype": cfg.dtype,
-                "result_dtype": best[4],
-            }
-        )
-        log(f"[{preset}] BEST {best[0]}: {best[1]:.2f} GFLOPS = {ratio:.2f}x reference")
+                continue
+            gflops = 2.0 * csr.nnz / dt / 1e9
+            desc = describe_ops(ops)
+            log(
+                f"[{preset}] {name}: {dt*1e6:.1f} us -> {gflops:.2f} GFLOPS "
+                f"(compile {compile_s:.0f}s, maxdiff {rep.max_abs_diff:.1e}"
+                + (f", {desc}" if desc else "")
+                + ")"
+            )
+            if gflops > best[1]:
+                # res_dtype travels with the winner (a later A/B
+                # candidate must not relabel the recorded kernel)
+                best = (name, gflops, dt, desc, res_dtype)
+        except DiaFillError as e:
+            log(f"[{preset}] {name}: DIA infeasible ({str(e)[:80]})")
+        except Exception as e:
+            log(f"[{preset}] {name}: ERROR {str(e)[:200]}")
+    if best[0] is None:
+        log(f"[{preset}] no kernel passed")
+        return None
+    ratio = best[1] / ref_gflops
+    detail = {
+        "matrix": preset,
+        "m": csr.shape[0],
+        "n": csr.shape[1],
+        "nnz": csr.nnz,
+        "kernel": best[0],
+        "config": best[3],
+        "time_s": best[2],
+        "gflops": round(best[1], 3),
+        "ref_gflops": ref_gflops,
+        "ratio": round(ratio, 3),
+        "dtype": cfg.dtype,
+        "result_dtype": best[4],
+    }
+    log(f"[{preset}] BEST {best[0]}: {best[1]:.2f} GFLOPS = {ratio:.2f}x reference")
+    return detail
 
-    if not ratios:
+
+def emit(details, extended, dtype, base_len):
+    """Aggregate detail rows, persist the details file when complete, and
+    print the driver's ONE JSON line."""
+    if not details:
         print(
             json.dumps(
                 {"metric": "spmv_gflops", "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0}
             )
         )
         return 1
+    ratios = [d["ratio"] for d in details]
     geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
-    value = math.exp(sum(math.log(d["gflops"]) for d in details) / len(details))
+    value = math.exp(
+        sum(math.log(d["gflops"]) for d in details) / len(details)
+    )
     details_file = (
         "BENCH_DETAILS_EXTENDED.json"
         if extended
         else "BENCH_DETAILS_F64.json"
-        if cfg.dtype == "float64"
+        if dtype == "float64"
         else "BENCH_DETAILS.json"
     )
-    if len(details) == len(base_suite):  # partial runs must not clobber the record
+    if len(details) == base_len:  # partial runs must not clobber the record
         try:
-            with open(os.path.join(os.path.dirname(__file__), details_file), "w") as f:
+            with open(os.path.join(REPO, details_file), "w") as f:
                 json.dump(details, f, indent=1)
         except OSError:
             pass
@@ -370,11 +412,293 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(geo, 3),
     }
-    if len(details) < len(base_suite):  # deadline skips: flag the partial basis
+    if len(details) < base_len:  # stall skips: flag the partial basis
         rec["proxies_measured"] = len(details)
-        rec["proxies_total"] = len(base_suite)
+        rec["proxies_total"] = base_len
     print(json.dumps(rec))
     return 0
+
+
+def make_cfg(dtype):
+    from spmv_openmp_cuda_tpu.config import Config
+
+    return Config(dtype=dtype)
+
+
+def inproc_main():
+    """Single-process path (BENCH_INPROC=1): the caller already holds the
+    TPU claim (e.g. scripts/ab_combined_payload.py runs bench.py inside a
+    claimed process), so no worker subprocess could ever claim."""
+    import jax
+
+    jax.devices()  # fail fast if the TPU claim failed at startup
+
+    suite, _fallback, extended, dtype, base_len = build_suite()
+    cfg = make_cfg(dtype)
+    log(f"backend={jax.default_backend()} devices={jax.devices()} dtype={cfg.dtype}")
+    details = []
+    start = time.perf_counter()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "3600"))
+    for preset, ref_gflops, candidates in suite:
+        if time.perf_counter() - start > deadline:
+            log(f"[{preset}] SKIPPED (past {deadline:.0f}s soft deadline)")
+            continue
+        d = measure_proxy(preset, ref_gflops, candidates, cfg)
+        if d is not None:
+            details.append(d)
+    return emit(details, extended, dtype, base_len)
+
+
+def worker_main(plan_path, outdir):
+    """Worker (spawned by the orchestrator under tpu_claim_run.py, which
+    already claimed the TPU): run the plan's proxies IN ORDER, streaming
+    a ``<preset>.cand`` marker before each candidate and a
+    ``<preset>.done`` result after each proxy, so the parent can attribute
+    a stall to one candidate and keep everything already landed."""
+    import jax
+
+    with open(plan_path) as f:
+        plan = json.load(f)
+    cfg = make_cfg(plan["dtype"])
+    log(f"[worker] backend={jax.default_backend()} dtype={cfg.dtype} "
+        f"plan={[p['preset'] for p in plan['proxies']]}")
+    for p in plan["proxies"]:
+        preset = p["preset"]
+
+        def cand_cb(name, preset=preset):
+            with open(os.path.join(outdir, preset + ".cand"), "w") as f:
+                json.dump({"name": name, "ts": time.time()}, f)
+
+        try:
+            d = measure_proxy(preset, p["ref"], p["cands"], cfg, cand_cb)
+        except Exception as e:  # setup failure — final, not retryable
+            log(f"[{preset}] SETUP ERROR {str(e)[:200]}")
+            d = None
+        with open(os.path.join(outdir, preset + ".done.tmp"), "w") as f:
+            json.dump(d if d is not None else {"no_kernel": True}, f)
+        os.replace(
+            os.path.join(outdir, preset + ".done.tmp"),
+            os.path.join(outdir, preset + ".done"),
+        )
+    return 0
+
+
+def worker_cmd():
+    """Worker launch command; BENCH_WORKER_CMD overrides (tests substitute
+    a stub that needs no TPU claim)."""
+    override = os.environ.get("BENCH_WORKER_CMD")
+    if override:
+        import shlex
+
+        return shlex.split(override)
+    return [
+        sys.executable,
+        os.path.join(REPO, "scripts", "tpu_claim_run.py"),
+        os.path.join(REPO, "bench.py"),
+    ]
+
+
+class _Pending:
+    __slots__ = ("preset", "ref", "cands", "attempts", "stuck")
+
+    def __init__(self, preset, ref, cands):
+        self.preset = preset
+        self.ref = ref
+        self.cands = list(cands)
+        self.attempts = 0  # stall-kill count (pool-down doesn't count)
+        self.stuck = None  # candidate running when last killed
+
+
+def orchestrate_main():
+    """Parent: no jax import, no TPU claim. Spawns claim-owning workers
+    and enforces per-proxy stall budgets by killing the worker's process
+    group; landed proxies persist as files and are never re-run."""
+    suite, fallback, extended, dtype, base_len = build_suite()
+    outdir = tempfile.mkdtemp(prefix="bench_out_")
+    pending = [_Pending(p, r, c) for p, r, c in suite]
+    done = {}
+    t_start = time.monotonic()
+    total_s = float(os.environ.get("BENCH_TOTAL_S", "5400"))
+    # first-attempt budget covers the worst compile observed (858 s) with
+    # margin; retries ride the server-side compile cache so they get less
+    proxy_s = float(os.environ.get("BENCH_PROXY_TIMEOUT_S", "1500"))
+    retry_s = float(os.environ.get("BENCH_RETRY_TIMEOUT_S", "1000"))
+    # budget for the worker's claim + first proxy's setup (pool hiccups,
+    # matrix synthesis): no .cand yet means no compile started
+    claim_s = float(os.environ.get("BENCH_CLAIM_TIMEOUT_S", "600"))
+    poll_s = float(os.environ.get("BENCH_POLL_S", "5"))
+    kill_backoff_s = float(os.environ.get("BENCH_KILL_BACKOFF_S", "10"))
+    max_attempts = 3  # primary, retry (cache), fallback
+    # headroom reserved for the final kill + aggregation
+    reserve = min(60.0, total_s * 0.1)
+
+    def left():
+        return total_s - (time.monotonic() - t_start)
+
+    def finalize(rc_hint=0):
+        details = [done[p] for p, _r, _c in suite if p in done]
+        return emit(details, extended, dtype, base_len)
+
+    def on_term(signum, frame):
+        log(f"[orchestrator] signal {signum}: emitting partial record")
+        finalize()
+        # the worker (if any) dies with us: it's in our session's group? no —
+        # start_new_session isolates it; kill explicitly via the handler's
+        # closure state
+        if state.get("proc") is not None and state["proc"].poll() is None:
+            try:
+                os.killpg(state["proc"].pid, signal.SIGKILL)
+            except OSError:
+                pass
+        sys.stdout.flush()
+        os._exit(0)
+
+    state = {"proc": None}
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    pool_waits = 0
+    while pending and left() > reserve:
+        plan = {
+            "dtype": dtype,
+            "proxies": [
+                {"preset": e.preset, "ref": e.ref, "cands": e.cands}
+                for e in pending
+            ],
+        }
+        plan_path = os.path.join(outdir, "plan.json")
+        with open(plan_path, "w") as f:
+            json.dump(plan, f)
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""  # worker registers via tpu_claim_run
+        env["BENCH_WORKER_PLAN"] = plan_path
+        env["BENCH_WORKER_OUT"] = outdir
+        log(
+            f"[orchestrator] worker start: "
+            f"{[e.preset for e in pending]} (budget left {left():.0f}s)"
+        )
+        proc = subprocess.Popen(
+            worker_cmd(),
+            cwd=REPO,
+            env=env,
+            stdout=sys.stderr,
+            stderr=sys.stderr,
+            start_new_session=True,
+        )
+        state["proc"] = proc
+        spawn_t = time.monotonic()
+        killed = None  # _Pending entry we killed for stalling
+        while True:
+            rc = proc.poll()
+            # harvest results (also after worker exit)
+            still = []
+            for e in pending:
+                path = os.path.join(outdir, e.preset + ".done")
+                if os.path.exists(path):
+                    with open(path) as f:
+                        d = json.load(f)
+                    if "matrix" in d:
+                        done[e.preset] = d
+                    else:
+                        log(f"[orchestrator] {e.preset}: final failure recorded")
+                else:
+                    still.append(e)
+            pending = still
+            if rc is not None:
+                break
+            if not pending:
+                # plan complete; let the worker exit on its own
+                time.sleep(poll_s)
+                continue
+            cur = pending[0]
+            cand_path = os.path.join(outdir, cur.preset + ".cand")
+            budget = proxy_s if cur.attempts == 0 else retry_s
+            if os.path.exists(cand_path):
+                with open(cand_path) as f:
+                    cand = json.load(f)
+                elapsed = time.time() - cand["ts"]
+                stalled = elapsed > budget
+            else:
+                cand = None
+                elapsed = time.monotonic() - spawn_t
+                stalled = elapsed > claim_s
+            if stalled or left() < reserve / 2:
+                why = "total budget" if left() < reserve / 2 else f"{elapsed:.0f}s stall"
+                log(
+                    f"[orchestrator] killing worker: {cur.preset}"
+                    + (f"/{cand['name']}" if cand else " (no candidate started)")
+                    + f" past {why}"
+                )
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    proc.kill()
+                proc.wait()
+                if cand is not None:
+                    cur.attempts += 1
+                    cur.stuck = cand["name"]
+                    killed = cur
+                rc = "killed"
+                break
+            time.sleep(poll_s)
+        state["proc"] = None
+        # clear stale .cand markers for the next worker
+        for e in pending:
+            try:
+                os.unlink(os.path.join(outdir, e.preset + ".cand"))
+            except OSError:
+                pass
+        if not pending or left() < reserve:
+            break
+        if rc == 3 and killed is None:
+            # pool down: claim failed fast — wait and relaunch, proxies
+            # keep their attempt counts
+            pool_waits += 1
+            wait = float(os.environ.get("BENCH_POOL_WAIT_S", "60"))
+            log(f"[orchestrator] pool down (wait {pool_waits}); sleeping {wait:.0f}s")
+            time.sleep(min(wait, max(left() - reserve / 2, 0.1)))
+            continue
+        if killed is not None:
+            e = killed
+            if e.attempts >= max_attempts:
+                log(f"[orchestrator] {e.preset}: out of attempts, dropping")
+                pending = [p for p in pending if p is not e]
+            else:
+                if e.attempts == 2:
+                    # two stalls on primaries: swap in the fallbacks
+                    fb = [
+                        c
+                        for c in fallback.get(e.preset, [])
+                        if c != e.stuck
+                    ]
+                    if fb:
+                        log(
+                            f"[orchestrator] {e.preset}: switching to "
+                            f"fallback candidates {fb}"
+                        )
+                        e.cands = fb
+                # requeue at the END: the healthy proxies land first
+                pending = [p for p in pending if p is not e] + [e]
+            # the killed worker's claim lingers ~5 min; the relaunch loop
+            # absorbs it (tpu_claim_run exits 3 until the claim frees)
+            time.sleep(kill_backoff_s)
+            continue
+        if rc == 0:
+            continue  # normal worker exit; loop re-checks pending
+        # abnormal worker exit (claim race, crash): brief backoff
+        log(f"[orchestrator] worker exited rc={rc}; retrying in 30s")
+        time.sleep(min(30, max(left() - reserve / 2, 0.1)))
+    return finalize()
+
+
+def main():
+    if os.environ.get("BENCH_WORKER_PLAN"):
+        return worker_main(
+            os.environ["BENCH_WORKER_PLAN"], os.environ["BENCH_WORKER_OUT"]
+        )
+    if os.environ.get("BENCH_INPROC"):
+        return inproc_main()
+    return orchestrate_main()
 
 
 if __name__ == "__main__":

@@ -43,3 +43,101 @@ def test_f64_suite_uses_f64_capable_modes():
             assert spec.impl != "pallas" or spec.f64, (
                 f"{name} is a 32-bit Pallas mode in the f64 suite"
             )
+
+
+def test_fallback_entries_resolve():
+    bench = _bench_module()
+    modes = set(registry.names())
+    for fb in (bench.FALLBACK, bench.F64_FALLBACK, bench.EXT_FALLBACK):
+        for preset, candidates in fb.items():
+            assert preset in synth.PRESETS, preset
+            assert candidates, preset
+            for name in candidates:
+                assert name in modes, name
+    # every headline proxy has a fallback ladder
+    for suite, fb in (
+        (bench.SUITE, bench.FALLBACK),
+        (bench.F64_SUITE, bench.F64_FALLBACK),
+        (bench.EXT_SUITE, bench.EXT_FALLBACK),
+    ):
+        for preset, _ref, _c in suite:
+            assert preset in fb, preset
+
+
+# ---- orchestrator integration (stub worker, no TPU, no jax) ----------
+
+import json
+import subprocess
+
+
+def _run_orchestrator(tmp_path, extra_env):
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    stub = os.path.join(os.path.dirname(__file__), "stub_bench_worker.py")
+    env = dict(os.environ)
+    env.pop("BENCH_INPROC", None)
+    env.pop("BENCH_WORKER_PLAN", None)
+    env.update(
+        {
+            "BENCH_WORKER_CMD": f"{sys.executable} {stub}",
+            "BENCH_POLL_S": "0.1",
+            "BENCH_KILL_BACKOFF_S": "0.1",
+            "BENCH_PROXY_TIMEOUT_S": "1.5",
+            "BENCH_RETRY_TIMEOUT_S": "1.5",
+            "BENCH_CLAIM_TIMEOUT_S": "10",
+            "BENCH_TOTAL_S": "60",
+            "BENCH_POOL_WAIT_S": "0.2",
+            "STUB_LOG": str(tmp_path / "plans.log"),
+        }
+    )
+    env.update(extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, out.stdout + out.stderr
+    return json.loads(lines[0]), out.stderr, tmp_path / "plans.log"
+
+
+def test_orchestrator_happy_path(tmp_path):
+    rec, err, _log = _run_orchestrator(tmp_path, {})
+    assert rec["vs_baseline"] == 2.0
+    assert "proxies_measured" not in rec, (rec, err)
+
+
+def test_orchestrator_stall_retry_fallback_drop(tmp_path):
+    bench = _bench_module()
+    stuck = bench.SUITE[0][0]
+    rec, err, log = _run_orchestrator(tmp_path, {"STUB_STALL": stuck})
+    # the stuck proxy was dropped after primary+retry+fallback attempts;
+    # every other proxy landed
+    assert rec["proxies_measured"] == len(bench.SUITE) - 1, (rec, err)
+    plans = [json.loads(ln) for ln in log.read_text().splitlines()]
+    assert len(plans) >= 3
+    # launch 1: suite order; launch 2: stuck proxy requeued at the end
+    assert plans[0][0]["preset"] == stuck
+    assert plans[1][-1]["preset"] == stuck
+    assert [p["preset"] for p in plans[1][:-1]] == [
+        p for p, _r, _c in bench.SUITE if p != stuck
+    ]
+    # launch 3: fallback candidates swapped in for the stuck proxy
+    assert plans[2] == [
+        {
+            "preset": stuck,
+            "ref": bench.SUITE[0][1],
+            "cands": bench.FALLBACK[stuck],
+        }
+    ], plans[2]
+
+
+def test_orchestrator_pool_down_retries(tmp_path):
+    rec, err, _log = _run_orchestrator(
+        tmp_path,
+        {"STUB_POOL_DOWN": "2", "BENCH_KILL_BACKOFF_S": "0.1"},
+    )
+    assert rec["vs_baseline"] == 2.0, (rec, err)
+    assert "pool down" in err
