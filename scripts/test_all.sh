@@ -15,6 +15,10 @@ mkdir -p "$LOGDIR"
 CORPUS=${DATA_DIR:-}
 KERNEL_ARG=${KERNELS:+--kernels "$KERNELS"}
 
+# build the native ingestion backend (binary is untracked; io/native.py
+# falls back to numpy when absent, so a failed build only costs speed)
+make -C native || echo "warn: native build failed (numpy fallback)" >&2
+
 rc=0
 python -m spmv_openmp_cuda_tpu.bench.sweep ${CORPUS} --full-grids ${KERNEL_ARG} \
     --log "$LOGDIR/testAll.log" || rc=$?

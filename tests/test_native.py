@@ -174,3 +174,17 @@ def test_native_window_fill_matches_numpy(monkeypatch):
         np.testing.assert_array_equal(np.asarray(m_nat.sidx), np.asarray(m_py.sidx))
         np.testing.assert_array_equal(np.asarray(m_nat.gid), np.asarray(m_py.gid))
         np.testing.assert_array_equal(np.asarray(m_nat.rsrc), np.asarray(m_py.rsrc))
+
+
+def test_native_library_fresh():
+    """The built .so must not be older than its source (a stale binary
+    silently diverges from spmv_native.cpp; rebuild with make -C native)."""
+    import os
+
+    so = next(p for p in N._LIB_PATHS if os.path.exists(p))
+    cpp = os.path.join(os.path.dirname(so), "spmv_native.cpp")
+    if os.path.exists(cpp):
+        assert os.path.getmtime(so) >= os.path.getmtime(cpp), (
+            "native/libspmv_native.so is older than spmv_native.cpp — "
+            "run make -C native"
+        )
