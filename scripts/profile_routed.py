@@ -54,6 +54,11 @@ def slope(fn, x0, lo=10, budget=1.0):
 
 
 def main():
+    # this script is 32-bit throughout; an ambient jax_enable_x64 (sticky
+    # after any f64 stage in the same process, e.g. ab_combined_payload's
+    # f64 bench) would promote plan scalars to int64 inside the Pallas
+    # kernels and Mosaic rejects the trace
+    jax.config.update("jax_enable_x64", False)
     preset = sys.argv[1] if len(sys.argv) > 1 else "caida_like"
     want = set(sys.argv[2:])
     coo = synth.preset(preset, seed=0)

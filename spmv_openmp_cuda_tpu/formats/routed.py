@@ -44,12 +44,10 @@ from ..ops.route import (
     apply_permutation_from_w1,
     apply_permutation_to_mid,
     apply_sw_w2_sw,
-    apply_w1_stage,
     apply_w_stage,
     pick_t,
     plan_permutation,
     plan_row_to_slot,
-    stage_mid_sw,
 )
 from ..utils.pallas_env import interpret as _interp
 from ..utils.pallas_env import n_windows_for, pack_x_windows_flat
@@ -889,16 +887,11 @@ _W3_FUSED_MAX_ROWS = 8192
 _W3_FUSED_MASKED_MAX_ROWS = 4096
 
 
-def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, from_w1=False):
+def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None):
     """Last permutation stages (per-tile W3 sublane perm, R3 lane perm)
     fused with the width-binned reduce in one single-block kernel: the slab
     is read from HBM exactly once and never rematerializes. The optional
     mask zeroes in-run padding slots after R3 (level slabs).
-
-    With from_w1=True the input is the POST-W1 slab (x2) and the kernel
-    additionally runs the middle Clos stages SW . W2 . SW^-1 in VMEM
-    (plan.w2s staged labeling) — the two XLA grid transposes and the W2
-    kernel's HBM round trip disappear entirely.
 
     With w1_next (the output permutation's W1 stage array), the kernel ALSO
     emits the W1'-transformed sums for every full 128-group tile — the
@@ -908,13 +901,10 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, from_w1=False):
     n_groups_total = runs[-1][3] + runs[-1][1]
     g_pad = max(-(-n_groups_total // 8) * 8, 8)
     k_full = n_groups_total // LANE if w1_next is not None else 0
-    if from_w1:
-        assert plan.w2s is not None
 
     def kernel(*refs):
         refs_l = list(refs)
         x5_ref = refs_l.pop(0)
-        w2s_ref = refs_l.pop(0) if from_w1 else None
         w3_ref = refs_l.pop(0)
         r3_ref = refs_l.pop(0)
         mask_ref = refs_l.pop(0) if mask is not None else None
@@ -922,16 +912,10 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, from_w1=False):
         o_ref = refs_l.pop(0)
         ow1_ref = refs_l.pop(0) if k_full else None
         s_ref = refs_l.pop(0)
-        mid_ref = refs_l.pop(0) if from_w1 else None
-        if from_w1:
-            # middle stages in VMEM: s_ref receives the x5 rows, W3 then
-            # rewrites each tile in place (whole-tile SSA read first)
-            stage_mid_sw(x5_ref, w2s_ref, mid_ref, s_ref, t)
         for tt in range(t):
             sl = slice(tt * LANE, (tt + 1) * LANE)
-            src = s_ref[sl, :] if from_w1 else x5_ref[sl, :]
             s_ref[sl, :] = jnp.take_along_axis(
-                src.T, w3_ref[sl, :].astype(jnp.int32), axis=1
+                x5_ref[sl, :].T, w3_ref[sl, :].astype(jnp.int32), axis=1
             ).T
         g = jnp.take_along_axis(s_ref[:], r3_ref[:].astype(jnp.int32), axis=1)
         if mask is not None:
@@ -947,10 +931,7 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, from_w1=False):
                 o_ref[sl, :].T, w1n_ref[sl, :].astype(jnp.int32), axis=1
             ).T
 
-    args = [x5]
-    if from_w1:
-        args.append(plan.w2s)
-    args += [plan.w3, plan.r3]
+    args = [x5, plan.w3, plan.r3]
     if mask is not None:
         args.append(mask)
     if k_full:
@@ -961,8 +942,6 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, from_w1=False):
             jax.ShapeDtypeStruct((k_full * LANE, LANE), x5.dtype)
         )
     scratch = [pltpu.VMEM((t * LANE, LANE), x5.dtype)]
-    if from_w1:
-        scratch.append(pltpu.VMEM((LANE, LANE), x5.dtype))
     out = pl.pallas_call(
         kernel,
         out_shape=out_shapes if k_full else out_shapes[0],
@@ -1181,13 +1160,6 @@ def _routed_small_spmv(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     return out.reshape(-1)[: mat.shape[0]]
 
 
-def _fusemid_on() -> bool:
-    """Gate for the in-kernel middle-stage fusion (SPMV_ROUTED_FUSEMID):
-    default off until the on-TPU A/B lands; plans without w2s (older
-    checkpoints) always take the XLA-transpose path."""
-    return os.environ.get("SPMV_ROUTED_FUSEMID", "0") == "1"
-
-
 @_traced_x32
 def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> jax.Array:
     if xw is None:
@@ -1207,21 +1179,14 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     ):
         return _routed_small_spmv(mat, xw)
     sums_w1 = None
-    fuse_mid = _fusemid_on()
     if h1 <= _W3_FUSED_MAX_ROWS:
+        # (an in-kernel SW/W2/SW^-1 fusion was A/B'd here in rounds 2-3
+        # and removed: 27.2 vs 32.1 GF/s on caida, sample_ab_r3.log)
         x2 = _gather_w1(mat, xw)
-        if fuse_mid and mat.perm_products.w2s is not None:
-            # SW/W2/SW^-1 run inside the reduce kernel: no XLA transposes,
-            # no W2 round trip
-            res = _w3_r3_reduce(
-                x2, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1,
-                from_w1=True,
-            )
-        else:
-            x5 = apply_sw_w2_sw(mat.perm_products, x2)
-            res = _w3_r3_reduce(
-                x5, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1
-            )
+        x5 = apply_sw_w2_sw(mat.perm_products, x2)
+        res = _w3_r3_reduce(
+            x5, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1
+        )
         sums, sums_w1 = res if isinstance(res, tuple) else (res, None)
     else:
         pa = _gather_products(mat, xw)
@@ -1243,18 +1208,10 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
         if perm_k.t == 1 and perm_k.wc is not None:
             flats.append(_perm_reduce_t1(prev2d, perm_k, mask_k, runs).reshape(-1))
         elif perm_k.h <= _W3_FUSED_MASKED_MAX_ROWS:
-            if fuse_mid and perm_k.w2s is not None:
-                x2_k = apply_w1_stage(perm_k, prev2d)
-                flats.append(
-                    _w3_r3_reduce(
-                        x2_k, perm_k, runs, mask=mask_k, from_w1=True
-                    ).reshape(-1)
-                )
-            else:
-                x5_k = apply_permutation_to_mid(perm_k, prev2d)
-                flats.append(
-                    _w3_r3_reduce(x5_k, perm_k, runs, mask=mask_k).reshape(-1)
-                )
+            x5_k = apply_permutation_to_mid(perm_k, prev2d)
+            flats.append(
+                _w3_r3_reduce(x5_k, perm_k, runs, mask=mask_k).reshape(-1)
+            )
         elif perm_k.h <= _FUSED_REDUCE_MAX_ROWS:
             slab_k = apply_permutation(perm_k, prev2d, skip_r3=True)
             flats.append(
@@ -1279,7 +1236,7 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
             x2_o = jnp.concatenate([sums_w1, tail_w1])
         else:
             x2_o = sums_w1
-        y = apply_permutation_from_w1(mat.perm_out, x2_o, fuse_mid=fuse_mid)
+        y = apply_permutation_from_w1(mat.perm_out, x2_o)
     else:
         y = apply_permutation(mat.perm_out, dom2d)
     y = y.reshape(-1)[: mat.shape[0]]

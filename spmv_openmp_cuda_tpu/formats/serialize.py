@@ -62,7 +62,6 @@ def _perm_aux(p: PlannedPermutation) -> dict:
         "t": p.t,
         "has_r1": p.r1 is not None,
         "has_wc": p.wc is not None,
-        "has_w2s": p.w2s is not None,
     }
 
 
@@ -155,19 +154,21 @@ class _LeafReader:
 
 
 def _read_perm(r: _LeafReader, aux: dict) -> PlannedPermutation:
-    # leaf order = registered data_fields: r1, w1, w2, w3, r3, wc, w2s
-    # (None fields are skipped by tree_flatten; files predate wc/w2s ->
-    # defaults False)
+    # leaf order = registered data_fields: r1, w1, w2, w3, r3, wc
+    # (None fields are skipped by tree_flatten; files predate wc ->
+    # defaults False). Round-2 files may carry a trailing w2s leaf
+    # (the removed fusemid staging index) — consumed and discarded.
     has_wc = aux.get("has_wc", False)
     has_w2s = aux.get("has_w2s", False)
     n = 4 + bool(aux["has_r1"]) + bool(has_wc) + bool(has_w2s)
     leaves = r.take(n)
     r1 = leaves.pop(0) if aux["has_r1"] else None
-    w2s = leaves.pop() if has_w2s else None
+    if has_w2s:
+        leaves.pop()  # legacy fusemid staging index: discard
     wc = leaves.pop() if has_wc else None
     w1, w2, w3, r3 = leaves
     return PlannedPermutation(
-        r1=r1, w1=w1, w2=w2, w3=w3, r3=r3, wc=wc, w2s=w2s, t=aux["t"]
+        r1=r1, w1=w1, w2=w2, w3=w3, r3=r3, wc=wc, t=aux["t"]
     )
 
 

@@ -240,29 +240,31 @@ def _class_split(blk, lane, jres, gid, nblocks, cap):
 
 #: measured v5e cost-model constants (ps per element / per step); the
 #: calibration grid (scripts/calibrate_window.py + fit_window_model.py)
-#: refits these. _C_TILE charges the source-assembly taa by its TRUE
-#: volume — whole 128-slot-row tiles (n_ktiles*128*128 per block),
-#: tile-quantized regardless of k_pad; with _C_TILE = 0 the assembly cost
-#: rides _C_GATHER per slot (the pre-calibration model).
-#: refit 2026-08-19 on 6 on-TPU A/B points (thermal2 g64/b1 g32/b4
-#: g24/b8, fem g40/b1 g8/b4, delaunay g32/b1; scripts/ab_combined_payload
-#: stage "window"): least squares with _C_FOLD/_C_PASS pinned drove the
-#: per-slot gather term to ZERO and the per-tile term to ~12 ps — the
-#: assembly taa really is tile-quantized (volume n_ktiles*128*128
-#: regardless of k_pad), and the per-step cost is ~0.43 us, not 0.25.
-#: Residuals: thermal2 within 1.5%, fem_b1 +24% (over), delaunay -33%
-#: (fixed kernel overhead outside the model).
-_C_GATHER = 0.0
-_C_TILE = 12.2  # per assembly-taa element (n_ktiles*128*128 per block)
-_C_PASS = 0.3
-_C_FOLD = 0.45  # per constrained slot per ceil(g/8)-pass (mask+fold)
-_C_BLOCK = 430_000.0  # fixed per grid step (ps)
+#: refits these.
+#: refit 2026-08-19 (round 3) on 17 on-TPU points: the full fem
+#: calibration grid (k_pad/g/bps/shared_w sweep, scripts/sample_ab_r3.log
+#: stage "calwin") PLUS the thermal2/fem/delaunay bps-ladder A/B points
+#: with exact CPU-reconstructed geometry (stage "window"). The wider fit
+#: REVERSED the round-2 6-point conclusion: nonneg least squares drives
+#: the tile-quantized term to ZERO and puts the assembly cost back
+#: per-SLOT (~9 ps) — with enough spread in k_pad-vs-tile ratio, the
+#: per-slot model explains the data better. Per-step fixed cost ~0.38 us.
+#: Residuals: mean 8.1%, worst delaunay -40% (sub-2us config: fixed
+#: kernel overhead outside the model). Ranking (what selection needs) is
+#: correct on every measured ladder: thermal2 g24/b8 < g40/b4 < g64/b1,
+#: fem g40/b1 < g16/b4 < g32/b1.
+_C_GATHER = 8.97
+_C_TILE = 0.0  # per assembly-taa element (n_ktiles*128*128 per block)
+_C_PASS = 0.56
+_C_FOLD = 1.02  # per constrained slot per ceil(g/8)-pass (mask+fold)
+_C_BLOCK = 383_000.0  # fixed per grid step (ps)
 #: cost of the XLA x pad/shift chain (one zeros+dynamic_update_slice
-#: dispatch feeding the kernel). xdirect is OPT-IN (the on-TPU A/B showed
-#: the direct-x path loses in-kernel more than it saves here), so every
-#: cost estimate charges this unconditionally — only a caller-pinned
-#: xdirect=True config skips it in prepare_window_auto.
-_C_PADCHAIN = 3_000_000.0
+#: dispatch feeding the kernel), NET of the in-kernel addressing loss of
+#: the direct-x path that skips it: measured delaunay_n12 std 1.72 us vs
+#: xdirect 1.29 us (round-3 A/B, reversing the round-2 single-point
+#: measurement). xdirect is AUTO-ON for eligible single-block configs,
+#: which therefore skip this charge in the cost scans.
+_C_PADCHAIN = 430_000.0
 
 
 def _cost_of(g: int, cap, k_c: int, v: int, nblocks: int, bps: int = 1) -> float:
@@ -589,10 +591,10 @@ def window_cost(
     if bps is not None:
         return _scan_caps(csr, g, bps, max_pad, base)[3]
     cands, nblocks = _cap_candidates(csr, g, base)
-    # xdirect is opt-in (prepare_window_auto defaults to the standard
-    # staging), so the pad-chain cost applies to every auto config —
-    # keeping this estimate consistent with what AUTO selection would run
-    extra = _C_PADCHAIN
+    # xdirect is auto-on for eligible single-block configs (round-3 A/B:
+    # 1.29 us vs 1.72 us on delaunay), so exactly those skip the pad-chain
+    # charge — consistent with what prepare_window_auto would run
+    extra = 0.0 if _xdirect_eligible(csr, nblocks) else _C_PADCHAIN
     best = None
     for *_cfg, cost in _feasible_costed(
         cands, nblocks, _bps_options(g, nblocks, _bps_policy()),
@@ -642,15 +644,17 @@ def prepare_window_auto(
         eligible = _xdirect_eligible(csr, nblocks)
         if xdirect is True and not eligible:
             continue  # pinned xdirect: only single-block configs qualify
-        # every standard-path config pays the x pad/shift chain; only a
-        # caller-pinned xdirect=True single-block config skips it
-        extra = 0.0 if (xdirect is True and eligible) else _C_PADCHAIN
+        # eligible configs run xdirect (auto-on unless pinned off) and
+        # skip the x pad/shift chain
+        extra = (
+            _C_PADCHAIN if (xdirect is False or not eligible) else 0.0
+        )
         for cap, _k_c, _v, b, cost in _feasible_costed(
             cands, nblocks, _bps_options(g, nblocks, policy),
             csr.nnz, max_pad, g,
         ):
             if g not in by_g or cost + extra < by_g[g][1]:
-                by_g[g] = (g, cost + extra, cap, b)
+                by_g[g] = (g, cost + extra, cap, b, eligible)
     if not by_g:
         raise WindowError("no feasible window configuration")
     # The scan's V (so k_pad, so the tile-quantized assembly cost) is
@@ -662,9 +666,10 @@ def prepare_window_auto(
     # geometry (native threaded prep makes each ~seconds).
     short = sorted(by_g.values(), key=lambda t: t[1])[:_AUTO_SHORTLIST]
     best = (None, float("inf"))
-    for g, _est, cap, bps_pick in short:
+    for g, _est, cap, bps_pick, eligible in short:
         mat = _try_prepare_auto(
-            csr, g, cap, bps_pick, dtype, vals_dtype, max_pad, xdirect,
+            csr, g, cap, bps_pick, dtype, vals_dtype, max_pad,
+            eligible if xdirect is None else xdirect,
             df, base, bps_auto=policy == "auto",
         )
         if mat is None:
@@ -679,19 +684,24 @@ def prepare_window_auto(
     return best[0]
 
 
-_AUTO_SHORTLIST = 2
+#: exact-prepare depth of the auto scan: the estimated-V misranking that
+#: motivated the shortlist (see above) showed a >2-deep flip on fem_3d;
+#: 3 covers every misranking observed in the round-3 calibration data.
+_AUTO_SHORTLIST = 3
 
 
 def _try_prepare_auto(
     csr, g, cap, bps_pick, dtype, vals_dtype, max_pad, xdirect, df, base,
     bps_auto=True,
 ):
-    if xdirect is None:
-        # measured on TPU (delaunay_n12, single-block): the standard
-        # wr-shifted staging ran 1.66 us vs xdirect's 1.87 us — the
-        # direct-x path saves the XLA pad/shift chain but loses more in
-        # the kernel's un-shifted window addressing, so it stays opt-in
-        xdirect = False
+    # xdirect arrives resolved: prepare_window_auto passes the per-g
+    # eligibility when the caller didn't pin it. Round-3 on-TPU A/B
+    # (delaunay_n12, single-block): xdirect 1.29 us vs standard staging
+    # 1.72 us — the direct-x path saves the XLA pad/shift chain and wins
+    # net of its un-shifted window addressing, so it is AUTO-ON where
+    # eligible. (Reverses the round-2 single-point measurement of 1.87 vs
+    # 1.66; the kernel's staging changed in between, and the round-3 pair
+    # compiled clean at 5-6 s each.)
     # the scan's V (and so k_pad) is ESTIMATED from degree histograms;
     # prepare re-peels exactly and can land just over the per-step VMEM
     # cap at the chosen bps — halve bps until it fits (bps=1 always

@@ -141,7 +141,7 @@ def pick_t(rows: int) -> int:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["r1", "w1", "w2", "w3", "r3", "wc", "w2s"],
+    data_fields=["r1", "w1", "w2", "w3", "r3", "wc"],
     meta_fields=["t"],
 )
 @dataclasses.dataclass
@@ -161,12 +161,6 @@ class PlannedPermutation:
     w3: jax.Array
     r3: jax.Array
     wc: jax.Array | None = None
-    # w2 re-labeled for the STAGED middle-tile row order (src-tile-major:
-    # row i*q + sigma%q, q = 128/t) — lets a single-block consumer run
-    # SW.W2.SW^-1 entirely in VMEM via q-row slice staging, skipping both
-    # XLA grid transposes. None when t == 1 (SW identity) or t == 128
-    # (q < 2: staging would need single-row copies).
-    w2s: jax.Array | None = None
     t: int = LANE
 
     @property
@@ -211,15 +205,6 @@ def _stages_from_routing(hs, hd, ld, m, t: int, with_r1, ls=None):
         # (taa chains right-to-left: out[m, j] = in[m, w1[m, w2[m, w3[m, j]]]])
         rows_ = np.arange(LANE)[:, None]
         wc = w1[rows_, w2[rows_, w3.astype(np.int64)].astype(np.int64)]
-    w2s = None
-    q = LANE // t
-    if t > 1 and q >= 2:
-        # same W2 in the staged middle-tile labeling: middle tile sigma//q,
-        # position tt*q + sigma%q (see PlannedPermutation.w2s)
-        w2s = np.empty((h, LANE), dtype=np.int8)
-        w2s[(sigma // q) * LANE + m, td * q + sigma % q] = (
-            ts * q + sigma % q
-        )
     return PlannedPermutation(
         r1=None if r1 is None else jnp.asarray(r1),
         w1=jnp.asarray(w1),
@@ -227,7 +212,6 @@ def _stages_from_routing(hs, hd, ld, m, t: int, with_r1, ls=None):
         w3=jnp.asarray(w3),
         r3=jnp.asarray(r3),
         wc=None if wc is None else jnp.asarray(wc),
-        w2s=None if w2s is None else jnp.asarray(w2s),
         t=t,
     )
 
@@ -372,95 +356,6 @@ def _whole_w_call(x, w, r=None, r_after=None):
     )(*args)
 
 
-#: static-unroll cap for the in-kernel SW staging: t <= 16 keeps the copy
-#: count at t^2 <= 256 8-row slices; above it the k-loop runs as a traced
-#: fori_loop with dynamic-start q-row copies (q = 128/t < 8)
-_FUSEMID_UNROLL_T = 16
-
-
-def stage_mid_sw(src_ref, w2s_ref, mid_ref, dst_ref, t: int):
-    """In-kernel SW . W2 . SW^-1 (consumer-kernel building block): reads the
-    post-W1 slab rows from src_ref and writes the x5 rows (pre-W3) into
-    dst_ref, staging each 128-row middle tile through the (128, 128)
-    mid_ref. Replaces the two XLA grid transposes (a full HBM round trip
-    each) with VMEM q-row slice copies. src_ref may BE dst_ref: iteration k
-    touches only rows l in [k*q, (k+1)*q) of every tile, and reads them all
-    before writing."""
-    q = LANE // t
-    if t <= _FUSEMID_UNROLL_T:
-        for k in range(t):
-            for i in range(t):
-                mid_ref[i * q : (i + 1) * q, :] = src_ref[
-                    i * LANE + k * q : i * LANE + k * q + q, :
-                ]
-            w2t = jnp.take_along_axis(
-                mid_ref[:].T,
-                w2s_ref[k * LANE : (k + 1) * LANE, :].astype(jnp.int32),
-                axis=1,
-            ).T
-            for i in range(t):
-                dst_ref[i * LANE + k * q : i * LANE + k * q + q, :] = w2t[
-                    i * q : (i + 1) * q, :
-                ]
-        return
-
-    def body(k, carry):
-        for i in range(t):
-            mid_ref[i * q : (i + 1) * q, :] = src_ref[
-                pl.ds(i * LANE + k * q, q), :
-            ]
-        w2t = jnp.take_along_axis(
-            mid_ref[:].T,
-            w2s_ref[pl.ds(k * LANE, LANE), :].astype(jnp.int32),
-            axis=1,
-        ).T
-        for i in range(t):
-            dst_ref[pl.ds(i * LANE + k * q, q), :] = w2t[
-                i * q : (i + 1) * q, :
-            ]
-        return carry
-
-    jax.lax.fori_loop(0, t, body, 0, unroll=False)
-
-
-def _from_w1_fused_call(plan: PlannedPermutation, x2: jax.Array, skip_r3):
-    """Single-block SW . W2 . SW^-1 . W3 [. R3] with the middle stages in
-    VMEM (plan.w2s): the whole tail of the permutation is one kernel with
-    one HBM read and one write."""
-    t = plan.t
-
-    def kernel(x2_ref, w2s_ref, w3_ref, *rest):
-        r3_ref = rest[0] if not skip_r3 else None
-        o_ref = rest[-3]
-        s_ref = rest[-2]
-        mid_ref = rest[-1]
-        stage_mid_sw(x2_ref, w2s_ref, mid_ref, s_ref, t)
-        for tt in range(t):
-            sl = slice(tt * LANE, (tt + 1) * LANE)
-            s_ref[sl, :] = jnp.take_along_axis(
-                s_ref[sl, :].T, w3_ref[sl, :].astype(jnp.int32), axis=1
-            ).T
-        if skip_r3:
-            o_ref[:] = s_ref[:]
-        else:
-            o_ref[:] = jnp.take_along_axis(
-                s_ref[:], r3_ref[:].astype(jnp.int32), axis=1
-            )
-
-    args = [x2, plan.w2s, plan.w3] + ([] if skip_r3 else [plan.r3])
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM(x2.shape, x2.dtype),
-            pltpu.VMEM((LANE, LANE), x2.dtype),
-        ],
-        interpret=_interpret(),
-    )(*args)
-
-
 def apply_sw_w2_sw(plan: PlannedPermutation, x2: jax.Array) -> jax.Array:
     """Middle stages SW . W2 . SW^-1, for callers that fused W1 into their
     producer kernel (e.g. the routed gather)."""
@@ -488,18 +383,6 @@ def apply_permutation_to_mid(plan: PlannedPermutation, x: jax.Array) -> jax.Arra
     return apply_sw_w2_sw(plan, x2)
 
 
-def apply_w1_stage(plan: PlannedPermutation, x: jax.Array) -> jax.Array:
-    """W1 (with R1 when present) only — for consumers that fuse the middle
-    stages themselves (stage_mid_sw / _w3_r3_reduce from_w1)."""
-    if plan.t <= _WHOLE_MAX_T:
-        return _whole_w_call(x, plan.w1, r=plan.r1)
-    if plan.r1 is None:
-        return _tiled_call(_tile_kernel, 2, plan.t, x.dtype)(x, plan.w1)
-    return _tiled_call(_row_and_tile_kernel, 3, plan.t, x.dtype)(
-        x, plan.r1, plan.w1
-    )
-
-
 def apply_w_stage(w: jax.Array, x: jax.Array) -> jax.Array:
     """One W stage (per-tile transpose.taa.transpose) over any row-aligned
     slice of a domain: w must be the matching row slice of the stage array."""
@@ -507,15 +390,13 @@ def apply_w_stage(w: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def apply_permutation_from_w1(
-    plan: PlannedPermutation, x2: jax.Array, skip_r3: bool = False,
-    fuse_mid: bool = False,
+    plan: PlannedPermutation, x2: jax.Array, skip_r3: bool = False
 ) -> jax.Array:
     """Remaining stages for callers that already applied W1 (e.g. fused into
-    their producer): SW . W2 . SW^-1 . W3 [. R3]. fuse_mid runs the middle
-    stages in VMEM (one kernel, no XLA transposes) when the plan carries the
-    staged w2s labeling."""
-    if fuse_mid and plan.w2s is not None and plan.t <= _WHOLE_MAX_T:
-        return _from_w1_fused_call(plan, x2, skip_r3)
+    their producer): SW . W2 . SW^-1 . W3 [. R3]. (An in-VMEM fused variant
+    of the middle stages existed through round 2 — SPMV_ROUTED_FUSEMID —
+    but measured SLOWER than the XLA grid transposes on caida, 27.2 vs
+    32.1 GF/s, and was removed; see scripts/sample_ab_r3.log.)"""
     x5 = apply_sw_w2_sw(plan, x2)
     t = plan.t
     if t <= _WHOLE_MAX_T:

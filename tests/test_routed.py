@@ -307,46 +307,3 @@ def test_routed_all_nnz_heavy():
     assert rep.ok, rep
 
 
-def test_fusemid_matches_transpose_path(monkeypatch):
-    """SPMV_ROUTED_FUSEMID=1 runs SW.W2.SW^-1 inside the reduce kernel
-    (plan.w2s staged labeling); results must equal the XLA-transpose path
-    bit-for-bit on the same prepared operands."""
-    coo = synth.power_law(
-        20000, 20000, avg_nnz_per_row=6.0, alpha=1.05, seed=11,
-        exact_nnz=120000,
-    )
-    csr = S.coo_to_csr(coo)
-    x = fill_rnd_vector(csr.shape[1], seed=3)
-    mat = prepare_routed(csr)
-    assert mat.perm_products.w2s is not None
-    assert mat.perm_products.t <= 16  # static-unroll stage_mid_sw branch
-    xj = jnp.asarray(x, jnp.float32)
-    monkeypatch.delenv("SPMV_ROUTED_FUSEMID", raising=False)
-    y0 = np.asarray(routed_spmv(mat, xj))
-    monkeypatch.setenv("SPMV_ROUTED_FUSEMID", "1")
-    y1 = np.asarray(routed_spmv(mat, xj))
-    np.testing.assert_array_equal(y0, y1)
-    rep = vectors_diff(y1.astype(np.float64), serial_csr_spmv(csr, x))
-    assert rep.ok, rep
-
-
-def test_fusemid_fori_loop_branch(monkeypatch):
-    """t > _FUSEMID_UNROLL_T takes stage_mid_sw's traced fori_loop branch
-    (pl.ds dynamic-start q-row copies) — the caida-scale shape."""
-    coo = synth.power_law(
-        60000, 60000, avg_nnz_per_row=8.0, alpha=1.3, seed=7,
-        exact_nnz=500000,
-    )
-    csr = S.coo_to_csr(coo)
-    x = fill_rnd_vector(csr.shape[1], seed=5)
-    mat = prepare_routed(csr)
-    assert mat.perm_products.w2s is not None
-    assert mat.perm_products.t > 16, mat.perm_products.t
-    xj = jnp.asarray(x, jnp.float32)
-    monkeypatch.delenv("SPMV_ROUTED_FUSEMID", raising=False)
-    y0 = np.asarray(routed_spmv(mat, xj))
-    monkeypatch.setenv("SPMV_ROUTED_FUSEMID", "1")
-    y1 = np.asarray(routed_spmv(mat, xj))
-    np.testing.assert_array_equal(y0, y1)
-    rep = vectors_diff(y1.astype(np.float64), serial_csr_spmv(csr, x))
-    assert rep.ok, rep

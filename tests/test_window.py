@@ -167,10 +167,13 @@ def test_window_bps_vmem_cap():
     cap must be rejected up front, not crash Mosaic at compile time."""
     coo = synth.fem_like(m=6000, n=6000, nnz=60000, spread=700, lo=4, hi=16, seed=7)
     csr = S.coo_to_csr(coo)
-    k_pad = W.prepare_window(csr, g=8, bps=1).k_pad
-    too_many = (W._K_CAP // k_pad) + 1
+    mat = W.prepare_window(csr, g=8, bps=1)
+    # pin the cap so k_pad cannot shrink under a higher bps (the auto cap
+    # scan is free to trade k_pad down to fit the residency cap)
+    cap = mat.k_c // 8
+    too_many = (W._K_CAP // mat.k_pad) + 1
     with pytest.raises(WindowError):
-        W.prepare_window(csr, g=8, bps=too_many)
+        W.prepare_window(csr, g=8, cap=cap, bps=too_many)
 
 
 def test_window_auto_pinned_xdirect_requires_single_block():
