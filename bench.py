@@ -483,6 +483,19 @@ def worker_main(plan_path, outdir):
     return 0
 
 
+def worker_env(plan_path, outdir):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # worker registers via tpu_claim_run
+    env["BENCH_WORKER_PLAN"] = plan_path
+    env["BENCH_WORKER_OUT"] = outdir
+    # python>=3.11 runpy.run_path no longer prepends the script dir, so
+    # the worker needs the repo on PYTHONPATH to import the package
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    return env
+
+
 def worker_cmd():
     """Worker launch command; BENCH_WORKER_CMD overrides (tests substitute
     a stub that needs no TPU claim)."""
@@ -569,10 +582,7 @@ def orchestrate_main():
         plan_path = os.path.join(outdir, "plan.json")
         with open(plan_path, "w") as f:
             json.dump(plan, f)
-        env = dict(os.environ)
-        env["PALLAS_AXON_POOL_IPS"] = ""  # worker registers via tpu_claim_run
-        env["BENCH_WORKER_PLAN"] = plan_path
-        env["BENCH_WORKER_OUT"] = outdir
+        env = worker_env(plan_path, outdir)
         log(
             f"[orchestrator] worker start: "
             f"{[e.preset for e in pending]} (budget left {left():.0f}s)"

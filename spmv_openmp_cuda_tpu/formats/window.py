@@ -241,23 +241,26 @@ def _class_split(blk, lane, jres, gid, nblocks, cap):
 #: measured v5e cost-model constants (ps per element / per step); the
 #: calibration grid (scripts/calibrate_window.py + fit_window_model.py)
 #: refits these.
-#: refit 2026-08-19 (round 3) on 17 on-TPU points: the full fem
+#: refit 2026-08-19 (round 3) on 19 on-TPU points: the full fem
 #: calibration grid (k_pad/g/bps/shared_w sweep, scripts/sample_ab_r3.log
-#: stage "calwin") PLUS the thermal2/fem/delaunay bps-ladder A/B points
-#: with exact CPU-reconstructed geometry (stage "window"). The wider fit
-#: REVERSED the round-2 6-point conclusion: nonneg least squares drives
-#: the tile-quantized term to ZERO and puts the assembly cost back
-#: per-SLOT (~9 ps) — with enough spread in k_pad-vs-tile ratio, the
-#: per-slot model explains the data better. Per-step fixed cost ~0.38 us.
-#: Residuals: mean 8.1%, worst delaunay -40% (sub-2us config: fixed
-#: kernel overhead outside the model). Ranking (what selection needs) is
-#: correct on every measured ladder: thermal2 g24/b8 < g40/b4 < g64/b1,
-#: fem g40/b1 < g16/b4 < g32/b1.
-_C_GATHER = 8.97
-_C_TILE = 0.0  # per assembly-taa element (n_ktiles*128*128 per block)
-_C_PASS = 0.56
-_C_FOLD = 1.02  # per constrained slot per ceil(g/8)-pass (mask+fold)
-_C_BLOCK = 383_000.0  # fixed per grid step (ps)
+#: stage "calwin"), the thermal2/fem/delaunay bps-ladder A/B points with
+#: exact CPU-reconstructed geometry (stage "window"), AND the two
+#: high-cap/low-v configs an intermediate 17-point fit had (wrongly)
+#: picked — measured 25% slower than that fit predicted
+#: (scripts/r3_validate_payload.py stage "winpick": thermal2 g24/b4
+#: 276 us vs 214 predicted, fem g16/b2 83 vs 70). With those points the
+#: nonneg least squares lands back on round-2's structure: the assembly
+#: cost is TILE-QUANTIZED (~9.8 ps per n_ktiles*128*128 element,
+#: per-slot term zero). Residuals: mean 8.7%, worst delaunay -42%
+#: (sub-2us config: fixed kernel overhead outside the model). Ranking
+#: (what selection needs) is correct on every measured ladder INCLUDING
+#: the two mispicks: thermal2 g24/b8 < g40/b4 < autopick-b4 < g64/b1,
+#: fem g40/b1 < g16/b4 < autopick-b2 < g32/b1.
+_C_GATHER = 0.0
+_C_TILE = 9.83  # per assembly-taa element (n_ktiles*128*128 per block)
+_C_PASS = 0.53
+_C_FOLD = 0.88  # per constrained slot per ceil(g/8)-pass (mask+fold)
+_C_BLOCK = 331_000.0  # fixed per grid step (ps)
 #: cost of the XLA x pad/shift chain (one zeros+dynamic_update_slice
 #: dispatch feeding the kernel), NET of the in-kernel addressing loss of
 #: the direct-x path that skips it: measured delaunay_n12 std 1.72 us vs

@@ -141,3 +141,21 @@ def test_orchestrator_pool_down_retries(tmp_path):
     )
     assert rec["vs_baseline"] == 2.0, (rec, err)
     assert "pool down" in err
+
+
+def test_worker_env_can_import_package(tmp_path):
+    """The real worker runs bench.py via runpy (python>=3.11: no script-dir
+    on sys.path), so worker_env must put the repo on PYTHONPATH — round-3's
+    first orchestrator run crash-looped on exactly this."""
+    bench = _bench_module()
+    env = bench.worker_env(str(tmp_path / "plan.json"), str(tmp_path))
+    assert env["PALLAS_AXON_POOL_IPS"] == ""
+    out = subprocess.run(
+        [sys.executable, "-c", "import spmv_openmp_cuda_tpu; print('ok')"],
+        env=env,
+        cwd=str(tmp_path),  # NOT the repo: only PYTHONPATH may provide it
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
