@@ -397,8 +397,11 @@ def emit(details, extended, dtype, base_len):
         else "BENCH_DETAILS.json"
     )
     if len(details) == base_len:  # partial runs must not clobber the record
+        # BENCH_DETAILS_DIR redirects the record (tests MUST set it: a stub
+        # run once overwrote the committed record with fake rows)
+        ddir = os.environ.get("BENCH_DETAILS_DIR", REPO)
         try:
-            with open(os.path.join(REPO, details_file), "w") as f:
+            with open(os.path.join(ddir, details_file), "w") as f:
                 json.dump(details, f, indent=1)
         except OSError:
             pass

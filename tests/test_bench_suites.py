@@ -79,6 +79,8 @@ def _run_orchestrator(tmp_path, extra_env):
     env.update(
         {
             "BENCH_WORKER_CMD": f"{sys.executable} {stub}",
+            # the stub's fake rows must never reach the committed record
+            "BENCH_DETAILS_DIR": str(tmp_path),
             "BENCH_POLL_S": "0.1",
             "BENCH_KILL_BACKOFF_S": "0.1",
             "BENCH_PROXY_TIMEOUT_S": "1.5",
@@ -159,3 +161,13 @@ def test_worker_env_can_import_package(tmp_path):
         timeout=60,
     )
     assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
+def test_orchestrator_never_touches_repo_record(tmp_path):
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    record = os.path.join(repo, "BENCH_DETAILS.json")
+    before = open(record).read() if os.path.exists(record) else None
+    _rec, _err, _log = _run_orchestrator(tmp_path, {})
+    after = open(record).read() if os.path.exists(record) else None
+    assert before == after, "stub run overwrote the committed record"
+    assert (tmp_path / "BENCH_DETAILS.json").exists()
