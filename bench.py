@@ -600,6 +600,7 @@ def orchestrate_main():
         )
         state["proc"] = proc
         spawn_t = time.monotonic()
+        progress_t = spawn_t  # last sign of life: spawn, or a proxy landing
         killed = None  # _Pending entry we killed for stalling
         while True:
             rc = proc.poll()
@@ -614,6 +615,10 @@ def orchestrate_main():
                         done[e.preset] = d
                     else:
                         log(f"[orchestrator] {e.preset}: final failure recorded")
+                    # a landed proxy resets the next proxy's pre-candidate
+                    # clock (its setup starts only now — round 3 killed a
+                    # healthy worker because this clock ran from spawn)
+                    progress_t = time.monotonic()
                 else:
                     still.append(e)
             pending = still
@@ -633,7 +638,7 @@ def orchestrate_main():
                 stalled = elapsed > budget
             else:
                 cand = None
-                elapsed = time.monotonic() - spawn_t
+                elapsed = time.monotonic() - progress_t
                 stalled = elapsed > claim_s
             if stalled or left() < reserve / 2:
                 why = "total budget" if left() < reserve / 2 else f"{elapsed:.0f}s stall"

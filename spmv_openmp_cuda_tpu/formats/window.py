@@ -120,8 +120,17 @@ def _next_pow2(v: int) -> int:
 #: packing row cap per block (VMEM residency of the slot slabs)
 _K_CAP = 16 * LANE
 
-#: cap ladder for the mod-8 class coloring (k_c = 8*cap); None = legacy
-_CAP_LADDER = (None, 8, 16, 32, 64, 128)
+#: cap ladder for the mod-8 class coloring (k_c = 8*sum(caps)); None =
+#: legacy global packing. Tuples are MULTI-BAND peels (round 3): each
+#: band colors the previous bands' leftover with its own pow2 Euler
+#: split, giving k_c values between the pow2 points — fold slots are
+#: ~g/ceil(g/8)x cheaper than overflow slots, so intermediate k_c often
+#: wins where a pow2 jump would blow the per-step VMEM cap.
+_CAP_LADDER = (
+    None, 8, 16, 32, 64, 128,
+    (8, 4), (16, 8), (16, 8, 4), (32, 16), (32, 16, 8),
+    (64, 32), (64, 32, 16), (128, 32),
+)
 
 
 def _base_fields(csr: CSRMatrix):
@@ -216,26 +225,69 @@ def _entry_fields(csr: CSRMatrix, g: int, base=None):
     return q, blk, lane, jres, gid
 
 
-def _class_split(blk, lane, jres, gid, nblocks, cap):
-    """Two-pass rank peel: keep mask for the mod-8 class region (degree <=
-    cap on both sides of every (block, gid%8) subgraph) + overflow V."""
-    cls = gid % 8
-    key_l = (blk * 8 + cls) * LANE + lane
+def _cap_bands(cap) -> tuple:
+    """Normalize a cap spec to a tuple of pow2 band caps: tuples pass
+    through (validated), ints decompose by binary expansion (12 -> (8, 4))
+    so any total is expressible as stacked Euler-colorable bands."""
+    if isinstance(cap, tuple):
+        for c in cap:
+            if c <= 0 or c & (c - 1):
+                raise WindowError(f"band caps must be powers of two: {cap}")
+        return cap
+    if cap <= 0:
+        raise WindowError(f"cap must be positive: {cap}")
+    return tuple(1 << b for b in range(cap.bit_length() - 1, -1, -1)
+                 if cap >> b & 1)
+
+
+def _peel_once(blk, lane, jres, cls, nblocks, cap, remaining):
+    """One two-pass rank peel over the still-unassigned entries: keep mask
+    (within `remaining`) whose per-(block, class) lane AND residue degrees
+    are <= cap."""
+    idx = np.where(remaining)[0]
+    key_l = ((blk * 8 + cls) * LANE + lane)[idx]
     rl = _rank_in_group(key_l, nblocks * 8 * LANE)
-    keep = rl < cap
-    key_r = (blk * 8 + cls) * LANE + jres
-    rr = np.full(rl.shape, cap, np.int64)
-    rr[keep] = _rank_in_group(key_r[keep], nblocks * 8 * LANE)
-    keep &= rr < cap
-    # overflow graph degree (per plain block, no class namespacing)
-    of = ~keep
-    if of.any():
-        dl = np.bincount((blk * LANE + lane)[of], minlength=nblocks * LANE)
-        dr = np.bincount((blk * LANE + jres)[of], minlength=nblocks * LANE)
-        v = _next_pow2(max(int(dl.max()), int(dr.max()), 8))
-    else:
-        v = 0
-    return keep, v
+    k1 = rl < cap
+    key_r = ((blk * 8 + cls) * LANE + jres)[idx[k1]]
+    rr = _rank_in_group(key_r, nblocks * 8 * LANE)
+    kept = idx[k1][rr < cap]
+    keep = np.zeros(remaining.shape[0], bool)
+    keep[kept] = True
+    return keep
+
+
+def _overflow_v(blk, lane, jres, nblocks, of):
+    """Overflow color budget: pow2 of the class-BLIND per-block degrees."""
+    if not of.any():
+        return 0
+    dl = np.bincount((blk * LANE + lane)[of], minlength=nblocks * LANE)
+    dr = np.bincount((blk * LANE + jres)[of], minlength=nblocks * LANE)
+    return _next_pow2(max(int(dl.max()), int(dr.max()), 8))
+
+
+def _class_split(blk, lane, jres, gid, nblocks, cap):
+    """Rank peel(s) for the mod-8 class region + overflow V.
+
+    cap may be a TUPLE of pow2 caps (multi-band peel, round 3): each band
+    b peels the previous bands' leftover at cap[b] and is colored with its
+    own cap[b]-color Euler split, occupying rows [8*sum(cap[:b]),
+    8*sum(cap[:b+1])). Bands sidestep the pow2 quantization of a single
+    cap — e.g. caps (16, 8, 4) give k_c = 224 where the single-cap ladder
+    only offers 128 or 256 — and every band row joins the SAME cheap
+    ceil(g/8)-pass fold (gid%8 == row%8 holds per band), converting
+    overflow slots (g full masked passes each) into fold slots. Measured
+    motivation: thermal2 g24/bps8's cap-16 config spent 83 us of 240 in
+    overflow passes. Returns (band keep masks tuple, v)."""
+    caps = _cap_bands(cap)
+    cls = gid % 8
+    remaining = np.ones(blk.shape[0], bool)
+    bands = []
+    for c in caps:
+        keep = _peel_once(blk, lane, jres, cls, nblocks, c, remaining)
+        bands.append(keep)
+        remaining &= ~keep
+    v = _overflow_v(blk, lane, jres, nblocks, remaining)
+    return tuple(bands), v
 
 
 #: measured v5e cost-model constants (ps per element / per step); the
@@ -301,11 +353,15 @@ def _cap_candidates(csr: CSRMatrix, g: int, base=None):
         if cap is None:
             k_c, v = 0, d_glob
         else:
-            ofl = np.maximum(dl8 - cap, 0).sum(axis=1)
-            ofr = np.maximum(dr8 - cap, 0).sum(axis=1)
+            # multi-band tuples estimated at their summed cap (each band's
+            # peel is 2-sided, so the true leftover can be slightly
+            # larger; the exact re-peel in prepare corrects the shortlist)
+            total = sum(cap) if isinstance(cap, tuple) else cap
+            ofl = np.maximum(dl8 - total, 0).sum(axis=1)
+            ofr = np.maximum(dr8 - total, 0).sum(axis=1)
             d_of = max(int(ofl.max(initial=0)), int(ofr.max(initial=0)))
             v = _next_pow2(max(d_of, 8)) if d_of else 0
-            k_c = 8 * cap
+            k_c = 8 * total
         if k_c + v > _K_CAP:
             continue
         cands.append((cap, k_c, v))
@@ -424,17 +480,23 @@ def prepare_window(
         )
         keep = np.zeros(gid.shape[0], bool)
     else:
-        keep, v = _class_split(blk, lane, jres, gid, nblocks, cap)
-        k_c = 8 * cap
+        caps = _cap_bands(cap)
+        bands, v = _class_split(blk, lane, jres, gid, nblocks, caps)
+        k_c = 8 * sum(caps)
         cls = gid % 8
-        for r in range(8):
-            sel = keep & (cls == r)
-            if not sel.any():
-                continue
-            colors = _pack_coloring(
-                blk[sel], lane[sel], jres[sel], nblocks, cap
-            )
-            srow[sel] = r + 8 * colors
+        keep = np.zeros(gid.shape[0], bool)
+        base_row = 0
+        for cap_b, keep_b in zip(caps, bands):
+            for r in range(8):
+                sel = keep_b & (cls == r)
+                if not sel.any():
+                    continue
+                colors = _pack_coloring(
+                    blk[sel], lane[sel], jres[sel], nblocks, cap_b
+                )
+                srow[sel] = base_row + r + 8 * colors
+            keep |= keep_b
+            base_row += 8 * cap_b
     if v:
         of = ~keep
         colors = _pack_coloring(blk[of], lane[of], jres[of], nblocks, v)

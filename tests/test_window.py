@@ -253,3 +253,25 @@ def test_window_shared_staging_span_cap():
         W.prepare_window(csr, g=16, bps=bps, shared_w=True)
     auto = W.prepare_window(csr, g=16, bps=bps)
     assert not auto.shared_w
+
+
+def test_window_multiband_caps():
+    """Tuple caps run the multi-band peel: every band joins the mod-8 fold
+    region (k_c = 8*sum), intermediate k_c values the pow2 single-cap
+    ladder cannot express, same kernel, exact results."""
+    coo = synth.fem_like(
+        m=30000, n=30000, nnz=300000, spread=1500, lo=4, hi=14, seed=5
+    )
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(csr.shape[1], seed=2)
+    oracle = serial_csr_spmv(csr, x)
+    xj = jnp.asarray(x, jnp.float32)
+    single = W.prepare_window(csr, g=24, cap=16, bps=1, max_pad=8.0)
+    multi = W.prepare_window(csr, g=24, cap=(16, 8), bps=1, max_pad=8.0)
+    assert multi.k_c == 8 * 24
+    # the extra band absorbs overflow slots into the fold region
+    assert multi.k_pad - multi.k_c < single.k_pad - single.k_c
+    for mat in (single, multi):
+        y = np.asarray(W.window_spmv(mat, xj), np.float64)[: csr.shape[0]]
+        rep = vectors_diff(y, oracle)
+        assert rep.ok, rep
