@@ -43,7 +43,10 @@ def stage_winpick():
         "tile_vol,fold_vol,pass_vol,steps,us,gflops,maxerr,shared_w",
         flush=True,
     )
-    for preset in ("thermal2_like", "fem_3d_thermal2_like"):
+    presets = os.environ.get(
+        "WINPICK_PRESETS", "thermal2_like,fem_3d_thermal2_like"
+    ).split(",")
+    for preset in presets:
         coo = synth.preset(preset)
         csr = coo_to_csr(coo)
         x = fill_rnd_vector(csr.shape[1], seed=1)

@@ -750,9 +750,12 @@ def prepare_window_auto(
 
 
 #: exact-prepare depth of the auto scan: the estimated-V misranking that
-#: motivated the shortlist (see above) showed a >2-deep flip on fem_3d;
-#: 3 covers every misranking observed in the round-3 calibration data.
-_AUTO_SHORTLIST = 3
+#: motivated the shortlist (see above) showed a >2-deep flip on fem_3d,
+#: and the multi-band ladder (whose histogram V estimate is optimistic at
+#: small g — band peels are 2-sided) pushed fem's true winner (g40) to
+#: estimated rank 5. Native threaded prep keeps 5 exact prepares at
+#: seconds each.
+_AUTO_SHORTLIST = 5
 
 
 def _try_prepare_auto(
