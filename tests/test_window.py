@@ -275,3 +275,14 @@ def test_window_multiband_caps():
         y = np.asarray(W.window_spmv(mat, xj), np.float64)[: csr.shape[0]]
         rep = vectors_diff(y, oracle)
         assert rep.ok, rep
+
+
+def test_cap_bands_decomposition():
+    assert W._cap_bands(12) == (8, 4)
+    assert W._cap_bands(16) == (16,)
+    assert W._cap_bands((16, 8)) == (16, 8)
+    assert W._cap_bands(28) == (16, 8, 4)
+    with pytest.raises(WindowError):
+        W._cap_bands((12, 4))  # non-pow2 band
+    with pytest.raises(WindowError):
+        W._cap_bands(0)
