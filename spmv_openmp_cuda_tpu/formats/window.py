@@ -731,7 +731,12 @@ def prepare_window_auto(
     # geometry (native threaded prep makes each ~seconds).
     short = sorted(by_g.values(), key=lambda t: t[1])[:_AUTO_SHORTLIST]
     best = (None, float("inf"))
-    for g, _est, cap, bps_pick, eligible in short:
+    for g, est, cap, bps_pick, eligible in short:
+        if est >= best[1]:
+            # sound prune: the histogram V estimate is OPTIMISTIC (exact
+            # peel only ever inflates v), so est >= a candidate's already
+            # EXACT cost means this one cannot win — skip its prepare
+            continue
         mat = _try_prepare_auto(
             csr, g, cap, bps_pick, dtype, vals_dtype, max_pad,
             eligible if xdirect is None else xdirect,
