@@ -136,12 +136,18 @@ F64_SUITE = [
     ("raefsky1_like", 46.56, ["PL_DIA_RESID_F64"]),
     ("fem_3d_thermal2_like", 39.14, ["PL_CSR_WINDOW_F64"]),
     ("thermal2_like", 26.34, ["PL_CSR_WINDOW_F64"]),
+    # round 3: the double-float routed/window engines extend native-
+    # precision coverage to the remaining headline structure classes
+    ("caida_like", 10.47, ["PL_CSR_ROUTED_F64"]),
+    ("delaunay_n12_like", 5.81, ["PL_CSR_WINDOW_F64"]),
 ]
 F64_FALLBACK = {
     "cavity10_like": ["CSR_ROWS_BINNED"],
     "raefsky1_like": ["PL_DIA_F64"],
     "fem_3d_thermal2_like": ["CSR_ROWS_BINNED"],
     "thermal2_like": ["CSR_ROWS_BINNED"],
+    "caida_like": ["CSR_ROWS_BINNED"],
+    "delaunay_n12_like": ["PL_CSR_ROUTED_F64"],
 }
 # BENCH_SUITE=extended: the reference's OpenMP-baseline matrices
 # (SURVEY.md par.6 / BASELINE.md scripts+tables rows the CUDA suite does

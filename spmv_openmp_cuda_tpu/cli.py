@@ -218,7 +218,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             "dia": "PL_DIA_F64" if f64 else "PL_DIA_ROWS",
             "dia_resid": "PL_DIA_RESID_F64" if f64 else "PL_DIA_RESID",
             "window": "PL_CSR_WINDOW_F64" if f64 else "PL_CSR_WINDOW",
-            "routed": "CSR_ROWS_BINNED" if f64 else "PL_CSR_ROUTED",
+            "routed": "PL_CSR_ROUTED_F64" if f64 else "PL_CSR_ROUTED",
         }[fmt]
         print(f"#auto: format={fmt} -> {mode}")
     try:

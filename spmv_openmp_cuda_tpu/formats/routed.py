@@ -1409,3 +1409,209 @@ def routed_auto_spmv(mat, x: jax.Array) -> jax.Array:
     if isinstance(mat, RoutedChunks):
         return routed_chunked_spmv(mat, x)
     return routed_spmv(mat, x)
+
+
+# ---------------------------------------------------------------------------
+# Double-float routed engine — f64 semantics for the fully general path
+# (reference computes double throughout, src/include/macros.h:63-76; the
+# caida/webbase structure class previously had only the XLA-f64 binned
+# fallback at ~0.1 GFLOP/s). Design: slot placement is VALUE-INDEPENDENT,
+# so the (hi, lo) value slabs come from two structurally identical
+# prepares; every permutation stage is pure data movement and runs once
+# per word; products use TwoProduct + cross terms in one df gather
+# kernel; reductions are XLA-level TwoSum trees (ops/dfloat.py). The
+# heavy-row fast paths are value-split-hostile and stay OFF — heavy rows
+# demote into the multi-level reduction runs the engine already has.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mat", "vals_lo"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class RoutedDF:
+    """Routed engine operands in double-float: hi words ride mat.vals, lo
+    words in vals_lo (identical slot placement)."""
+
+    mat: RoutedCSR
+    vals_lo: jax.Array
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+    @property
+    def nnz(self):
+        return self.mat.nnz
+
+    @property
+    def perm_products(self):
+        return self.mat.perm_products
+
+
+def prepare_routed_df(csr: CSRMatrix) -> RoutedDF:
+    """Two structure-identical prepares over the split f64 values. Heavy
+    fast paths disabled (value-independent layout keeps hi/lo aligned)."""
+    from ..ops.dfloat import split_f64
+
+    hi, lo = split_f64(csr.data)
+    no_heavy = 1 << 60
+    mat_h = prepare_routed(
+        CSRMatrix(shape=csr.shape, indptr=csr.indptr, indices=csr.indices,
+                  data=hi),
+        heavy_threshold=no_heavy,
+    )
+    mat_l = prepare_routed(
+        CSRMatrix(shape=csr.shape, indptr=csr.indptr, indices=csr.indices,
+                  data=lo),
+        heavy_threshold=no_heavy,
+    )
+    return RoutedDF(mat=mat_h, vals_lo=mat_l.vals)
+
+
+def _gather_products_df(mat: RoutedCSR, vals_lo, xw_h, xw_l):
+    """Phase 1 in double-float: (hi, lo) product slabs in panel order."""
+    from ..ops.dfloat import df_mul_acc
+
+    n_tiles = mat.vals.shape[0] // LANE
+
+    def kernel(widx_ref, wth_ref, wtl_ref, vh_ref, vl_ref, pidx_ref,
+               oh_ref, ol_ref):
+        idx = pidx_ref[:].astype(jnp.int32)
+        gh = jnp.take_along_axis(wth_ref[:], idx, axis=1)
+        gl = jnp.take_along_axis(wtl_ref[:], idx, axis=1)
+        z = jnp.zeros((LANE, LANE), jnp.float32)
+        ph, pl_ = df_mul_acc(z, z, vh_ref[:], vl_ref[:], gh, gl)
+        oh_ref[:] = ph
+        ol_ref[:] = pl_
+
+    tile = pl.BlockSpec(
+        (LANE, LANE), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (LANE, LANE), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[wspec, wspec, tile, tile, tile],
+        out_specs=[tile, tile],
+    )
+    shp = jax.ShapeDtypeStruct((mat.vals.shape[0], LANE), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[shp, shp],
+        interpret=_interp(),
+    )(mat.widx, xw_h, xw_l, mat.vals, vals_lo, mat.pidx)
+
+
+def _reduce_runs_df(slab_h, slab_l, runs, mask=None):
+    """Width-binned unit sums with TwoSum trees (XLA level — adds only)."""
+    from ..ops.dfloat import two_sum
+
+    def dadd(a, b):
+        s, e = two_sum(a[0], b[0])
+        return s, a[1] + b[1] + e
+
+    def halve(parts):
+        while len(parts) > 1:
+            parts = [
+                dadd(parts[i], parts[i + 1]) if i + 1 < len(parts)
+                else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0]
+
+    if mask is not None:
+        slab_h = slab_h * mask
+        slab_l = slab_l * mask
+    outs_h, outs_l = [], []
+    for row0, n_groups, width, _g0 in runs:
+        bh = jax.lax.slice_in_dim(slab_h, row0, row0 + n_groups * width)
+        bl = jax.lax.slice_in_dim(slab_l, row0, row0 + n_groups * width)
+        bh = bh.reshape(n_groups, width, LANE)
+        bl = bl.reshape(n_groups, width, LANE)
+        h, lo = halve([(bh[:, i, :], bl[:, i, :]) for i in range(width)])
+        outs_h.append(h)
+        outs_l.append(lo)
+    return jnp.concatenate(outs_h, axis=0), jnp.concatenate(outs_l, axis=0)
+
+
+def _routed_df_32(mdf: RoutedDF, xh, xl):
+    """All-f32 body (traced under x32_trace_scope): the full general
+    pipeline with every slab as an (hi, lo) pair."""
+    mat = mdf.mat
+    plan = mat.perm_products
+    h1 = plan.h
+    xw_h = _pack_xw(mat, xh)
+    xw_l = _pack_xw(mat, xl)
+    ph, plo = _gather_products_df(mat, mdf.vals_lo, xw_h, xw_l)
+    ph = jnp.pad(ph, ((0, h1 - ph.shape[0]), (0, 0)))
+    plo = jnp.pad(plo, ((0, h1 - plo.shape[0]), (0, 0)))
+    slab_h = apply_permutation(plan, ph)
+    slab_l = apply_permutation(plan, plo)
+    sums = _reduce_runs_df(slab_h, slab_l, mat.runs)
+    flats_h = [sums[0].reshape(-1)]
+    flats_l = [sums[1].reshape(-1)]
+    for perm_k, mask_k, runs in zip(mat.lvl_perms, mat.lvl_masks, mat.lvl_runs):
+        prevs = []
+        for flats in (flats_h, flats_l):
+            prev2d = flats[-1].reshape(-1, LANE)
+            if prev2d.shape[0] > perm_k.h:
+                prev2d = prev2d[: perm_k.h]
+            else:
+                prev2d = jnp.pad(
+                    prev2d, ((0, perm_k.h - prev2d.shape[0]), (0, 0))
+                )
+            prevs.append(apply_permutation(perm_k, prev2d))
+        s_h, s_l = _reduce_runs_df(prevs[0], prevs[1], runs, mask=mask_k)
+        flats_h.append(s_h.reshape(-1))
+        flats_l.append(s_l.reshape(-1))
+    dom_o = mat.perm_out.h * LANE
+    ys = []
+    for flats in (flats_h, flats_l):
+        concat = jnp.concatenate(flats)
+        concat = jnp.pad(concat, (0, dom_o - concat.shape[0]))
+        y = apply_permutation(mat.perm_out, concat.reshape(-1, LANE))
+        ys.append(y.reshape(-1)[: mat.shape[0]])
+    return ys[0], ys[1]
+
+
+def routed_spmv_df(mdf: RoutedDF, x: jax.Array) -> jax.Array:
+    """y = A @ x with f64 semantics on the f32 units (double-float)."""
+    from ..ops.dfloat import df_combine64, split_f64_jnp, x32_trace_scope
+
+    xh, xl = split_f64_jnp(x.astype(jnp.float64))
+    with x32_trace_scope():
+        yh, yl = _routed_df_32(mdf, xh, xl)
+    return df_combine64(yh, yl)
+
+
+def prepare_routed_df_auto(csr: CSRMatrix):
+    """RoutedDF for one domain, RoutedChunks of RoutedDF otherwise (the
+    chunk bounds come from the standard fit; each block df-prepares)."""
+    try:
+        return prepare_routed_df(csr)
+    except RoutedError:
+        base = prepare_routed_chunked(csr)  # reuse the fitted bounds
+        chunks = []
+        for i in range(len(base.bounds) - 1):
+            r0, r1 = base.bounds[i], base.bounds[i + 1]
+            chunks.append(prepare_routed_df(_sub_csr(csr, r0, r1)))
+        return RoutedChunks(
+            chunks=tuple(chunks),
+            bounds=base.bounds,
+            shape=csr.shape,
+            nnz=csr.nnz,
+        )
+
+
+def routed_df_auto_spmv(mat, x: jax.Array) -> jax.Array:
+    if isinstance(mat, RoutedChunks):
+        return jnp.concatenate(
+            [routed_spmv_df(c, x) for c in mat.chunks]
+        )
+    return routed_spmv_df(mat, x)

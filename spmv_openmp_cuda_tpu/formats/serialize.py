@@ -19,13 +19,13 @@ from .binned import BinnedCSR
 from .dia import DeviceDIA, DeviceDIADF
 from .lanes import LanesSmall
 from .matrix import DeviceCSR, DeviceELL
-from .routed import RoutedCSR
+from .routed import RoutedCSR, RoutedDF
 from .window import WindowCSR
 from ..ops.route import PlannedPermutation
 
 PreparedFormat = Union[
     BinnedCSR, DeviceDIA, DeviceDIADF, DeviceELL, DeviceCSR, LanesSmall,
-    RoutedCSR, WindowCSR,
+    RoutedCSR, RoutedDF, WindowCSR,
 ]
 
 
@@ -130,6 +130,9 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "heavy_rows": list(mat.heavy_rows),
             "widx_t": list(mat.widx_t),
         }
+    if isinstance(mat, RoutedDF):
+        # leaves: mat's leaves then vals_lo (data_fields order)
+        return {"inner": _aux_of(mat.mat)}
     raise TypeError(type(mat))
 
 
@@ -253,7 +256,16 @@ def load_prepared(path: str) -> PreparedFormat:
             # pre-shared_w checkpoints baked per-sub-block Q: keep False
             shared_w=aux.get("shared_w", False),
         )
+    if kind == "RoutedDF":
+        mat = _read_routed(r, aux["inner"])
+        (vals_lo,) = r.take(1)
+        return RoutedDF(mat=mat, vals_lo=vals_lo)
     if kind == "RoutedCSR":
+        return _read_routed(r, aux)
+    raise ValueError(f"unknown kind {kind}")
+
+
+def _read_routed(r: _LeafReader, aux: dict) -> RoutedCSR:
         # leaf order follows the registered dataclass data_fields:
         # vals, pidx, widx, perm_products.*, lvl_perms.*, lvl_masks.*, perm_out.*
         vals, pidx, widx = r.take(3)
@@ -293,4 +305,3 @@ def load_prepared(path: str) -> PreparedFormat:
             lvl_runs=tuple(tuple(tuple(x) for x in rs) for rs in aux["lvl_runs"]),
             out_t=aux["out_t"],
         )
-    raise ValueError(f"unknown kind {kind}")

@@ -122,11 +122,12 @@ class AutoSpMV:
     ) -> "AutoSpMV":
         cfg = cfg or Config()
         fmt = select_format(csr) if format == "auto" else format
-        # float64: diagonal-concentrated structures ride the double-float
-        # Pallas DIA (ops/dfloat.py); gather-shaped engines fall back to
-        # the XLA f64 binned path
+        # float64 rides the double-float Pallas engines (ops/dfloat.py)
+        # for every structure class: DIA / DIA+residual / window / routed
+        # all have df variants; only the explicit lanes format falls back
+        # to the XLA f64 binned path
         f64 = cfg.dtype == "float64"
-        if f64 and fmt in ("lanes", "routed"):
+        if f64 and fmt == "lanes":
             fmt = "binned"
         if fmt == "dia_resid":
             from ..ops.spmv_pallas import (
@@ -148,7 +149,7 @@ class AutoSpMV:
                         o[0].mat, x, o[1], resid=o[0]
                     )
             except DiaFillError:
-                fmt = "dia" if f64 else "routed"
+                fmt = "routed"  # general fallback (df-routed under f64)
         if fmt == "window":
             from ..formats.window import WindowError, prepare_window_auto, window_spmv
 
@@ -159,7 +160,7 @@ class AutoSpMV:
                 )
                 run = window_spmv
             except WindowError:
-                fmt = "binned" if f64 else "routed"
+                fmt = "routed"  # general fallback (df-routed under f64)
         if fmt == "dia":
             from ..ops.spmv_pallas import (
                 dia_spmv_pallas,
@@ -183,7 +184,7 @@ class AutoSpMV:
                     ops = (pad_dia_for_pallas(mat, plan), plan)
                     run = lambda o, x: dia_spmv_pallas(o[0], x, o[1])
             except DiaFillError:
-                fmt = "binned" if f64 else "routed"
+                fmt = "routed"  # general fallback (df-routed under f64)
         if fmt == "lanes":
             try:
                 ops = prepare_lanes_small(csr, dtype=cfg.jnp_dtype)
@@ -192,8 +193,17 @@ class AutoSpMV:
                 fmt = "routed"
         if fmt == "routed":
             try:
-                ops = prepare_routed_auto(csr, dtype=cfg.jnp_dtype)
-                run = routed_auto_spmv
+                if f64:
+                    from ..formats.routed import (
+                        prepare_routed_df_auto,
+                        routed_df_auto_spmv,
+                    )
+
+                    ops = prepare_routed_df_auto(csr)
+                    run = routed_df_auto_spmv
+                else:
+                    ops = prepare_routed_auto(csr, dtype=cfg.jnp_dtype)
+                    run = routed_auto_spmv
             except RoutedError:
                 fmt = "binned"
         if fmt == "ell_t":

@@ -853,6 +853,27 @@ def _register() -> None:
         )
     )
 
+    from ..formats.routed import prepare_routed_df_auto, routed_df_auto_spmv
+
+    register(
+        KernelSpec(
+            name="PL_CSR_ROUTED_F64",
+            fmt="csr",
+            impl="pallas",
+            prepare=lambda csr, ell, cfg: prepare_routed_df_auto(csr),
+            run=routed_df_auto_spmv,
+            doc="double-precision Clos-routed CSR on the f32 VPU: (hi, lo) "
+            "double-float value/product slabs (TwoProduct gather, TwoSum "
+            "reduce trees, ops/dfloat.py); every permutation stage moves "
+            "each word once (slot placement is value-independent). Heavy "
+            "fast paths stay off — heavy rows demote into the multi-level "
+            "reduction runs. f64 semantics for the power-law/global "
+            "structure class (caida/webbase) the XLA-f64 fallback served "
+            "at ~0.1 GFLOP/s",
+            f64=True,
+        )
+    )
+
     register(
         KernelSpec(
             name="PL_CSR_ROUTED_BF16",

@@ -63,11 +63,13 @@ def test_auto_spmv_from_file(tmp_path):
 
 
 def test_auto_spmv_float64_uses_xla_paths():
+    # round 3: every structure class rides a double-float Pallas engine
+    # (power-law -> df-routed; only explicit lanes falls back to binned)
     from spmv_openmp_cuda_tpu.config import Config
 
     for gen, want in [
         (synth.banded(400, 400, 4, seed=2), "dia"),
-        (synth.power_law(500, 500, 5.0, seed=3), "binned"),
+        (synth.power_law(500, 500, 5.0, seed=3), "routed"),
     ]:
         csr = S.coo_to_csr(gen)
         model = AutoSpMV.from_csr(csr, cfg=Config(dtype="float64"))

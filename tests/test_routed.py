@@ -307,3 +307,92 @@ def test_routed_all_nnz_heavy():
     assert rep.ok, rep
 
 
+
+
+def test_routed_df_double_precision():
+    """Double-float routed engine: O(1)-magnitude data where the f32
+    engine drifts to ~1e-3; df must hold double-class precision."""
+    from spmv_openmp_cuda_tpu.config import Config
+    from spmv_openmp_cuda_tpu.formats.routed import (
+        prepare_routed_df, routed_spmv_df,
+    )
+
+    Config(dtype="float64")  # enable x64
+    rng = np.random.default_rng(0)
+    coo = synth.power_law(
+        20000, 20000, avg_nnz_per_row=6.0, alpha=1.2, seed=3,
+        exact_nnz=130000,
+    )
+    coo.vals[:] = rng.standard_normal(coo.vals.shape[0])
+    csr = S.coo_to_csr(coo)
+    x = rng.standard_normal(csr.shape[1])
+    oracle = serial_csr_spmv(csr, x)
+    mdf = prepare_routed_df(csr)
+    y = np.asarray(routed_spmv_df(mdf, jnp.asarray(x, jnp.float64)))
+    assert y.dtype == np.float64
+    rel = np.abs(y - oracle).max() / np.abs(oracle).max()
+    assert rel < 1e-11, rel
+
+
+def test_routed_df_hub_rows_demote():
+    """Heavy fast paths are off in df: hub rows must flow through the
+    multi-level reduction runs and still hold precision."""
+    from spmv_openmp_cuda_tpu.config import Config
+    from spmv_openmp_cuda_tpu.formats.routed import (
+        prepare_routed_df, routed_spmv_df,
+    )
+
+    Config(dtype="float64")  # enable x64
+    rng = np.random.default_rng(1)
+    coo = synth.power_law(
+        30000, 30000, avg_nnz_per_row=8.0, alpha=1.05, seed=5,
+        exact_nnz=400000,
+    )
+    coo.vals[:] = rng.standard_normal(coo.vals.shape[0])
+    csr = S.coo_to_csr(coo)
+    assert csr.max_row_nz > 128  # multi-level splitting exercised
+    mdf = prepare_routed_df(csr)
+    assert mdf.mat.hdense is None and mdf.mat.hvals is None
+    x = rng.standard_normal(csr.shape[1])
+    y = np.asarray(routed_spmv_df(mdf, jnp.asarray(x, jnp.float64)))
+    oracle = serial_csr_spmv(csr, x)
+    rel = np.abs(y - oracle).max() / np.abs(oracle).max()
+    assert rel < 1e-11, rel
+
+
+def test_routed_df_chunked():
+    from spmv_openmp_cuda_tpu.config import Config
+    from spmv_openmp_cuda_tpu.formats.routed import (
+        RoutedChunks, prepare_routed_df_auto, routed_df_auto_spmv,
+    )
+
+    Config(dtype="float64")  # enable x64
+    rng = np.random.default_rng(2)
+    coo = synth.power_law(
+        300000, 300000, avg_nnz_per_row=8.0, alpha=1.3, seed=7,
+        exact_nnz=2400000,
+    )
+    coo.vals[:] = rng.standard_normal(coo.vals.shape[0]) * 0.1
+    csr = S.coo_to_csr(coo)
+    mat = prepare_routed_df_auto(csr)
+    assert isinstance(mat, RoutedChunks) and len(mat.chunks) > 1
+    x = rng.standard_normal(csr.shape[1])
+    y = np.asarray(routed_df_auto_spmv(mat, jnp.asarray(x, jnp.float64)))
+    oracle = serial_csr_spmv(csr, x)
+    rel = np.abs(y - oracle).max() / np.abs(oracle).max()
+    assert rel < 1e-10, rel
+
+
+def test_routed_df_registered_mode():
+    from spmv_openmp_cuda_tpu.config import Config
+    from spmv_openmp_cuda_tpu.ops import registry
+
+    spec = registry.get("PL_CSR_ROUTED_F64")
+    assert spec.f64
+    coo = synth.power_law(8000, 8000, 5.0, seed=9, exact_nnz=40000)
+    csr = S.coo_to_csr(coo)
+    ops = spec.prepare(csr, None, Config(dtype="float64"))
+    x = fill_rnd_vector(csr.shape[1], seed=2)
+    y = np.asarray(spec.run(ops, jnp.asarray(x, jnp.float64)), np.float64)
+    rep = vectors_diff(y, serial_csr_spmv(csr, x))
+    assert rep.ok, rep
