@@ -131,8 +131,12 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "widx_t": list(mat.widx_t),
         }
     if isinstance(mat, RoutedDF):
-        # leaves: mat's leaves then vals_lo (data_fields order)
-        return {"inner": _aux_of(mat.mat)}
+        # leaves: mat's leaves, vals_lo, then hdense64 when present
+        return {
+            "inner": _aux_of(mat.mat),
+            "has_hdense64": mat.hdense64 is not None,
+            "heavy_rows_df": list(mat.heavy_rows_df),
+        }
     raise TypeError(type(mat))
 
 
@@ -259,7 +263,11 @@ def load_prepared(path: str) -> PreparedFormat:
     if kind == "RoutedDF":
         mat = _read_routed(r, aux["inner"])
         (vals_lo,) = r.take(1)
-        return RoutedDF(mat=mat, vals_lo=vals_lo)
+        hdense64 = r.take(1)[0] if aux.get("has_hdense64") else None
+        return RoutedDF(
+            mat=mat, vals_lo=vals_lo, hdense64=hdense64,
+            heavy_rows_df=tuple(aux.get("heavy_rows_df", ())),
+        )
     if kind == "RoutedCSR":
         return _read_routed(r, aux)
     raise ValueError(f"unknown kind {kind}")
