@@ -1427,21 +1427,24 @@ def routed_auto_spmv(mat, x: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["mat", "vals_lo", "hdense64"],
+    data_fields=["mat", "vals_lo", "hdense_hi", "hdense_lo"],
     meta_fields=["heavy_rows_df"],
 )
 @dataclasses.dataclass
 class RoutedDF:
     """Routed engine operands in double-float: hi words ride mat.vals, lo
     words in vals_lo (identical slot placement). Heavy rows (hub rows in
-    power-law matrices) carry a dense f64 row block computed with one XLA
-    f64 dot — exact, tiny (tens of rows), and it keeps the light domain
+    power-law matrices) carry a dense (hi, lo) f32 row block reduced by a
+    compensated pairwise tree in plain XLA f32 ops — double-class
+    precision at f32 elementwise speed (XLA's EMULATED f64 dot measured
+    1.4 ms for 3M MACs on this backend), and it keeps the light domain
     the same size as the f32 engine's instead of demoting 100k-nnz rows
     into the multi-level reduction runs (measured 6x on caida)."""
 
     mat: RoutedCSR
     vals_lo: jax.Array
-    hdense64: jax.Array | None = None  # (n_heavy, n_pad) f64
+    hdense_hi: jax.Array | None = None  # (n_heavy, n_pad) f32 pairs
+    hdense_lo: jax.Array | None = None
     heavy_rows_df: Tuple[int, ...] = ()
 
     @property
@@ -1488,7 +1491,8 @@ def prepare_routed_df(csr: CSRMatrix) -> RoutedDF:
         row_map[rows_h] = np.arange(rows_h.size)
         hnz = heavy_sel[rows_all]
         hd[row_map[rows_all[hnz]], csr.indices[hnz]] = data[hnz]
-        hdense64 = jnp.asarray(hd)
+        hd_hi, hd_lo = split_f64(hd)
+        hdense64 = (jnp.asarray(hd_hi), jnp.asarray(hd_lo))
         heavy_rows = tuple(int(r) for r in rows_h)
         keep = ~hnz
         lens_light = np.where(heavy_sel, 0, lens_full)
@@ -1510,7 +1514,9 @@ def prepare_routed_df(csr: CSRMatrix) -> RoutedDF:
         heavy_threshold=no_heavy,
     )
     return RoutedDF(
-        mat=mat_h, vals_lo=mat_l.vals, hdense64=hdense64,
+        mat=mat_h, vals_lo=mat_l.vals,
+        hdense_hi=None if hdense64 is None else hdense64[0],
+        hdense_lo=None if hdense64 is None else hdense64[1],
         heavy_rows_df=heavy_rows,
     )
 
@@ -1624,6 +1630,29 @@ def _routed_df_32(mdf: RoutedDF, xh, xl):
     return ys[0], ys[1]
 
 
+def _df_dense_rowdot(hh, hl, xh, xl):
+    """(n_h,) double-float row sums of a dense (hi, lo) block times an
+    (hi, lo) vector — plain XLA f32 ops (TwoProduct + compensated
+    pairwise tree), no Mosaic, no emulated f64."""
+    from ..ops.dfloat import two_prod, two_sum
+
+    ph, pe = two_prod(hh, xh[None, :])
+    plo = pe + (hh * xl[None, :] + hl * xh[None, :])
+    n = ph.shape[1]
+    p2 = 1
+    while p2 < n:
+        p2 *= 2
+    ph = jnp.pad(ph, ((0, 0), (0, p2 - n)))
+    plo = jnp.pad(plo, ((0, 0), (0, p2 - n)))
+    while p2 > 1:
+        half = p2 // 2
+        s, e = two_sum(ph[:, :half], ph[:, half:p2])
+        plo = plo[:, :half] + plo[:, half:p2] + e
+        ph = s
+        p2 = half
+    return ph[:, 0], plo[:, 0]
+
+
 def routed_spmv_df(mdf: RoutedDF, x: jax.Array) -> jax.Array:
     """y = A @ x with f64 semantics on the f32 units (double-float)."""
     from ..ops.dfloat import df_combine64, split_f64_jnp, x32_trace_scope
@@ -1632,13 +1661,17 @@ def routed_spmv_df(mdf: RoutedDF, x: jax.Array) -> jax.Array:
     xh, xl = split_f64_jnp(x64)
     with x32_trace_scope():
         yh, yl = _routed_df_32(mdf, xh, xl)
+        if mdf.hdense_hi is not None:
+            pad = mdf.hdense_hi.shape[1] - xh.shape[0]
+            rh, rl = _df_dense_rowdot(
+                mdf.hdense_hi, mdf.hdense_lo,
+                jnp.pad(xh, (0, pad)), jnp.pad(xl, (0, pad)),
+            )
     y = df_combine64(yh, yl)
-    if mdf.hdense64 is not None:
-        xb = jnp.pad(x64, (0, mdf.hdense64.shape[1] - x64.shape[0]))
-        yh_rows = jax.lax.dot(
-            mdf.hdense64, xb, preferred_element_type=jnp.float64
+    if mdf.hdense_hi is not None:
+        y = y.at[jnp.asarray(mdf.heavy_rows_df)].set(
+            df_combine64(rh, rl).astype(y.dtype)
         )
-        y = y.at[jnp.asarray(mdf.heavy_rows_df)].set(yh_rows.astype(y.dtype))
     return y
 
 

@@ -131,10 +131,10 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "widx_t": list(mat.widx_t),
         }
     if isinstance(mat, RoutedDF):
-        # leaves: mat's leaves, vals_lo, then hdense64 when present
+        # leaves: mat's leaves, vals_lo, then the (hi, lo) heavy block
         return {
             "inner": _aux_of(mat.mat),
-            "has_hdense64": mat.hdense64 is not None,
+            "has_hdense_df": mat.hdense_hi is not None,
             "heavy_rows_df": list(mat.heavy_rows_df),
         }
     raise TypeError(type(mat))
@@ -263,9 +263,11 @@ def load_prepared(path: str) -> PreparedFormat:
     if kind == "RoutedDF":
         mat = _read_routed(r, aux["inner"])
         (vals_lo,) = r.take(1)
-        hdense64 = r.take(1)[0] if aux.get("has_hdense64") else None
+        hh = hl = None
+        if aux.get("has_hdense_df"):
+            hh, hl = r.take(2)
         return RoutedDF(
-            mat=mat, vals_lo=vals_lo, hdense64=hdense64,
+            mat=mat, vals_lo=vals_lo, hdense_hi=hh, hdense_lo=hl,
             heavy_rows_df=tuple(aux.get("heavy_rows_df", ())),
         )
     if kind == "RoutedCSR":
