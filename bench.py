@@ -159,12 +159,39 @@ F64_FALLBACK = {
 EXT_SUITE = [
     ("cavity10_like", 4.26, ["PL_DIA_RESID_BF16", "PL_DIA_ROWS"]),
     ("west2021_like", 0.88, ["PL_CSR_WINDOW", "PL_CSR_ROUTED"]),
+    # SG (reference scripts/templateCUDA.log:1-5: 144649^2, 2.15M nnz,
+    # 1.908e-3 s CUDA CSR row-per-thread -> 2.25 GF/s)
+    ("sg_like", 2.25, ["PL_CSR_WINDOW_BF16"]),
     ("webbase_like", 2.26, ["PL_CSR_ROUTED_BF16"]),
+    # Cube_Coup_dt0 (BASELINE.md ompNew.ods corpus row: ~0.0595 s ELL
+    # RowsBasic on 40 threads -> ~4.3 GF/s); 127M nnz: expensive setup +
+    # compile, so it runs last
+    ("cube_coup_like", 4.3, ["PL_DIA_BF16"]),
 ]
 EXT_FALLBACK = {
     "cavity10_like": ["PL_DIA_BF16"],
     "west2021_like": ["CSR_ROWS_BINNED"],
+    "sg_like": ["PL_CSR_WINDOW"],
     "webbase_like": ["PL_CSR_ROUTED"],
+    "cube_coup_like": ["DIA_ROWS"],
+}
+# BENCH_SUITE=extended + SPMV_DTYPE=float64: the extended matrices at the
+# reference's native precision, riding the double-float Pallas engines
+# (webbase chunks df-routes per block, prepare_routed_df_auto). Results
+# land in BENCH_DETAILS_EXTENDED_F64.json.
+EXT_F64_SUITE = [
+    ("cavity10_like", 4.26, ["PL_DIA_RESID_F64"]),
+    ("west2021_like", 0.88, ["PL_CSR_WINDOW_F64", "PL_CSR_ROUTED_F64"]),
+    ("sg_like", 2.25, ["PL_CSR_WINDOW_F64"]),
+    ("webbase_like", 2.26, ["PL_CSR_ROUTED_F64"]),
+    ("cube_coup_like", 4.3, ["PL_DIA_F64"]),
+]
+EXT_F64_FALLBACK = {
+    "cavity10_like": ["PL_DIA_F64"],
+    "west2021_like": ["CSR_ROWS_BINNED"],
+    "sg_like": ["PL_CSR_ROUTED_F64"],
+    "webbase_like": ["CSR_ROWS_BINNED"],
+    "cube_coup_like": ["CSR_ROWS_BINNED"],
 }
 F64_AB_EXTRA = {
     "cavity10_like": ["CSR_ROWS_BINNED"],
@@ -182,12 +209,8 @@ def build_suite():
     extended = os.environ.get("BENCH_SUITE") == "extended"
     dtype = os.environ.get("SPMV_DTYPE", "float32")
     if extended and dtype == "float64":
-        # the extended suite's candidates are 32-bit/bf16 engines; running
-        # them under x64 would record f64-labeled rows nothing actually
-        # computed in double
-        log("BENCH_SUITE=extended ignores SPMV_DTYPE=float64 (f32 suite)")
-        dtype = "float32"
-    if extended:
+        base_suite, fallback = EXT_F64_SUITE, EXT_F64_FALLBACK
+    elif extended:
         base_suite, fallback = EXT_SUITE, EXT_FALLBACK
     elif dtype == "float64":
         base_suite, fallback = F64_SUITE, F64_FALLBACK
@@ -224,10 +247,12 @@ def measure_proxy(preset, ref_gflops, candidates, cfg, cand_cb=None):
     t0 = time.perf_counter()
     coo = synth.preset(preset, seed=0)
     csr = S.coo_to_csr(coo)
-    try:
-        ell = S.coo_to_ell(coo)
-    except Exception:
-        ell = None
+    ell = None
+    if any(registry.get(n).fmt == "ell" for n in candidates):
+        try:
+            ell = S.coo_to_ell(coo)
+        except Exception:
+            ell = None
     x = fill_rnd_vector(coo.shape[1], seed=1)
     oracle = serial_csr_spmv(csr, x)
     log(
@@ -396,7 +421,9 @@ def emit(details, extended, dtype, base_len):
         sum(math.log(d["gflops"]) for d in details) / len(details)
     )
     details_file = (
-        "BENCH_DETAILS_EXTENDED.json"
+        "BENCH_DETAILS_EXTENDED_F64.json"
+        if extended and dtype == "float64"
+        else "BENCH_DETAILS_EXTENDED.json"
         if extended
         else "BENCH_DETAILS_F64.json"
         if dtype == "float64"

@@ -62,6 +62,21 @@ def build_argparser() -> argparse.ArgumentParser:
         "engines otherwise — raw Pallas kernels are 32-bit)",
     )
     p.add_argument("--list-modes", action="store_true", help="list kernels and exit")
+    p.add_argument(
+        "--env",
+        action="store_true",
+        help="print runtime environment info (backend, devices, env "
+        "overrides — the reference's OMP ICV dump, ompGetICV.c:23-73) and "
+        "exit",
+    )
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler trace (TensorBoard format) of the "
+        "timed kernel chain into DIR (two-level timing analog of "
+        "main.cu:229-242 plus a device trace the reference lacks)",
+    )
     p.add_argument("--no-dump", action="store_true", help="skip output vector dumps")
     p.add_argument("--check", action="store_true", help="verify against serial oracle")
     p.add_argument(
@@ -182,6 +197,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.list_modes:
         for s in registry.all_kernels():
             print(f"{s.name:24s} [{s.impl}/{s.fmt}] {s.doc}")
+        return 0
+    if args.env:
+        from .utils.envinfo import format_info
+
+        print(format_info())
         return 0
     if not args.matrix or not args.vector:
         build_argparser().error("the following arguments are required: matrix, vector")
@@ -319,6 +339,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"#prepared not serializable for mode {spec.name}",
                 file=sys.stderr,
             )
+    from .utils.profiling import Timings, profiler_trace, wall_timer
+
     f = spec.jitted(operands)
     xj = jax.device_put(jnp.asarray(x, dtype=cfg.jnp_dtype))
     y = jax.block_until_ready(f(xj))  # includes compile
@@ -342,20 +364,24 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     def timed_chain(steps):
         it = -(-steps // K)
+        t = Timings()
         _ = float(jnp.sum(chain(xj, jnp.int32(it))))
-        t1 = time.perf_counter()
-        _ = float(jnp.sum(chain(xj, jnp.int32(it))))
-        return time.perf_counter() - t1, it * K
+        with wall_timer(t):
+            _ = float(jnp.sum(chain(xj, jnp.int32(it))))
+        return t.wall, it * K
 
-    t_lo, lo_n = timed_chain(2)
-    t_hi, hi_n = timed_chain(lo_n + max(cfg.avg_times_iteration, 16))
-    if t_hi - t_lo < 0.2:  # step signal drowned in dispatch noise: escalate
-        slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
-        # t_lo/lo_n upper-bounds the true per-step time, so this caps the
-        # escalated chain at ~3 s of device time even when noise makes the
-        # measured slope collapse to the 1e-7 floor
-        cap = max(int(3.0 / max(t_lo / lo_n, 1e-7)), lo_n)
-        t_hi, hi_n = timed_chain(lo_n + min(int(0.5 / slope1), cap, 500_000))
+    with profiler_trace(args.profile):
+        t_lo, lo_n = timed_chain(2)
+        t_hi, hi_n = timed_chain(lo_n + max(cfg.avg_times_iteration, 16))
+        if t_hi - t_lo < 0.2:  # step signal drowned in dispatch noise: escalate
+            slope1 = max((t_hi - t_lo) / (hi_n - lo_n), 1e-7)
+            # t_lo/lo_n upper-bounds the true per-step time, so this caps the
+            # escalated chain at ~3 s of device time even when noise makes the
+            # measured slope collapse to the 1e-7 floor
+            cap = max(int(3.0 / max(t_lo / lo_n, 1e-7)), lo_n)
+            t_hi, hi_n = timed_chain(lo_n + min(int(0.5 / slope1), cap, 500_000))
+    if args.profile:
+        print(f"#profile: jax.profiler trace written to {args.profile}")
     elapsed_internal = (t_hi - t_lo) / (hi_n - lo_n)
     if elapsed_internal <= 0:
         elapsed_internal = t_hi / hi_n  # noise-bound: conservative bound

@@ -44,6 +44,7 @@ from ..ops.route import (
     apply_permutation_from_w1,
     apply_permutation_to_mid,
     apply_sw_w2_sw,
+    apply_sw_w2_sw_transposed,
     apply_w_stage,
     pick_t,
     plan_permutation,
@@ -670,7 +671,9 @@ def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     )(mat.widx, xw, mat.vals, mat.pidx)
 
 
-def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
+def _gather_w1(
+    mat: RoutedCSR, xw: jax.Array, tspace: bool = False
+) -> jax.Array:
     """Phases 1+2a fused: per-tile lane-gather products immediately W1-
     permuted (the Clos ingress sublane perm) — the product slab never
     round-trips HBM between gather and routing. Pad tiles (vals = 0) emit
@@ -680,7 +683,12 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     window offsets (widx_t) — the per-tile grid pipeline's step overhead
     dominates at these sizes. The output covers the full permutation domain;
     pad tiles past the gather rows are zeroed in-kernel without any HBM
-    read."""
+    read.
+
+    With tspace=True the output tiles stay TRANSPOSED (B_tt[m, ss]): the
+    W1 taa already works in transposed space, so the trailing per-tile
+    transpose is simply dropped — downstream stages consume transposed
+    tiles (apply_sw_w2_sw_transposed / _w3_r3_reduce(tspace=True))."""
     dtype = _slab_dtype(mat)
     n_real = mat.vals.shape[0] // LANE
     h1 = mat.perm_products.h
@@ -702,9 +710,10 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
                     prod = vals_ref[sl, :].astype(dtype) * jnp.take_along_axis(
                         wt, pidx_ref[sl, :].astype(jnp.int32), axis=1
                     )
-                    o_ref[sl, :] = jnp.take_along_axis(
+                    w1p = jnp.take_along_axis(
                         prod.T, w1_ref[sl, :].astype(jnp.int32), axis=1
-                    ).T
+                    )
+                    o_ref[sl, :] = w1p if tspace else w1p.T
                 if h1 > n_real * LANE:
                     o_ref[n_real * LANE :, :] = jnp.zeros(
                         (h1 - n_real * LANE, LANE), dtype
@@ -726,9 +735,10 @@ def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
             prod = vals_ref[:].astype(dtype) * jnp.take_along_axis(
                 wt_ref[:], pidx_ref[:].astype(jnp.int32), axis=1
             )
-            o_ref[:] = jnp.take_along_axis(
+            w1p = jnp.take_along_axis(
                 prod.T, w1_ref[:].astype(jnp.int32), axis=1
-            ).T
+            )
+            o_ref[:] = w1p if tspace else w1p.T
 
         @pl.when(i >= n_real)
         def _():
@@ -887,7 +897,7 @@ _W3_FUSED_MAX_ROWS = 8192
 _W3_FUSED_MASKED_MAX_ROWS = 4096
 
 
-def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None):
+def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, tspace=False):
     """Last permutation stages (per-tile W3 sublane perm, R3 lane perm)
     fused with the width-binned reduce in one single-block kernel: the slab
     is read from HBM exactly once and never rematerializes. The optional
@@ -896,7 +906,11 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None):
     With w1_next (the output permutation's W1 stage array), the kernel ALSO
     emits the W1'-transformed sums for every full 128-group tile — the
     output permutation's ingress stage costs no extra memory pass. Returns
-    (raw sums, transformed leading tiles) in that case."""
+    (raw sums, transformed leading tiles) in that case.
+
+    tspace=True: x5 arrives as TRANSPOSED tiles (from the transposed-space
+    mid stages), so W3 is a direct taa and only ONE transpose (back to row
+    space for R3 + the sublane reduce) remains per tile."""
     t = plan.t
     n_groups_total = runs[-1][3] + runs[-1][1]
     g_pad = max(-(-n_groups_total // 8) * 8, 8)
@@ -914,8 +928,9 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None):
         s_ref = refs_l.pop(0)
         for tt in range(t):
             sl = slice(tt * LANE, (tt + 1) * LANE)
+            xt = x5_ref[sl, :] if tspace else x5_ref[sl, :].T
             s_ref[sl, :] = jnp.take_along_axis(
-                x5_ref[sl, :].T, w3_ref[sl, :].astype(jnp.int32), axis=1
+                xt, w3_ref[sl, :].astype(jnp.int32), axis=1
             ).T
         g = jnp.take_along_axis(s_ref[:], r3_ref[:].astype(jnp.int32), axis=1)
         if mask is not None:
@@ -1181,11 +1196,19 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     sums_w1 = None
     if h1 <= _W3_FUSED_MAX_ROWS:
         # (an in-kernel SW/W2/SW^-1 fusion was A/B'd here in rounds 2-3
-        # and removed: 27.2 vs 32.1 GF/s on caida, sample_ab_r3.log)
-        x2 = _gather_w1(mat, xw)
-        x5 = apply_sw_w2_sw(mat.perm_products, x2)
+        # and removed: 27.2 vs 32.1 GF/s on caida, sample_ab_r3.log).
+        # tspace: the three kernels exchange TRANSPOSED tiles, cutting 4 of
+        # the 6 per-tile 128x128 transposes (SPMV_ROUTED_TSPACE=0 reverts)
+        ts = os.environ.get("SPMV_ROUTED_TSPACE", "1") != "0"
+        x2 = _gather_w1(mat, xw, tspace=ts)
+        x5 = (
+            apply_sw_w2_sw_transposed(mat.perm_products, x2)
+            if ts
+            else apply_sw_w2_sw(mat.perm_products, x2)
+        )
         res = _w3_r3_reduce(
-            x5, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1
+            x5, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1,
+            tspace=ts,
         )
         sums, sums_w1 = res if isinstance(res, tuple) else (res, None)
     else:

@@ -227,6 +227,21 @@ PRESETS = {
             exact_nnz=3105536,
         ),
     ),
+    # SG (reference scripts/templateCUDA.log:1-5): 144649^2, 2148786 nnz,
+    # maxRowNZ 26. The log gives stats only (no SuiteSparse id resolvable
+    # from them), so the proxy models what the stats pin down: near-uniform
+    # row lengths capped at 26 (avg 14.9) with mesh-like scattered locality.
+    "sg_like": (
+        fem_like,
+        dict(m=144649, n=144649, nnz=2148786, spread=2048, lo=6, hi=26),
+    ),
+    # Cube_Coup_dt0 (BASELINE.md, ompNew.ods corpus): 2164760^2, 127.2M nnz,
+    # 3D coupled structural mechanics -> dense near-diagonal band (~59/row).
+    "cube_coup_like": (
+        banded,
+        dict(m=2164760, n=2164760, bandwidth=29, fill=1.0,
+             exact_nnz=127206144),
+    ),
 }
 
 

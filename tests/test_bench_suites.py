@@ -21,7 +21,9 @@ def _bench_module():
 def test_suite_entries_resolve():
     bench = _bench_module()
     modes = set(registry.names())
-    for suite in (bench.SUITE, bench.F64_SUITE, bench.EXT_SUITE):
+    for suite in (
+        bench.SUITE, bench.F64_SUITE, bench.EXT_SUITE, bench.EXT_F64_SUITE
+    ):
         for preset, ref_gflops, candidates in suite:
             assert preset in synth.PRESETS, preset
             assert ref_gflops > 0
@@ -37,18 +39,22 @@ def test_suite_entries_resolve():
 
 def test_f64_suite_uses_f64_capable_modes():
     bench = _bench_module()
-    for preset, _ref, candidates in bench.F64_SUITE:
-        for name in candidates:
-            spec = registry.get(name)
-            assert spec.impl != "pallas" or spec.f64, (
-                f"{name} is a 32-bit Pallas mode in the f64 suite"
-            )
+    for suite in (bench.F64_SUITE, bench.EXT_F64_SUITE):
+        for preset, _ref, candidates in suite:
+            for name in candidates:
+                spec = registry.get(name)
+                assert spec.impl != "pallas" or spec.f64, (
+                    f"{name} is a 32-bit Pallas mode in the f64 suite"
+                )
 
 
 def test_fallback_entries_resolve():
     bench = _bench_module()
     modes = set(registry.names())
-    for fb in (bench.FALLBACK, bench.F64_FALLBACK, bench.EXT_FALLBACK):
+    for fb in (
+        bench.FALLBACK, bench.F64_FALLBACK, bench.EXT_FALLBACK,
+        bench.EXT_F64_FALLBACK,
+    ):
         for preset, candidates in fb.items():
             assert preset in synth.PRESETS, preset
             assert candidates, preset
@@ -59,6 +65,7 @@ def test_fallback_entries_resolve():
         (bench.SUITE, bench.FALLBACK),
         (bench.F64_SUITE, bench.F64_FALLBACK),
         (bench.EXT_SUITE, bench.EXT_FALLBACK),
+        (bench.EXT_F64_SUITE, bench.EXT_F64_FALLBACK),
     ):
         for preset, _ref, _c in suite:
             assert preset in fb, preset

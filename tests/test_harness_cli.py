@@ -247,3 +247,32 @@ def test_cli_save_load_prepared_dia_pallas(tmp_path, capsys):
                f"--load-prepared={prep}"])
     assert rc == 1
     assert "does not match mode" in capsys.readouterr().err
+
+
+def test_cli_env_flag(capsys):
+    # --env prints runtime introspection (reference ompGetICV.c:23-73 analog)
+    rc = cli_main(["--env"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "backend:" in out
+    assert "device_count:" in out
+    assert "env_overrides:" in out
+
+
+def test_cli_profile_trace(tmp_path, capsys):
+    # --profile DIR wraps the timed chain in a jax.profiler trace capture
+    coo, csr, ell = _mat()
+    mtx = str(tmp_path / "m.mtx")
+    write_mtx(mtx, coo)
+    trace_dir = str(tmp_path / "trace")
+    rc = cli_main([mtx, "RNDVECT", "CSR_ROWS", "--no-dump",
+                   f"--profile={trace_dir}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "#profile:" in out
+    assert "computeMode:CSR_ROWS" in out
+    # the profiler wrote TensorBoard plugin events under DIR
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found.extend(files)
+    assert found, "profiler trace produced no files"

@@ -21,6 +21,7 @@ EXACT = {
     "cavity10_like": (2597, 76367),
     "caida_like": (192244, 1218132),
     "west2021_like": (2021, 7310),
+    "sg_like": (144649, 2148786),
 }
 
 
