@@ -114,6 +114,78 @@ class RoutedCSR:
     widx_t: Tuple[int, ...] = ()
 
 
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _ladder_counts(lens: np.ndarray) -> dict:
+    """Pow2-quantized width ladder: {width: n_groups} with units of
+    next_pow2(len) == width packed 128 to a group. The quantization wastes
+    <= 2x slab rows but makes the (width, count) schema unifiable across
+    chunks — the basis of the single-program multi-device routed path."""
+    q = np.array([_next_pow2(max(int(v), 1)) for v in lens], dtype=np.int64)
+    out = {}
+    for w in sorted(set(q.tolist()), reverse=True):
+        out[int(w)] = int(-(-int((q == w).sum()) // LANE))
+    return out
+
+
+def merge_ladders(ladders) -> dict:
+    """Elementwise-max merge of {width: n_groups} ladders (schema union)."""
+    out: dict = {}
+    for lad in ladders:
+        for w, c in lad.items():
+            out[w] = max(out.get(w, 0), c)
+    return dict(sorted(out.items(), reverse=True))
+
+
+def _group_units_ladder(lens: np.ndarray, schema: dict):
+    """Schema-forced grouping: place every unit into the pow2 ladder class
+    next_pow2(len), groups padded to exactly schema[w] per width — the
+    resulting `runs` tuple is identical for every chunk sharing the schema.
+
+    Returns (rank, group_row_base, runs, n_rows): rank[u] = slot rank of
+    unit u (group = rank // 128); pad ranks are simply unoccupied."""
+    u = lens.shape[0]
+    q = np.array([_next_pow2(max(int(v), 1)) for v in lens], dtype=np.int64)
+    widths_all, counts_all = [], []
+    for w, c in sorted(schema.items(), reverse=True):
+        widths_all.append(w)
+        counts_all.append(c)
+    n_groups = int(sum(counts_all))
+    widths = np.repeat(np.array(widths_all, np.int64),
+                       np.array(counts_all, np.int64))
+    base = np.r_[0, np.cumsum(widths)]
+    runs: List[Tuple[int, int, int, int]] = []
+    g = 0
+    for w, c in zip(widths_all, counts_all):
+        runs.append((int(base[g]), c, int(w), g))
+        g += c
+    # rank: units of class w take the leading slots of w's groups, packed
+    # in descending-length order (order within a class is free)
+    rank = np.empty(u, dtype=np.int64)
+    g0 = 0
+    class_off = {}
+    for w, c in zip(widths_all, counts_all):
+        class_off[w] = g0 * LANE
+        g0 += c
+    order = np.argsort(-lens, kind="stable")
+    qo = q[order]
+    for w in widths_all:
+        sel = qo == w
+        ids = order[sel]
+        if ids.size > schema[w] * LANE:
+            raise RoutedError(
+                f"ladder overflow: {ids.size} units of width {w} > "
+                f"schema {schema[w]} groups"
+            )
+        rank[ids] = class_off[w] + np.arange(ids.size)
+    return rank, base, tuple(runs), int(base[-1])
+
+
 def _group_units(lens: np.ndarray, child_first: np.ndarray | None = None):
     """Sort units desc by length, group 128 to a slab column-group.
 
@@ -332,16 +404,84 @@ def _pick_heavy_threshold(
     return best_thr
 
 
+def routed_schema_stats(csr: CSRMatrix) -> dict:
+    """Pass A of the single-program multi-device prepare: the shape-
+    determining stats of this chunk's routed structure under the pow2
+    width ladder (no heavy split, no routing calls — pure numpy, cheap).
+
+    Returns {'rows_a', 'nwin', 'ladders': (level-1 ladder, ...), 'm'};
+    merge across chunks with `merge_routed_schemas`."""
+    m, n = csr.shape
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    lens = np.diff(csr.indptr.astype(np.int64))
+    w = cols // WINDOW_ELEMS
+    a = cols % LANE
+    nwin = n_windows_for(n, int(w.max(initial=0)), WINDOW_ELEMS)
+    cell = w * LANE + a
+    cnt = np.bincount(cell, minlength=nwin * LANE).reshape(nwin, LANE)
+    rows_a = int((LANE * np.ceil(cnt / LANE).max(axis=1)).sum())
+    ladders = []
+    n_sub = np.maximum(-(-lens // WCAP), 1)
+    u = int(n_sub.sum())
+    lens_k = np.full(u, WCAP, dtype=np.int64)
+    lens_k[np.cumsum(n_sub) - 1] = lens - (n_sub - 1) * WCAP
+    ladders.append(_ladder_counts(lens_k))
+    counts = n_sub[n_sub > 1]
+    while counts.size:
+        nsub2 = np.maximum(-(-counts // WCAP), 1)
+        u2 = int(nsub2.sum())
+        lens2 = np.full(u2, WCAP, dtype=np.int64)
+        lens2[np.cumsum(nsub2) - 1] = counts - (nsub2 - 1) * WCAP
+        ladders.append(_ladder_counts(lens2))
+        counts = nsub2[nsub2 > 1]
+    return {"rows_a": rows_a, "nwin": nwin, "ladders": tuple(ladders),
+            "m": m}
+
+
+def merge_routed_schemas(stats) -> dict:
+    """Merge per-chunk pass-A stats into the shared schema every chunk's
+    schema'd prepare (and therefore the one shard_map program) uses."""
+    n_levels = max(len(s["ladders"]) for s in stats)
+    ladders = []
+    for k in range(n_levels):
+        lads = [s["ladders"][k] for s in stats if len(s["ladders"]) > k]
+        merged = merge_ladders(lads)
+        if not merged:
+            merged = {1: 1}
+        ladders.append(merged)
+    # out domain: every level's groups + the largest chunk's y rows
+    total_groups = sum(sum(l.values()) for l in ladders)
+    out_rows = max(
+        total_groups, max(-(-s["m"] // LANE) for s in stats)
+    )
+    return {
+        "rows_a": max(s["rows_a"] for s in stats),
+        "nwin": max(s["nwin"] for s in stats),
+        "ladders": tuple(ladders),
+        "n_levels": n_levels,
+        "out_rows": out_rows,
+    }
+
+
 def prepare_routed(
     csr: CSRMatrix,
     dtype=jnp.float32,
     heavy_threshold: int | None = None,
     vals_dtype=None,
+    schema: dict | None = None,
 ) -> RoutedCSR:
     """vals_dtype (default = dtype) is the storage dtype of the streamed
     value slabs only; the gathered x, product slab and all reductions stay
     in `dtype` (bf16 vals halve the gather phase's dominant HBM stream at
-    ~0.4% relative value rounding — the PL_DIA_BF16 trade)."""
+    ~0.4% relative value rounding — the PL_DIA_BF16 trade).
+
+    schema (from merge_routed_schemas) forces the pow2-ladder run
+    structure, padded gather rows, window count and out domain so every
+    chunk sharing the schema yields SHAPE-IDENTICAL operands and static
+    metadata — the requirement of the single shard_map program
+    (parallel/routed_spmd.py). Heavy extraction is disabled (heavy rows
+    demote into the multi-level reduction, correct and uniform)."""
     if vals_dtype is None:
         vals_dtype = dtype
     m, n = csr.shape
@@ -354,6 +494,8 @@ def prepare_routed(
     lens_full = np.diff(indptr)
 
     # ---- heavy-row split --------------------------------------------------
+    if schema is not None:
+        heavy_threshold = 1 << 60
     if heavy_threshold is None:
         heavy_threshold = _pick_heavy_threshold(csr, lens_full, dtype)
     heavy_sel = lens_full >= heavy_threshold
@@ -398,6 +540,8 @@ def prepare_routed(
     a = cols % LANE
     p = (cols // LANE) % WINDOW_PANELS
     nwin = n_windows_for(n, int(w.max(initial=0)), WINDOW_ELEMS)
+    if schema is not None:
+        nwin = max(nwin, schema["nwin"])
     # ordinal within (w, a)
     key = w * LANE + a
     order = np.argsort(key, kind="stable")
@@ -1197,9 +1341,14 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     if h1 <= _W3_FUSED_MAX_ROWS:
         # (an in-kernel SW/W2/SW^-1 fusion was A/B'd here in rounds 2-3
         # and removed: 27.2 vs 32.1 GF/s on caida, sample_ab_r3.log).
-        # tspace: the three kernels exchange TRANSPOSED tiles, cutting 4 of
-        # the 6 per-tile 128x128 transposes (SPMV_ROUTED_TSPACE=0 reverts)
-        ts = os.environ.get("SPMV_ROUTED_TSPACE", "1") != "0"
+        # tspace (SPMV_ROUTED_TSPACE=1): the three kernels exchange
+        # TRANSPOSED tiles, cutting 4 of the 6 per-tile 128x128 transposes.
+        # Measured round 4 (scripts/ab_tspace_r4.py, caida): gather 27.3
+        # -> 20.6 us and reduce 24.1 -> 19.9 us WIN, but the transposed-
+        # space SW becomes a lane-crossing XLA transpose (18.1 -> 32.2 us)
+        # and the full engine LOSES (79.3 -> 100.4 us) — XLA transposes
+        # are fast only when they keep the minor (lane) dim. Default OFF.
+        ts = os.environ.get("SPMV_ROUTED_TSPACE", "0") == "1"
         x2 = _gather_w1(mat, xw, tspace=ts)
         x5 = (
             apply_sw_w2_sw_transposed(mat.perm_products, x2)
