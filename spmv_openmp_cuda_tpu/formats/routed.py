@@ -71,7 +71,7 @@ class RoutedError(ValueError):
     ],
     meta_fields=[
         "shape", "nnz", "n_windows", "rows_a", "runs", "lvl_runs", "out_t",
-        "heavy_rows", "widx_t",
+        "heavy_rows", "widx_t", "heavy_lanes",
     ],
 )
 @dataclasses.dataclass
@@ -112,6 +112,11 @@ class RoutedCSR:
     # <= 32-tile domains: lets the single-block gather kernels slice xw at
     # compile-time offsets; () otherwise and on legacy formats
     widx_t: Tuple[int, ...] = ()
+    # hdense heavy sums routed THROUGH perm_out (round 4): heavy element k
+    # enters the output-assembly domain at (row n_sums_rows + k//128, lane
+    # heavy_lanes[k]) and the router delivers it to y[heavy_rows[k]] — no
+    # XLA scatter-add on y. () = legacy scatter path.
+    heavy_lanes: Tuple[int, ...] = ()
 
 
 def _next_pow2(x: int) -> int:
@@ -560,6 +565,15 @@ def prepare_routed(
     n_tiles = int(tile_base[-1])
     rows_a = n_tiles * LANE
     row_a = (tile_base[w] + depth) * LANE + a  # slot row per nnz; lane TBD
+    pad_tiles = 0  # schema: trailing all-zero gather tiles (widx -> 0)
+    if schema is not None:
+        if rows_a > schema["rows_a"]:
+            raise RoutedError(
+                f"chunk gather rows {rows_a} exceed schema {schema['rows_a']}"
+            )
+        pad_tiles = schema["rows_a"] // LANE - n_tiles
+        n_tiles += pad_tiles
+        rows_a = schema["rows_a"]
 
     # ---- reduction units (multi-level row splitting) ----------------------
     lens = np.diff(csr.indptr).astype(np.int64)
@@ -578,16 +592,26 @@ def prepare_routed(
 
     # units consumed by level 2 (subunits of split rows) sort first
     is_child1 = np.repeat(n_sub > 1, n_sub)
-    order1, base1, runs1, rows_c = _group_units(lens1, child_first=is_child1)
-    rank1 = np.empty(u1, dtype=np.int64)
-    rank1[order1] = np.arange(u1)
+    if schema is not None:
+        rank1, base1, runs1, rows_c = _group_units_ladder(
+            lens1, schema["ladders"][0]
+        )
+    else:
+        order1, base1, runs1, rows_c = _group_units(
+            lens1, child_first=is_child1
+        )
+        rank1 = np.empty(u1, dtype=np.int64)
+        rank1[order1] = np.arange(u1)
     n_child = [int(is_child1.sum())]  # per level: #units feeding the next
 
     # ---- pass 1: unit/group structure for every reduction level -----------
     # (in-group lanes are NOT fixed here — the output-assembly router assigns
     # them so its own first lane-perm stage folds away entirely)
     levels = []  # per extra level: dict of structure arrays
-    level_groups = [-(-u1 // LANE)]
+    level_groups = [
+        sum(schema["ladders"][0].values()) if schema is not None
+        else -(-u1 // LANE)
+    ]
     # map each original row to (level, unit id within that level)
     final_level = np.zeros(m, dtype=np.int64)
     final_unit = sub_base[:-1].copy()  # rows with one subrow: that unit
@@ -605,9 +629,20 @@ def prepare_routed(
         last2 = sb2[1:] - 1
         lens2[last2] = plens_full - (nsub2 - 1) * WCAP
         is_child2 = np.repeat(nsub2 > 1, nsub2)
-        order2, base2, runs2, rows2 = _group_units(lens2, child_first=is_child2)
-        rank2 = np.empty(u2, dtype=np.int64)
-        rank2[order2] = np.arange(u2)
+        if schema is not None:
+            if level >= len(schema["ladders"]):
+                raise RoutedError(
+                    f"chunk needs level {level} beyond schema depth"
+                )
+            rank2, base2, runs2, rows2 = _group_units_ladder(
+                lens2, schema["ladders"][level]
+            )
+        else:
+            order2, base2, runs2, rows2 = _group_units(
+                lens2, child_first=is_child2
+            )
+            rank2 = np.empty(u2, dtype=np.int64)
+            rank2[order2] = np.arange(u2)
         n_child.append(int(is_child2.sum()))
         # one element per (unit, k<len): its source is a child unit at the
         # previous level
@@ -626,7 +661,11 @@ def prepare_routed(
                 el_unit=el_unit, el_k=el_k, src_unit=src_unit,
             )
         )
-        level_groups.append(-(-u2 // LANE))
+        level_groups.append(
+            sum(schema["ladders"][level].values())
+            if schema is not None
+            else -(-u2 // LANE)
+        )
         done = nsub2 == 1
         final_level[parents[done]] = level
         final_unit[parents[done]] = sb2[:-1][done]
@@ -644,12 +683,45 @@ def prepare_routed(
         if level > 8:
             raise RoutedError("row splitting failed to converge")
 
+    if schema is not None:
+        # pad to the schema's level count with degenerate levels (one dummy
+        # length-0 unit, no extraction elements, all-zero mask): the level
+        # machinery runs identically on every chunk
+        empty = np.zeros(0, dtype=np.int64)
+        while len(levels) < schema["n_levels"] - 1:
+            lad = schema["ladders"][len(levels) + 1]
+            rank_d, base_d, runs_d, rows_d = _group_units_ladder(
+                np.zeros(1, dtype=np.int64), lad
+            )
+            levels.append(
+                dict(
+                    u=1, rank=rank_d, base=base_d, runs=runs_d,
+                    rows=rows_d, el_unit=empty, el_k=empty, src_unit=empty,
+                )
+            )
+            level_groups.append(sum(lad.values()))
+            n_child.append(0)
+
     # ---- pass 2: output assembly routing assigns every in-group lane ------
     # elements = all units of all levels (every sums row has exactly 128
     # incl. pads); finals route to y rows, the rest to the pad region
     group_offs = np.r_[0, np.cumsum(level_groups)]
     total = int(group_offs[-1]) * LANE
-    out_rows = max(-(-total // LANE), -(-m // LANE))
+    # hdense heavy sums enter the assembly domain as extra source rows
+    # after the level groups and route straight to their y rows — the
+    # perm_out delivery replaces the XLA scatter-add on y
+    n_hroute = rows_h.size if hdense is not None else 0
+    h_extra_rows = -(-n_hroute // LANE) if n_hroute else 0
+    out_rows = max(
+        -(-total // LANE) + h_extra_rows, -(-m // LANE)
+    )
+    if schema is not None:
+        if out_rows > schema["out_rows"]:
+            raise RoutedError(
+                f"chunk out rows {out_rows} exceed schema "
+                f"{schema['out_rows']}"
+            )
+        out_rows = schema["out_rows"]
     t_out = pick_t(out_rows)
     h_out = t_out * LANE
     dom_o = h_out * LANE
@@ -663,6 +735,13 @@ def prepare_routed(
     dst_unit = np.full(unit_src_row.shape[0], -1, dtype=np.int64)
     fin_ids = unit_offs[final_level] + final_unit
     dst_unit[fin_ids] = np.arange(m)
+    if n_hroute:
+        # heavy rows' (empty, zero-sum) final units yield their y slot to
+        # the routed heavy sums
+        dst_unit[fin_ids[rows_h]] = -1
+        heavy_src = int(group_offs[-1]) + np.arange(n_hroute) // LANE
+        unit_src_row = np.r_[unit_src_row, heavy_src]
+        dst_unit = np.r_[dst_unit, rows_h]
     # pad elements fill every domain row to exactly 128
     cnt_row_o = np.bincount(unit_src_row, minlength=h_out)
     pad_rows_o = np.repeat(np.arange(h_out), LANE - cnt_row_o)
@@ -673,6 +752,16 @@ def prepare_routed(
     used_o[np.arange(m)] = True
     dst_all_o[dst_all_o < 0] = np.flatnonzero(~used_o)
     perm_out, m_out = plan_row_to_slot(src_all_o, dst_all_o, t_out)
+    heavy_lanes = (
+        tuple(
+            int(v)
+            for v in m_out[
+                unit_src_row.shape[0] - n_hroute : unit_src_row.shape[0]
+            ]
+        )
+        if n_hroute
+        else ()
+    )
     # in-group lane of every unit, per level
     lanes_lvl = [
         m_out[unit_offs[k] : unit_offs[k + 1]] for k in range(len(all_ranks))
@@ -716,7 +805,13 @@ def prepare_routed(
         ]
         # with child-first ordering the previous level's child sums occupy
         # only its leading groups — the extraction domain shrinks to those
-        prev_rows = -(-max(n_child[k], 1) // LANE)
+        # schema mode has no child-first ordering: child sums sit anywhere
+        # in the previous level's groups, so the extraction spans them all
+        prev_rows = (
+            level_groups[k]
+            if schema is not None
+            else -(-max(n_child[k], 1) // LANE)
+        )
         t_k = pick_t(max(prev_rows, lv["rows"]))
         dom_k = t_k * LANE * LANE
         dst_k = np.full(dom_k, -1, dtype=np.int64)
@@ -739,6 +834,9 @@ def prepare_routed(
     vals[row_a, lane_a] = csr.data
     pidx[row_a, lane_a] = p
     widx = np.repeat(np.arange(nwin, dtype=np.int32), tiles_per_win)
+    if pad_tiles:
+        # schema pad tiles: all-zero vals -> zero products; window 0 read
+        widx = np.r_[widx, np.zeros(pad_tiles, dtype=np.int32)]
     return RoutedCSR(
         vals=jnp.asarray(vals, dtype=vals_dtype),
         pidx=jnp.asarray(pidx),
@@ -753,6 +851,7 @@ def prepare_routed(
         if hdense is not None
         else None,
         heavy_rows=tuple(int(r) for r in rows_h),
+        heavy_lanes=heavy_lanes,
         perm_products=perm_products,
         lvl_perms=tuple(pk for pk, _mk in lvl_gather),
         lvl_masks=tuple(jnp.asarray(mk, dtype=dtype) for _pk, mk in lvl_gather),
@@ -761,7 +860,9 @@ def prepare_routed(
         nnz=nnz,
         n_windows=nwin,
         rows_a=rows_a,
-        widx_t=tuple(int(v) for v in widx) if rows_a <= 128 * LANE else (),
+        widx_t=tuple(int(v) for v in widx)
+        if rows_a <= 128 * LANE and schema is None
+        else (),
         runs=runs1,
         lvl_runs=tuple(lvl_runs),
         out_t=t_out,
@@ -917,43 +1018,62 @@ def _gather_w1(
     )(mat.widx, xw, mat.vals, mat.pidx, mat.perm_products.w1)
 
 
-def _hdense_mv(mat: RoutedCSR, x: jax.Array) -> jax.Array:
+def _hdense_mv(mat: RoutedCSR, x: jax.Array, placed: bool = False):
     """y_h = H @ x for the dense bf16 heavy block. XLA's skinny matvec runs
     far below bandwidth (measured ~3x slower), so small blocks use a
     single-block kernel: per heavy row, an elementwise multiply over the
-    (C, 128)-shaped row and a full f32 sum."""
+    (C, 128)-shaped row and a full f32 sum.
+
+    placed=True returns the sums as assembly-domain rows — sum k at
+    (row k // 128, lane mat.heavy_lanes[k]), the slots the output
+    permutation routes to y[heavy_rows[k]] (targets are static, so the
+    kernel places them for free)."""
     n_h, n_pad = mat.hdense.shape
     c = n_pad // LANE
+    rows_h_pad = max(-(-n_h // LANE), 1)
     xb = jnp.pad(x, (0, n_pad - x.shape[0]))
     if n_h > 64 or mat.hdense.size * 2 > 6 * 2**20:
         # x stays f32 (same contract as the kernel path: only the stored
         # values carry bf16 rounding); XLA fuses the convert into the dot
-        return jax.lax.dot(
+        yh = jax.lax.dot(
             mat.hdense.astype(jnp.float32), xb.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        if not placed:
+            return yh
+        flat = jnp.zeros(rows_h_pad * LANE, jnp.float32)
+        idx = (
+            jnp.arange(n_h) // LANE * LANE
+            + jnp.asarray(mat.heavy_lanes, dtype=jnp.int32)
+        )
+        return flat.at[idx].set(yh).reshape(rows_h_pad, LANE)
+
     hd = mat.hdense.reshape(n_h * c, LANE)
     x2 = xb.reshape(c, LANE).astype(jnp.float32)
+    out_rows = max(rows_h_pad, 8) if placed else 8
 
     def kernel(h_ref, x_ref, o_ref):
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
-        acc = jnp.zeros((8, LANE), jnp.float32)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE), 1)
+        acc = jnp.zeros((out_rows, LANE), jnp.float32)
         for r in range(n_h):
             prod = h_ref[r * c : (r + 1) * c, :].astype(jnp.float32) * x_ref[:]
             s = jnp.sum(prod)
+            lane = mat.heavy_lanes[r] if placed else r % LANE
             acc = acc + jnp.where(
-                (rows_i == r // LANE) & (cols_i == r % LANE), s, 0.0
+                (rows_i == r // LANE) & (cols_i == lane), s, 0.0
             )
         o_ref[:] = acc
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANE), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interp(),
     )(hd, x2)
+    if placed:
+        return out[:rows_h_pad]
     return out.reshape(-1)[:n_h]
 
 
@@ -1041,7 +1161,9 @@ _W3_FUSED_MAX_ROWS = 8192
 _W3_FUSED_MASKED_MAX_ROWS = 4096
 
 
-def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, tspace=False):
+def _w3_r3_reduce(
+    x5, plan, runs, mask=None, w1_next=None, tspace=False, lvl=None
+):
     """Last permutation stages (per-tile W3 sublane perm, R3 lane perm)
     fused with the width-binned reduce in one single-block kernel: the slab
     is read from HBM exactly once and never rematerializes. The optional
@@ -1054,10 +1176,17 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, tspace=False):
 
     tspace=True: x5 arrives as TRANSPOSED tiles (from the transposed-space
     mid stages), so W3 is a direct taa and only ONE transpose (back to row
-    space for R3 + the sublane reduce) remains per tile."""
+    space for R3 + the sublane reduce) remains per tile.
+
+    lvl=(r1, wc, r3, mask, runs_lvl): a single-tile (t == 1) second
+    reduction level fused in — its extraction permutation reads the first
+    128 sums rows just written and its level sums append after the
+    level-1 groups (one kernel instead of a launch + HBM round trip)."""
     t = plan.t
     n_groups_total = runs[-1][3] + runs[-1][1]
-    g_pad = max(-(-n_groups_total // 8) * 8, 8)
+    lvl_groups = lvl[4][-1][3] + lvl[4][-1][1] if lvl is not None else 0
+    n_all = n_groups_total + lvl_groups
+    g_pad = max(-(-n_all // 8) * 8, 8)
     k_full = n_groups_total // LANE if w1_next is not None else 0
 
     def kernel(*refs):
@@ -1067,6 +1196,7 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, tspace=False):
         r3_ref = refs_l.pop(0)
         mask_ref = refs_l.pop(0) if mask is not None else None
         w1n_ref = refs_l.pop(0) if k_full else None
+        lvl_refs = [refs_l.pop(0) for _ in range(4)] if lvl is not None else None
         o_ref = refs_l.pop(0)
         ow1_ref = refs_l.pop(0) if k_full else None
         s_ref = refs_l.pop(0)
@@ -1084,6 +1214,23 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, tspace=False):
             o_ref[g0 : g0 + n_groups, :] = seg.reshape(
                 n_groups, width, LANE
             ).sum(axis=1)
+        if lvl is not None:
+            r1l_ref, wcl_ref, r3l_ref, ml_ref = lvl_refs
+            prev = o_ref[0:LANE, :]
+            x1 = jnp.take_along_axis(
+                prev, r1l_ref[:].astype(jnp.int32), axis=1
+            )
+            x2l = jnp.take_along_axis(
+                x1.T, wcl_ref[:].astype(jnp.int32), axis=1
+            ).T
+            g2 = jnp.take_along_axis(
+                x2l, r3l_ref[:].astype(jnp.int32), axis=1
+            ) * ml_ref[:]
+            for row0, n_groups, width, g0 in lvl[4]:
+                seg = g2[row0 : row0 + n_groups * width, :]
+                o_ref[
+                    n_groups_total + g0 : n_groups_total + g0 + n_groups, :
+                ] = seg.reshape(n_groups, width, LANE).sum(axis=1)
         for kk in range(k_full):
             sl = slice(kk * LANE, (kk + 1) * LANE)
             ow1_ref[sl, :] = jnp.take_along_axis(
@@ -1095,6 +1242,8 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, tspace=False):
         args.append(mask)
     if k_full:
         args.append(w1_next[: k_full * LANE])
+    if lvl is not None:
+        args.extend(lvl[:4])
     out_shapes = [jax.ShapeDtypeStruct((g_pad, LANE), x5.dtype)]
     if k_full:
         out_shapes.append(
@@ -1114,8 +1263,8 @@ def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, tspace=False):
         interpret=_interp(),
     )(*args)
     if k_full:
-        return out[0][:n_groups_total], out[1]
-    return out[:n_groups_total]
+        return out[0][:n_all], out[1]
+    return out[:n_all]
 
 
 def _perm_reduce_t1(prev2d, plan, mask, runs) -> jax.Array:
@@ -1338,6 +1487,7 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     ):
         return _routed_small_spmv(mat, xw)
     sums_w1 = None
+    lvl_fused = False
     if h1 <= _W3_FUSED_MAX_ROWS:
         # (an in-kernel SW/W2/SW^-1 fusion was A/B'd here in rounds 2-3
         # and removed: 27.2 vs 32.1 GF/s on caida, sample_ab_r3.log).
@@ -1355,9 +1505,28 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
             if ts
             else apply_sw_w2_sw(mat.perm_products, x2)
         )
+        n_g1 = mat.runs[-1][3] + mat.runs[-1][1]
+        lvl_fused = (
+            len(mat.lvl_perms) == 1
+            and mat.lvl_perms[0].t == 1
+            and mat.lvl_perms[0].wc is not None
+            and mat.lvl_perms[0].r1 is not None
+            and n_g1 >= LANE
+        )
+        lvl_arg = (
+            (
+                mat.lvl_perms[0].r1,
+                mat.lvl_perms[0].wc,
+                mat.lvl_perms[0].r3,
+                mat.lvl_masks[0],
+                mat.lvl_runs[0],
+            )
+            if lvl_fused
+            else None
+        )
         res = _w3_r3_reduce(
             x5, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1,
-            tspace=ts,
+            tspace=ts, lvl=lvl_arg,
         )
         sums, sums_w1 = res if isinstance(res, tuple) else (res, None)
     else:
@@ -1370,7 +1539,12 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
             slab = apply_permutation(mat.perm_products, pa)
             sums = _reduce_runs(slab, mat.runs)
     flats = [sums.reshape(-1)]
-    for perm_k, mask_k, runs in zip(mat.lvl_perms, mat.lvl_masks, mat.lvl_runs):
+    lvl_zip = (
+        ()  # level rows already appended by the fused reduce kernel
+        if lvl_fused
+        else zip(mat.lvl_perms, mat.lvl_masks, mat.lvl_runs)
+    )
+    for perm_k, mask_k, runs in lvl_zip:
         prev2d = flats[-1].reshape(-1, LANE)
         if prev2d.shape[0] > perm_k.h:
             # child sums occupy only the leading groups (child-first sort)
@@ -1393,6 +1567,11 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
         else:
             slab_k = apply_permutation(perm_k, prev2d) * mask_k
             flats.append(_reduce_runs(slab_k, runs).reshape(-1))
+    routed_heavy = mat.hdense is not None and bool(mat.heavy_lanes)
+    if routed_heavy:
+        # heavy sums enter the assembly domain at their planned slots and
+        # perm_out delivers them to y (no scatter on y)
+        flats.append(_hdense_mv(mat, x, placed=True).reshape(-1))
     concat = jnp.concatenate(flats)
     dom_o = mat.perm_out.h * LANE
     concat = jnp.pad(concat, (0, dom_o - concat.shape[0]))
@@ -1412,7 +1591,8 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     else:
         y = apply_permutation(mat.perm_out, dom2d)
     y = y.reshape(-1)[: mat.shape[0]]
-    if mat.hdense is not None:
+    if mat.hdense is not None and not routed_heavy:
+        # legacy (pre-heavy_lanes) checkpoints: scatter-add on y
         hsums = _hdense_mv(mat, x)
         y = y.at[jnp.asarray(mat.heavy_rows)].add(hsums.astype(y.dtype))
     elif mat.hvals is not None:

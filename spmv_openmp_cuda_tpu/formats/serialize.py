@@ -129,6 +129,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "has_hdense": mat.hdense is not None,
             "heavy_rows": list(mat.heavy_rows),
             "widx_t": list(mat.widx_t),
+            "heavy_lanes": list(mat.heavy_lanes),
         }
     if isinstance(mat, RoutedDF):
         # leaves: mat's leaves, vals_lo, then the (hi, lo) heavy block
@@ -307,6 +308,7 @@ def _read_routed(r: _LeafReader, aux: dict) -> RoutedCSR:
             hreduce=hreduce,
             heavy_rows=tuple(aux.get("heavy_rows", ())),
             widx_t=tuple(aux.get("widx_t", ())),
+            heavy_lanes=tuple(aux.get("heavy_lanes", ())),
             shape=tuple(aux["shape"]),
             nnz=aux["nnz"],
             n_windows=aux["n_windows"],

@@ -14,8 +14,14 @@ Three designs, in increasing scalability:
 - csr_cols_psum: columns sharded, partial y psum'd (spmvTilesCSR/Allocd
   analog: the partial-sum reduction rides ICI instead of a serial loop).
 - ell_ring: rows AND x sharded; the x shard ring-rotates via ppermute while
-  each step multiplies the matching local column stripe — comm/compute
-  overlap, nothing replicated, the multi-host scaling path.
+  each step multiplies the matching local column stripe — nothing
+  replicated, the multi-host scaling path. Comm/compute overlap is
+  DEPENDENCY-LEVEL: each step's multiply consumes the pre-permute chunk, so
+  the collective carries no data dependence on the multiply and XLA's
+  latency-hiding scheduler may split it into async start/done around the
+  compute (scripts/audit_ring_overlap.py asserts the dependency structure;
+  the actual async split is a TPU-scheduler decision not observable on the
+  CPU mesh).
 """
 from __future__ import annotations
 
@@ -287,10 +293,14 @@ def prepare_ring_ell(csr: CSRMatrix, mesh: Mesh, dtype=jnp.float32) -> RingELL:
 
 def make_ell_ring(mesh: Mesh, op_meta: RingELL):
     """Fully-sharded SpMV: x shard ring-rotates over the rows axis while each
-    step multiplies the matching local column stripe (comm/compute overlap).
+    step multiplies the matching local column stripe.
 
     Step s on device i: partial += stripe[(i - s) mod D] @ x_chunk, then
-    ppermute the chunk to device (i+1) mod D.
+    ppermute the chunk to device (i+1) mod D. The multiply and the ppermute
+    both read the carried chunk and neither depends on the other within a
+    step (audited: scripts/audit_ring_overlap.py), so an async-collective
+    scheduler can overlap them; on hardware the split into
+    collective-permute-start/done is the TPU scheduler's call.
     """
     d, m_loc, w_s = op_meta.d, op_meta.m_loc, op_meta.w_s
     perm = [(i, (i + 1) % d) for i in range(d)]

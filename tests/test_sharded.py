@@ -148,3 +148,59 @@ def test_window_sharded_matches_oracle():
         y = np.asarray(make_window_sharded(mesh, op)(op, xs), np.float64)
         rep = vectors_diff(y, serial_csr_spmv(csr, x))
         assert rep.ok, (d, rep)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_routed_spmd_single_program(mesh_shape):
+    # single-program multi-device routed engine: one shard_map over
+    # schema-homogenized chunk operands (VERDICT r3 #6)
+    from spmv_openmp_cuda_tpu.parallel.routed_spmd import (
+        make_routed_spmd,
+        prepare_routed_spmd,
+    )
+
+    mesh = M.make_mesh(mesh_shape)
+    coo = synth.power_law(
+        m=6000, n=6000, avg_nnz_per_row=7.0, alpha=1.5, seed=11
+    )
+    csr = S.coo_to_csr(coo)
+    op = prepare_routed_spmd(csr, mesh)
+    spmv = make_routed_spmd(mesh, op)
+    x = fill_rnd_vector(6000, seed=2)
+    y = np.asarray(
+        spmv(op, jnp.asarray(x, jnp.float32)), dtype=np.float64
+    )
+    oracle = serial_csr_spmv(csr, x)
+    assert np.abs(y - oracle).max() < 2e-3
+
+
+def test_ring_overlap_dependency_structure():
+    # the ring body's multiply must consume the PRE-permute chunk (the
+    # portable half of the comm/compute-overlap claim; the async
+    # start/done split is a TPU-scheduler decision). Mirrors
+    # scripts/audit_ring_overlap.py.
+    import re
+
+    mesh = M.make_mesh((8, 1))
+    coo = synth.power_law(512, 512, 5.0, seed=3)
+    csr = S.coo_to_csr(coo)
+    op = sh.prepare_ring_ell(csr, mesh)
+    x = sh.pad_x_for_ring(
+        np.asarray(fill_rnd_vector(512, seed=4)), op, mesh, jnp.float32
+    )
+    spmv = sh.make_ell_ring(mesh, op)
+    text = str(jax.make_jaxpr(spmv)(op, x))
+    pp = [ln for ln in text.splitlines() if "ppermute" in ln]
+    assert pp, "no ppermute in ring jaxpr"
+    for ln in pp:
+        m = re.match(r"\s*([a-z]+)(?:\[[^\]]*\])?\s*=", ln)
+        if not m:
+            continue
+        v = m.group(1)
+        bad = [
+            u for u in text.splitlines()
+            if re.search(rf"\b{re.escape(v)}\b", u) and "=" in u
+            and not u.strip().startswith(v)
+            and any(o in u for o in ("mul", "dot_general", "add_any"))
+        ]
+        assert not bad, f"ppermute output {v} feeds arithmetic: {bad}"
