@@ -138,9 +138,11 @@ def _adapt_loaded(operands, spec, cfg):
         if is_diadf_pair:
             return operands, None
         if isinstance(operands, DeviceDIADF):
-            from .ops.spmv_pallas import pad_dia_df_for_pallas, plan_dia
+            from .ops.spmv_pallas import (
+                DF_DIA_VMEM_BUDGET, pad_dia_df_for_pallas, plan_dia,
+            )
 
-            plan = plan_dia(operands.as_dia(), vmem_budget=1 << 20)
+            plan = plan_dia(operands.as_dia(), vmem_budget=DF_DIA_VMEM_BUDGET)
             return (pad_dia_df_for_pallas(operands, plan), plan), None
     if spec.name == "PL_CSR_WINDOW_F64":
         if isinstance(operands, WindowCSR) and operands.vals_lo is not None:

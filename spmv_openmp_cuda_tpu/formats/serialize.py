@@ -220,9 +220,11 @@ def load_prepared(path: str) -> PreparedFormat:
             pad_sub=aux["pad_sub"],
         )
         if aux.get("with_plan"):
-            from ..ops.spmv_pallas import pad_dia_df_for_pallas, plan_dia
+            from ..ops.spmv_pallas import (
+                DF_DIA_VMEM_BUDGET, pad_dia_df_for_pallas, plan_dia,
+            )
 
-            plan = plan_dia(mat.as_dia(), vmem_budget=1 << 20)
+            plan = plan_dia(mat.as_dia(), vmem_budget=DF_DIA_VMEM_BUDGET)
             return (pad_dia_df_for_pallas(mat, plan), plan)
         return mat
     if kind == "DeviceELL":

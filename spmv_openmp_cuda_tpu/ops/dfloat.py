@@ -105,6 +105,32 @@ def split_f64_jnp(a):
     return hi, lo
 
 
+def _nofma(p):
+    """Pin a product's rounding before it feeds a TwoSum.
+
+    XLA:CPU's LLVM backend may contract ``a*b`` into the following add as
+    an FMA (observed to depend on the fusion's block shape): the sum then
+    absorbs the UNROUNDED product while the TwoSum/TwoProduct error terms
+    were extracted for the rounded one, collapsing the pair to f32
+    accuracy (caught at DIA nblocks=2, bs=16: 5.6e-8 vs 2e-14 rel).
+    Fence = ``copysign(|p|, p)``: an exact value-identity (incl. -0 and
+    NaN) built from sign-bit ops that XLA's simplifier does not fold and
+    LLVM cannot contract a mul through.  Verified on the minimal grid>=2
+    Pallas repro (scripts/probe_fma_min_kernel.py): the broken hi word
+    is exactly fma(a, b, p_other), and ``optimization_barrier``,
+    bitcast-pairs and ``-(-p)`` are ALL folded away (mismatches remain),
+    while this fence restores bit-exactness.  ``lax.reduce_precision(p,
+    8, 23)`` is NOT usable either: on XLA:CPU it is not a value-identity
+    (scripts/probe_fma_fence.py: hi-word bit-flips, 6.6e-7 chain error —
+    worse than no fence).  The TPU VPU has no FMA and Mosaic does not
+    contract, so the fence is interpret-mode-only — free on device."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return jnp.copysign(jnp.abs(p), p)
+    return p
+
+
 def two_sum(a, b):
     """Branch-free Knuth TwoSum: s + e == a + b exactly, s = fl(a + b)."""
     s = a + b
@@ -121,11 +147,53 @@ def _veltkamp(a):
 
 def two_prod(a, b):
     """Dekker TwoProduct without FMA: p + e == a * b exactly in f32."""
-    p = a * b
+    p = _nofma(a * b)
     ah, al = _veltkamp(a)
     bh, bl = _veltkamp(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
+
+
+def two_prod_presplit_a(a, avh, avl, b):
+    """Dekker TwoProduct with factor ``a``'s Veltkamp split precomputed:
+    p + e == a * b exactly in f32.  (avh, avl) come from prepare time
+    (veltkamp_split_np of the matrix value slab — bit-identical to the
+    in-kernel _veltkamp), so only ``b`` splits in-loop: ~12 VPU flops vs
+    two_prod's ~16, with IDENTICAL arithmetic and a bit-equal result."""
+    p = _nofma(a * b)
+    bh, bl = _veltkamp(b)
+    e = ((avh * bh - p) + avh * bl + avl * bh) + avl * bl
+    return p, e
+
+
+def veltkamp_split_np(a: np.ndarray):
+    """Host-side Veltkamp split of f32 values into the (12-bit hi, lo)
+    halves — bit-identical to _veltkamp on the VPU (both are IEEE f32
+    round-to-nearest, and the split uses only mul/sub)."""
+    a = np.asarray(a, np.float32)
+    c = np.float32(_SPLIT) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def df_mul_acc_presplit_b(
+    acc_hi, acc_lo, a_hi, a_lo, b_hi, b_lo, b_vh, b_vl
+):
+    """df_mul_acc with factor ``b``'s Veltkamp split precomputed (the
+    staged x window: split ONCE per grid step into scratch, amortized
+    over the D diagonal passes that read it).  Factor ``a`` (the value
+    slab) still splits in-loop — streaming ITS split instead was
+    measured SLOWER on TPU (raefsky df 49.5 -> 41.7 GF/s: the two extra
+    HBM planes cost more than the 7 saved VPU flops/element), so only
+    the zero-extra-bytes side is presplit: ~24 flops/element vs
+    df_mul_acc's ~28, bit-identical result (the error-extraction terms
+    consume the same split values)."""
+    p = _nofma(a_hi * b_hi)
+    ah, al = _veltkamp(a_hi)
+    e = ((ah * b_vh - p) + ah * b_vl + al * b_vh) + al * b_vl
+    e = e + (a_hi * b_lo + a_lo * b_hi)
+    acc_hi, err = two_sum(acc_hi, p)
+    return acc_hi, acc_lo + (err + e)
 
 
 def df_mul_acc(acc_hi, acc_lo, a_hi, a_lo, b_hi, b_lo):

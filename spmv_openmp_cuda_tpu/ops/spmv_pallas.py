@@ -211,7 +211,7 @@ def prepare_dia_resid(
     )
     if df:
         mat = prepare_dia_df(kept)
-        plan = plan_dia(mat.as_dia(), vmem_budget=1 << 20, max_bs=42)
+        plan = plan_dia(mat.as_dia(), vmem_budget=DF_DIA_VMEM_BUDGET, max_bs=42)
         mat = pad_dia_df_for_pallas(mat, plan)
     else:
         mat = prepare_dia(kept, dtype=dia_dtype)
@@ -439,6 +439,11 @@ def dia_spmv_pallas(
 # Double-float DIA kernel — f64 semantics on the f32 VPU (ops/dfloat.py)
 # ---------------------------------------------------------------------------
 
+#: per-slab VMEM budget for the df plans: the (hi, lo) pair keeps TWO f32
+#: planes of each diagonal block resident, so the per-plane budget is half
+#: the f32 kernel's 2<<20 (same total)
+DF_DIA_VMEM_BUDGET = 1 << 20
+
 
 def pad_dia_df_for_pallas(mat, plan: DiaPallasPlan):
     """pad_dia_for_pallas for the (hi, lo) pair format."""
@@ -470,11 +475,15 @@ def dia_spmv_pallas_df(
 
     The reference computes double throughout (macros.h:63-76); XLA's
     emulated f64 runs gather engines at ~0.1 GFLOP/s on this chip — this
-    kernel is the TPU-native double path (~28 VPU flops/nnz, measured
-    ~1e-12 relative error on O(1) dense inputs vs f32's ~1e-6)."""
+    kernel is the TPU-native double path (~24 VPU flops/nnz with the
+    once-per-step x-window Veltkamp presplit, measured ~1e-12 relative
+    error on O(1) dense inputs vs f32's ~1e-6)."""
     from ..formats.dia import pad_x_dia
     from ..formats.window import _df_add, _halve_pairs
-    from .dfloat import df_combine64, df_mul_acc, split_f64_jnp, two_prod
+    from .dfloat import (
+        _veltkamp, df_combine64, df_mul_acc_presplit_b, split_f64_jnp,
+        two_prod,
+    )
 
     d, s_pad, _ = mat.data.shape
     bs, ps = plan.bs, mat.pad_sub
@@ -504,6 +513,8 @@ def dia_spmv_pallas_df(
                 refs_l = refs_l[5:]
             ohi_ref, olo_ref, wh_ref, wl_ref = refs_l[:4]
             refs_l = refs_l[4:]
+            wvh_ref, wvl_ref = refs_l[:2]
+            refs_l = refs_l[2:]
             if resid is not None:
                 sh128_ref, sl128_ref, srch_ref, srcl_ref = refs_l[:4]
             wh_ref[0:bs] = x0h[:]
@@ -512,21 +523,31 @@ def dia_spmv_pallas_df(
             wl_ref[0:bs] = x0l[:]
             wl_ref[bs : 2 * bs] = x1l[:]
             wl_ref[2 * bs : 3 * bs] = x2l[:]
+            # Veltkamp-split the staged x window ONCE per grid step; the D
+            # diagonal passes reuse it (df_mul_acc_presplit_b) — scratch
+            # only, no extra HBM streams (streaming the value slab's split
+            # instead measured SLOWER: raefsky df 49.5 -> 41.7 GF/s)
+            w_vh, w_vl = _veltkamp(wh_ref[:])
+            wvh_ref[:] = w_vh
+            wvl_ref[:] = w_vl
             acc_hi = jnp.zeros((bs, LANE), jnp.float32)
             acc_lo = jnp.zeros((bs, LANE), jnp.float32)
             for k, off in enumerate(offsets):
                 q, r = divmod(off, LANE)
-                lo_h = wh_ref[ps + q : ps + q + bs, :]
-                lo_l = wl_ref[ps + q : ps + q + bs, :]
-                if r == 0:
-                    sh_h, sh_l = lo_h, lo_l
-                else:
-                    hi_h = wh_ref[ps + q + 1 : ps + q + 1 + bs, :]
-                    hi_l = wl_ref[ps + q + 1 : ps + q + 1 + bs, :]
-                    sh_h = jnp.concatenate([lo_h[:, r:], hi_h[:, :r]], axis=1)
-                    sh_l = jnp.concatenate([lo_l[:, r:], hi_l[:, :r]], axis=1)
-                acc_hi, acc_lo = df_mul_acc(
-                    acc_hi, acc_lo, diah_ref[k], dial_ref[k], sh_h, sh_l
+
+                def shifted(ref):
+                    lo_p = ref[ps + q : ps + q + bs, :]
+                    if r == 0:
+                        return lo_p
+                    hi_p = ref[ps + q + 1 : ps + q + 1 + bs, :]
+                    return jnp.concatenate(
+                        [lo_p[:, r:], hi_p[:, :r]], axis=1
+                    )
+
+                acc_hi, acc_lo = df_mul_acc_presplit_b(
+                    acc_hi, acc_lo, diah_ref[k], dial_ref[k],
+                    shifted(wh_ref), shifted(wl_ref),
+                    shifted(wvh_ref), shifted(wvl_ref),
                 )
             if resid is not None:
                 # windowed residual fringe in df (see the f32 twin above)
@@ -591,10 +612,8 @@ def dia_spmv_pallas_df(
         ospec = pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
         in_specs = [xspec(0), xspec(1), xspec(2)] * 2 + [dspec, dspec]
         args = [xkh, xkh, xkh, xkl, xkl, xkl, mat.data, mat.data_lo]
-        scratch = [
-            pltpu.VMEM((3 * bs, LANE), jnp.float32),
-            pltpu.VMEM((3 * bs, LANE), jnp.float32),
-        ]
+        # wh, wl window stages + their once-per-step Veltkamp split planes
+        scratch = [pltpu.VMEM((3 * bs, LANE), jnp.float32)] * 4
         if resid is not None:
             kspec = pl.BlockSpec(
                 (k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -637,7 +656,7 @@ def prepare_dia_df_pallas(csr, max_fill_ratio: float = 3.0):
     from ..formats.dia import prepare_dia_df
 
     mat = prepare_dia_df(csr, max_fill_ratio=max_fill_ratio)
-    plan = plan_dia(mat.as_dia(), vmem_budget=1 << 20)
+    plan = plan_dia(mat.as_dia(), vmem_budget=DF_DIA_VMEM_BUDGET)
     return (pad_dia_df_for_pallas(mat, plan), plan)
 
 
