@@ -68,8 +68,7 @@ class WindowError(ValueError):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "sidx", "gid", "rsrc", "vals_lo", "vals_vh",
-                 "vals_vl"],
+    data_fields=["vals", "sidx", "gid", "rsrc", "vals_lo"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
         "bps", "xdirect", "shared_w",
@@ -88,14 +87,11 @@ class WindowCSR:
     # slots of this row sourcing this residue read from
     vals_lo: jax.Array | None = None  # double-float mode: f32 low words of
     # the f64 slot values (ops/dfloat.py); the engine then carries x and
-    # the accumulators as (hi, lo) pairs and returns f64
-    # Veltkamp split of the hi-word slab, precomputed at prepare time so
-    # the kernel's TwoProduct only splits the gathered x slots in-loop
-    # (ops/dfloat.py two_prod_presplit_a, bit-identical).  None on
-    # legacy checkpoints — the kernel falls back to the full in-loop
-    # split.
-    vals_vh: jax.Array | None = None
-    vals_vl: jax.Array | None = None
+    # the accumulators as (hi, lo) pairs and returns f64.  (A prepare-time
+    # Veltkamp presplit of this slab was A/B'd on TPU in round 4 and
+    # measured NEUTRAL on every window proxy — assembly taa dominates the
+    # df window kernel, not the velt flops — so the two extra streamed
+    # planes were reverted.)
     shape: Tuple[int, int] = (0, 0)
     nnz: int = 0
     g: int = 8  # row groups per block (block = g*128 rows)
@@ -588,16 +584,12 @@ def prepare_window(
         gslab = _ext(gslab, k_pad)
         rsrc = _ext(rsrc, n_ktiles * LANE)
 
-    vals_vh_j = vals_vl_j = None
     if df:
-        # double-float slot values: (hi, lo) f32 pair of the f64 slab,
-        # plus the prepare-time Veltkamp split of the hi words
-        from ..ops.dfloat import split_f64, veltkamp_split_np
+        # double-float slot values: (hi, lo) f32 pair of the f64 slab
+        from ..ops.dfloat import split_f64
 
         vhi, vlo = split_f64(vals)
-        vvh, vvl = veltkamp_split_np(vhi)
         vals_j, vals_lo_j = jnp.asarray(vhi), jnp.asarray(vlo)
-        vals_vh_j, vals_vl_j = jnp.asarray(vvh), jnp.asarray(vvl)
     else:
         vals_j, vals_lo_j = jnp.asarray(vals, dtype=vals_dtype), None
 
@@ -607,8 +599,6 @@ def prepare_window(
         gid=jnp.asarray(gslab),
         rsrc=jnp.asarray(rsrc),
         vals_lo=vals_lo_j,
-        vals_vh=vals_vh_j,
-        vals_vl=vals_vl_j,
         shape=(m, n),
         nnz=csr.nnz,
         g=g,
@@ -831,7 +821,7 @@ def _gather_reduce_block(
     w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref, o_ref,
     *, kb, rb, ob, g, k_pad, k_c,
     wl_ref=None, vlo_ref=None, srcl_ref=None, olo_ref=None,
-    wt=None, wtl=None, vvh_ref=None, vvl_ref=None,
+    wt=None, wtl=None,
 ):
     """Gather + reduce for ONE block whose x window is already staged in
     w_ref; kb/rb/ob offset into the slab/rsrc/output refs (sub-block
@@ -867,19 +857,11 @@ def _gather_reduce_block(
     gathered = jnp.take_along_axis(src_ref[0:k_pad, :], sv, axis=1)
     vh = vals_ref[kb : kb + k_pad, :].astype(acc_dtype)
     if df:
-        from ..ops.dfloat import two_prod, two_prod_presplit_a
+        from ..ops.dfloat import two_prod
 
         g_lo = jnp.take_along_axis(srcl_ref[0:k_pad, :], sv, axis=1)
         vl = vlo_ref[kb : kb + k_pad, :]
-        if vvh_ref is not None:
-            # prepare-time Veltkamp split of the value slab: only the
-            # gathered x slots split in-loop (bit-identical result)
-            ph, pe = two_prod_presplit_a(
-                vh, vvh_ref[kb : kb + k_pad, :],
-                vvl_ref[kb : kb + k_pad, :], gathered,
-            )
-        else:
-            ph, pe = two_prod(vh, gathered)
+        ph, pe = two_prod(vh, gathered)
         prod = ph
         prod_lo = pe + (vh * g_lo + vl * gathered)
     else:
@@ -956,7 +938,7 @@ def _gather_reduce_block(
 
 def window_kernel_call(
     vals, sidx, gid, rsrc, xp2, *, g, k_pad, nspecs, nblocks, k_c=0, bps=1,
-    vals_lo=None, xp2_lo=None, shared_w=False, vals_vh=None, vals_vl=None,
+    vals_lo=None, xp2_lo=None, shared_w=False,
 ):
     """The fused gather+reduce kernel over a prepared slot-array set and an
     ALREADY-PADDED x window stack (xp2 row wr = x row 0). Exposed separately
@@ -977,7 +959,6 @@ def window_kernel_call(
     assert nblocks % bps == 0, "prepare pads nblocks to a bps multiple"
     assert bps == 1 or g % 8 == 0
     df = vals_lo is not None
-    presplit = df and vals_vh is not None
     n_ktiles = -(-k_pad // LANE)
     nh = -(-g // 8)
     g_pad = nh * 8
@@ -991,8 +972,6 @@ def window_kernel_call(
         xlrefs = [refs_l.pop(0) for _ in range(ns_tot)] if df else None
         vals_ref = refs_l.pop(0)
         vlo_ref = refs_l.pop(0) if df else None
-        vvh_ref = refs_l.pop(0) if presplit else None
-        vvl_ref = refs_l.pop(0) if presplit else None
         sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:4]
         refs_l = refs_l[4:]
         olo_ref = refs_l.pop(0) if df else None
@@ -1028,7 +1007,6 @@ def window_kernel_call(
                 g=g, k_pad=k_pad, k_c=k_c,
                 wl_ref=wl_ref, vlo_ref=vlo_ref, srcl_ref=srcl_ref,
                 olo_ref=olo_ref, wt=wt_shared, wtl=wtl_shared,
-                vvh_ref=vvh_ref, vvl_ref=vvl_ref,
             )
 
     def xspec_list():
@@ -1048,7 +1026,7 @@ def window_kernel_call(
     )
     oshape = jax.ShapeDtypeStruct((nblocks * g_pad, LANE), acc_dtype)
     in_specs = xspec_list() + ([] if not df else xspec_list()) + [kspec] * (
-        3 + df + 2 * presplit
+        3 + df
     ) + [
         pl.BlockSpec(
             (bps * n_ktiles * LANE, LANE),
@@ -1065,9 +1043,7 @@ def window_kernel_call(
     args = [xp2] * ns_tot
     if df:
         args += [xp2_lo] * ns_tot
-    args += [vals] + ([vals_lo] if df else []) + (
-        [vals_vh, vals_vl] if presplit else []
-    ) + [sidx, gid, rsrc]
+    args += [vals] + ([vals_lo] if df else []) + [sidx, gid, rsrc]
     out = pl.pallas_call(
         kernel,
         grid=(nblocks // bps,),
@@ -1081,15 +1057,13 @@ def window_kernel_call(
 
 
 def _window_single_call(
-    vals, sidx, gid, rsrc, x2d, *, g, k_pad, k_c, vals_lo=None, x2d_lo=None,
-    vals_vh=None, vals_vl=None,
+    vals, sidx, gid, rsrc, x2d, *, g, k_pad, k_c, vals_lo=None, x2d_lo=None
 ):
     """Whole-matrix single-block kernel (xdirect): x arrives as raw
     (xrows8, 128) chunk-rows with NO leading wr pad — Q was baked with
     direct x rows — so the caller needs no XLA pad/shift chain at all.
     vals_lo/x2d_lo = double-float mode (returns the (hi, lo) pair)."""
     df = vals_lo is not None
-    presplit = df and vals_vh is not None
     n_ktiles = -(-k_pad // LANE)
     g_pad = -(-g // 8) * 8
     acc_dtype = jnp.float32
@@ -1101,8 +1075,6 @@ def _window_single_call(
         xl_ref = refs_l.pop(0) if df else None
         vals_ref = refs_l.pop(0)
         vlo_ref = refs_l.pop(0) if df else None
-        vvh_ref = refs_l.pop(0) if presplit else None
-        vvl_ref = refs_l.pop(0) if presplit else None
         sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:4]
         refs_l = refs_l[4:]
         olo_ref = refs_l.pop(0) if df else None
@@ -1122,7 +1094,7 @@ def _window_single_call(
             w_ref, vals_ref, sidx_ref, gid_ref, rsrc_ref, src_ref, o_ref,
             kb=0, rb=0, ob=0, g=g, k_pad=k_pad, k_c=k_c,
             wl_ref=wl_ref, vlo_ref=vlo_ref, srcl_ref=srcl_ref,
-            olo_ref=olo_ref, vvh_ref=vvh_ref, vvl_ref=vvl_ref,
+            olo_ref=olo_ref,
         )
 
     oshape = jax.ShapeDtypeStruct((g_pad, LANE), acc_dtype)
@@ -1134,7 +1106,7 @@ def _window_single_call(
         scratch = [scratch[0], scratch[0], scratch[1], scratch[1]]
     args = [x2d] + ([x2d_lo] if df else []) + [vals] + (
         [vals_lo] if df else []
-    ) + ([vals_vh, vals_vl] if presplit else []) + [sidx, gid, rsrc]
+    ) + [sidx, gid, rsrc]
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
@@ -1212,7 +1184,6 @@ def _window_spmv_32(mat, xh, xl, _finish, acc_dtype):
             mat.vals, mat.sidx, mat.gid, mat.rsrc, _xd(xh),
             g=g, k_pad=k_pad, k_c=mat.k_c,
             vals_lo=mat.vals_lo, x2d_lo=_xd(xl) if df else None,
-            vals_vh=mat.vals_vh, vals_vl=mat.vals_vl,
         )
         return _finish(out)
 
@@ -1233,6 +1204,5 @@ def _window_spmv_32(mat, xh, xl, _finish, acc_dtype):
         g=g, k_pad=k_pad, nspecs=nspecs, nblocks=nblocks, k_c=mat.k_c,
         bps=mat.bps, shared_w=mat.shared_w,
         vals_lo=mat.vals_lo, xp2_lo=_padded(xl) if df else None,
-        vals_vh=mat.vals_vh, vals_vl=mat.vals_vl,
     )
     return _finish(out)

@@ -154,48 +154,6 @@ def two_prod(a, b):
     return p, e
 
 
-def two_prod_presplit_a(a, avh, avl, b):
-    """Dekker TwoProduct with factor ``a``'s Veltkamp split precomputed:
-    p + e == a * b exactly in f32.  (avh, avl) come from prepare time
-    (veltkamp_split_np of the matrix value slab — bit-identical to the
-    in-kernel _veltkamp), so only ``b`` splits in-loop: ~12 VPU flops vs
-    two_prod's ~16, with IDENTICAL arithmetic and a bit-equal result."""
-    p = _nofma(a * b)
-    bh, bl = _veltkamp(b)
-    e = ((avh * bh - p) + avh * bl + avl * bh) + avl * bl
-    return p, e
-
-
-def veltkamp_split_np(a: np.ndarray):
-    """Host-side Veltkamp split of f32 values into the (12-bit hi, lo)
-    halves — bit-identical to _veltkamp on the VPU (both are IEEE f32
-    round-to-nearest, and the split uses only mul/sub)."""
-    a = np.asarray(a, np.float32)
-    c = np.float32(_SPLIT) * a
-    hi = c - (c - a)
-    return hi, a - hi
-
-
-def df_mul_acc_presplit_b(
-    acc_hi, acc_lo, a_hi, a_lo, b_hi, b_lo, b_vh, b_vl
-):
-    """df_mul_acc with factor ``b``'s Veltkamp split precomputed (the
-    staged x window: split ONCE per grid step into scratch, amortized
-    over the D diagonal passes that read it).  Factor ``a`` (the value
-    slab) still splits in-loop — streaming ITS split instead was
-    measured SLOWER on TPU (raefsky df 49.5 -> 41.7 GF/s: the two extra
-    HBM planes cost more than the 7 saved VPU flops/element), so only
-    the zero-extra-bytes side is presplit: ~24 flops/element vs
-    df_mul_acc's ~28, bit-identical result (the error-extraction terms
-    consume the same split values)."""
-    p = _nofma(a_hi * b_hi)
-    ah, al = _veltkamp(a_hi)
-    e = ((ah * b_vh - p) + ah * b_vl + al * b_vh) + al * b_vl
-    e = e + (a_hi * b_lo + a_lo * b_hi)
-    acc_hi, err = two_sum(acc_hi, p)
-    return acc_hi, acc_lo + (err + e)
-
-
 def df_mul_acc(acc_hi, acc_lo, a_hi, a_lo, b_hi, b_lo):
     """acc += a * b where every operand is an (hi, lo) f32 pair.
 

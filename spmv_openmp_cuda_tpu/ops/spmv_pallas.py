@@ -475,15 +475,19 @@ def dia_spmv_pallas_df(
 
     The reference computes double throughout (macros.h:63-76); XLA's
     emulated f64 runs gather engines at ~0.1 GFLOP/s on this chip — this
-    kernel is the TPU-native double path (~24 VPU flops/nnz with the
-    once-per-step x-window Veltkamp presplit, measured ~1e-12 relative
-    error on O(1) dense inputs vs f32's ~1e-6)."""
+    kernel is the TPU-native double path (~28 VPU flops/nnz, measured
+    ~1e-12 relative error on O(1) dense inputs vs f32's ~1e-6).
+
+    Presplit variants measured and REJECTED on TPU (round 4): streaming
+    the value slab's prepare-time Veltkamp split lost (raefsky df 49.5 ->
+    41.7 GF/s — two extra HBM planes), and splitting the staged x window
+    once per step into scratch lost harder (-> 33.9: four shifted()
+    slice-concats per diagonal plus the scratch round trip beat the 8
+    saved velt flops).  The in-loop TwoProduct is the measured
+    optimum."""
     from ..formats.dia import pad_x_dia
     from ..formats.window import _df_add, _halve_pairs
-    from .dfloat import (
-        _veltkamp, df_combine64, df_mul_acc_presplit_b, split_f64_jnp,
-        two_prod,
-    )
+    from .dfloat import df_combine64, df_mul_acc, split_f64_jnp, two_prod
 
     d, s_pad, _ = mat.data.shape
     bs, ps = plan.bs, mat.pad_sub
@@ -513,8 +517,6 @@ def dia_spmv_pallas_df(
                 refs_l = refs_l[5:]
             ohi_ref, olo_ref, wh_ref, wl_ref = refs_l[:4]
             refs_l = refs_l[4:]
-            wvh_ref, wvl_ref = refs_l[:2]
-            refs_l = refs_l[2:]
             if resid is not None:
                 sh128_ref, sl128_ref, srch_ref, srcl_ref = refs_l[:4]
             wh_ref[0:bs] = x0h[:]
@@ -523,13 +525,6 @@ def dia_spmv_pallas_df(
             wl_ref[0:bs] = x0l[:]
             wl_ref[bs : 2 * bs] = x1l[:]
             wl_ref[2 * bs : 3 * bs] = x2l[:]
-            # Veltkamp-split the staged x window ONCE per grid step; the D
-            # diagonal passes reuse it (df_mul_acc_presplit_b) — scratch
-            # only, no extra HBM streams (streaming the value slab's split
-            # instead measured SLOWER: raefsky df 49.5 -> 41.7 GF/s)
-            w_vh, w_vl = _veltkamp(wh_ref[:])
-            wvh_ref[:] = w_vh
-            wvl_ref[:] = w_vl
             acc_hi = jnp.zeros((bs, LANE), jnp.float32)
             acc_lo = jnp.zeros((bs, LANE), jnp.float32)
             for k, off in enumerate(offsets):
@@ -544,10 +539,9 @@ def dia_spmv_pallas_df(
                         [lo_p[:, r:], hi_p[:, :r]], axis=1
                     )
 
-                acc_hi, acc_lo = df_mul_acc_presplit_b(
+                acc_hi, acc_lo = df_mul_acc(
                     acc_hi, acc_lo, diah_ref[k], dial_ref[k],
                     shifted(wh_ref), shifted(wl_ref),
-                    shifted(wvh_ref), shifted(wvl_ref),
                 )
             if resid is not None:
                 # windowed residual fringe in df (see the f32 twin above)
@@ -612,8 +606,7 @@ def dia_spmv_pallas_df(
         ospec = pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
         in_specs = [xspec(0), xspec(1), xspec(2)] * 2 + [dspec, dspec]
         args = [xkh, xkh, xkh, xkl, xkl, xkl, mat.data, mat.data_lo]
-        # wh, wl window stages + their once-per-step Veltkamp split planes
-        scratch = [pltpu.VMEM((3 * bs, LANE), jnp.float32)] * 4
+        scratch = [pltpu.VMEM((3 * bs, LANE), jnp.float32)] * 2
         if resid is not None:
             kspec = pl.BlockSpec(
                 (k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM

@@ -323,36 +323,3 @@ def test_dia_df_registry_roundtrip():
     assert y.dtype == np.float64
     rep = vectors_diff(y, serial_csr_spmv(csr, x))
     assert rep.ok, rep
-
-
-def test_window_df_presplit_bitexact():
-    """The prepare-time Veltkamp presplit of the value slab (vals_vh/vl +
-    two_prod_presplit_a) is bit-identical to the legacy in-loop split:
-    the error-extraction terms consume the same split values."""
-    import dataclasses
-
-    from spmv_openmp_cuda_tpu.formats.window import (
-        prepare_window_auto,
-        window_spmv,
-    )
-    from spmv_openmp_cuda_tpu.ops.dfloat import (
-        _veltkamp,
-        veltkamp_split_np,
-    )
-
-    Config(dtype="float64")
-    coo = synth.fem_like(8000, 8000, 64000, spread=1500, lo=4, hi=12, seed=5)
-    csr = S.coo_to_csr(coo)
-    mat = prepare_window_auto(csr, df=True)
-    assert mat.vals_vh is not None and mat.vals_vl is not None
-    # the host-side split matches the traced one bit-for-bit
-    th, tl = _veltkamp(jnp.asarray(mat.vals))
-    nh, nl = veltkamp_split_np(np.asarray(mat.vals))
-    np.testing.assert_array_equal(np.asarray(th), nh)
-    np.testing.assert_array_equal(np.asarray(tl), nl)
-    rng = np.random.default_rng(11)
-    x = jnp.asarray(rng.standard_normal(csr.shape[1]), jnp.float64)
-    y_pre = np.asarray(jax.jit(window_spmv)(mat, x))
-    legacy = dataclasses.replace(mat, vals_vh=None, vals_vl=None)
-    y_leg = np.asarray(jax.jit(window_spmv)(legacy, x))
-    np.testing.assert_array_equal(y_pre, y_leg)
