@@ -201,6 +201,10 @@ F64_AB_EXTRA = {
 }
 STEPS = 50
 
+#: kernels faster than this get median-of-3 slope estimates (sub-4us
+#: records swung up to 47% on single slopes across round-4 runs)
+FAST_KERNEL_S = 4e-6
+
 
 def build_suite():
     """Env-driven suite selection, shared by the orchestrator (which must
@@ -259,7 +263,7 @@ def measure_proxy(preset, ref_gflops, candidates, cfg, cand_cb=None):
         f"[{preset}] {csr.shape[0]}x{csr.shape[1]} nnz={csr.nnz} "
         f"maxRowNZ={csr.max_row_nz} (setup {time.perf_counter()-t0:.0f}s)"
     )
-    best = (None, 0.0, 0.0, "", "")
+    best = (None, 0.0, 0.0, "", "", 0.0)
     for name in candidates:
         spec = registry.get(name)
         if spec.fmt == "ell" and ell is None:
@@ -367,18 +371,35 @@ def measure_proxy(preset, ref_gflops, candidates, cfg, cand_cb=None):
                     "skipping"
                 )
                 continue
+            spread = 0.0
+            if dt < FAST_KERNEL_S:
+                # sub-4us kernels: a single slope estimate swung up to
+                # ~47% across round-4 records. Take the MEDIAN of 3
+                # independent slope estimates (fresh lo/hi chains each;
+                # each chain is itself min-of-2) and record the spread so
+                # the detail row carries its own error bar.
+                slopes = [dt]
+                for _extra in range(2):
+                    t_lo2, lo_n2 = timed_chain(lo_n)
+                    t_hi2, hi_n2 = timed_chain(hi_n)
+                    if t_hi2 - t_lo2 > 0:
+                        slopes.append((t_hi2 - t_lo2) / (hi_n2 - lo_n2))
+                slopes.sort()
+                dt = slopes[len(slopes) // 2]
+                spread = (slopes[-1] - slopes[0]) / dt
             gflops = 2.0 * csr.nnz / dt / 1e9
             desc = describe_ops(ops)
             log(
                 f"[{preset}] {name}: {dt*1e6:.1f} us -> {gflops:.2f} GFLOPS "
                 f"(compile {compile_s:.0f}s, maxdiff {rep.max_abs_diff:.1e}"
+                + (f", spread {spread:.1%}" if spread else "")
                 + (f", {desc}" if desc else "")
                 + ")"
             )
             if gflops > best[1]:
                 # res_dtype travels with the winner (a later A/B
                 # candidate must not relabel the recorded kernel)
-                best = (name, gflops, dt, desc, res_dtype)
+                best = (name, gflops, dt, desc, res_dtype, spread)
         except DiaFillError as e:
             log(f"[{preset}] {name}: DIA infeasible ({str(e)[:80]})")
         except Exception as e:
@@ -401,6 +422,8 @@ def measure_proxy(preset, ref_gflops, candidates, cfg, cand_cb=None):
         "dtype": cfg.dtype,
         "result_dtype": best[4],
     }
+    if best[5]:
+        detail["slope_spread"] = round(best[5], 4)
     log(f"[{preset}] BEST {best[0]}: {best[1]:.2f} GFLOPS = {ratio:.2f}x reference")
     return detail
 

@@ -36,26 +36,11 @@ def banner(name):
           flush=True)
 
 
+from _payload_common import bench_inproc as _bench_inproc  # noqa: E402
+
+
 def bench_inproc(subdir, **env):
-    """Run bench.py's single-process path with a scoped env, writing the
-    detail record into OUT/subdir so committed records are never touched."""
-    d = os.path.join(OUT, subdir)
-    os.makedirs(d, exist_ok=True)
-    base = {"BENCH_INPROC": "1", "BENCH_DETAILS_DIR": d}
-    saved = {}
-    for k, v in {**base, **env}.items():
-        saved[k] = os.environ.get(k)
-        os.environ[k] = v
-    try:
-        runpy.run_path(os.path.join(REPO, "bench.py"), run_name="__main__")
-    except SystemExit:
-        pass
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    _bench_inproc(OUT, subdir, **env)
 
 
 def stage_routed_ab():

@@ -114,7 +114,7 @@ class DeviceDIADF:
 
     data: jax.Array  # (D, S, LANE) f32 — hi words
     data_lo: jax.Array  # (D, S, LANE) f32 — lo words
-    offsets: Tuple[int, ...] = ()
+    offsets: Tuple[int, ...]  # no default: () would silently mean 0 diagonals
     shape: Tuple[int, int] = (0, 0)
     nnz: int = 0
     pad_sub: int = 0

@@ -44,7 +44,6 @@ from ..ops.route import (
     apply_permutation_from_w1,
     apply_permutation_to_mid,
     apply_sw_w2_sw,
-    apply_sw_w2_sw_transposed,
     apply_w_stage,
     pick_t,
     plan_permutation,
@@ -916,9 +915,7 @@ def _gather_products(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     )(mat.widx, xw, mat.vals, mat.pidx)
 
 
-def _gather_w1(
-    mat: RoutedCSR, xw: jax.Array, tspace: bool = False
-) -> jax.Array:
+def _gather_w1(mat: RoutedCSR, xw: jax.Array) -> jax.Array:
     """Phases 1+2a fused: per-tile lane-gather products immediately W1-
     permuted (the Clos ingress sublane perm) — the product slab never
     round-trips HBM between gather and routing. Pad tiles (vals = 0) emit
@@ -928,12 +925,7 @@ def _gather_w1(
     window offsets (widx_t) — the per-tile grid pipeline's step overhead
     dominates at these sizes. The output covers the full permutation domain;
     pad tiles past the gather rows are zeroed in-kernel without any HBM
-    read.
-
-    With tspace=True the output tiles stay TRANSPOSED (B_tt[m, ss]): the
-    W1 taa already works in transposed space, so the trailing per-tile
-    transpose is simply dropped — downstream stages consume transposed
-    tiles (apply_sw_w2_sw_transposed / _w3_r3_reduce(tspace=True))."""
+    read."""
     dtype = _slab_dtype(mat)
     n_real = mat.vals.shape[0] // LANE
     h1 = mat.perm_products.h
@@ -958,7 +950,7 @@ def _gather_w1(
                     w1p = jnp.take_along_axis(
                         prod.T, w1_ref[sl, :].astype(jnp.int32), axis=1
                     )
-                    o_ref[sl, :] = w1p if tspace else w1p.T
+                    o_ref[sl, :] = w1p.T
                 if h1 > n_real * LANE:
                     o_ref[n_real * LANE :, :] = jnp.zeros(
                         (h1 - n_real * LANE, LANE), dtype
@@ -983,7 +975,7 @@ def _gather_w1(
             w1p = jnp.take_along_axis(
                 prod.T, w1_ref[:].astype(jnp.int32), axis=1
             )
-            o_ref[:] = w1p if tspace else w1p.T
+            o_ref[:] = w1p.T
 
         @pl.when(i >= n_real)
         def _():
@@ -1161,9 +1153,7 @@ _W3_FUSED_MAX_ROWS = 8192
 _W3_FUSED_MASKED_MAX_ROWS = 4096
 
 
-def _w3_r3_reduce(
-    x5, plan, runs, mask=None, w1_next=None, tspace=False, lvl=None
-):
+def _w3_r3_reduce(x5, plan, runs, mask=None, w1_next=None, lvl=None):
     """Last permutation stages (per-tile W3 sublane perm, R3 lane perm)
     fused with the width-binned reduce in one single-block kernel: the slab
     is read from HBM exactly once and never rematerializes. The optional
@@ -1173,10 +1163,6 @@ def _w3_r3_reduce(
     emits the W1'-transformed sums for every full 128-group tile — the
     output permutation's ingress stage costs no extra memory pass. Returns
     (raw sums, transformed leading tiles) in that case.
-
-    tspace=True: x5 arrives as TRANSPOSED tiles (from the transposed-space
-    mid stages), so W3 is a direct taa and only ONE transpose (back to row
-    space for R3 + the sublane reduce) remains per tile.
 
     lvl=(r1, wc, r3, mask, runs_lvl): a single-tile (t == 1) second
     reduction level fused in — its extraction permutation reads the first
@@ -1202,7 +1188,7 @@ def _w3_r3_reduce(
         s_ref = refs_l.pop(0)
         for tt in range(t):
             sl = slice(tt * LANE, (tt + 1) * LANE)
-            xt = x5_ref[sl, :] if tspace else x5_ref[sl, :].T
+            xt = x5_ref[sl, :].T
             s_ref[sl, :] = jnp.take_along_axis(
                 xt, w3_ref[sl, :].astype(jnp.int32), axis=1
             ).T
@@ -1489,22 +1475,13 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
     sums_w1 = None
     lvl_fused = False
     if h1 <= _W3_FUSED_MAX_ROWS:
-        # (an in-kernel SW/W2/SW^-1 fusion was A/B'd here in rounds 2-3
-        # and removed: 27.2 vs 32.1 GF/s on caida, sample_ab_r3.log).
-        # tspace (SPMV_ROUTED_TSPACE=1): the three kernels exchange
-        # TRANSPOSED tiles, cutting 4 of the 6 per-tile 128x128 transposes.
-        # Measured round 4 (scripts/ab_tspace_r4.py, caida): gather 27.3
-        # -> 20.6 us and reduce 24.1 -> 19.9 us WIN, but the transposed-
-        # space SW becomes a lane-crossing XLA transpose (18.1 -> 32.2 us)
-        # and the full engine LOSES (79.3 -> 100.4 us) — XLA transposes
-        # are fast only when they keep the minor (lane) dim. Default OFF.
-        ts = os.environ.get("SPMV_ROUTED_TSPACE", "0") == "1"
-        x2 = _gather_w1(mat, xw, tspace=ts)
-        x5 = (
-            apply_sw_w2_sw_transposed(mat.perm_products, x2)
-            if ts
-            else apply_sw_w2_sw(mat.perm_products, x2)
-        )
+        # Two fusion variants were A/B'd here and deleted as measured
+        # losers: in-kernel SW/W2/SW^-1 (rounds 2-3: 27.2 vs 32.1 GF/s on
+        # caida, sample_ab_r3.log) and the transposed-tile exchange
+        # (round 4: 79.3 -> 100.4 us, sample_ab_tspace_r4.log — the
+        # transposed-space SW becomes a lane-crossing XLA transpose).
+        x2 = _gather_w1(mat, xw)
+        x5 = apply_sw_w2_sw(mat.perm_products, x2)
         n_g1 = mat.runs[-1][3] + mat.runs[-1][1]
         lvl_fused = (
             len(mat.lvl_perms) == 1
@@ -1526,7 +1503,7 @@ def routed_spmv(mat: RoutedCSR, x: jax.Array, xw: jax.Array | None = None) -> ja
         )
         res = _w3_r3_reduce(
             x5, mat.perm_products, mat.runs, w1_next=mat.perm_out.w1,
-            tspace=ts, lvl=lvl_arg,
+            lvl=lvl_arg,
         )
         sums, sums_w1 = res if isinstance(res, tuple) else (res, None)
     else:

@@ -110,6 +110,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "bps": mat.bps,
             "xdirect": mat.xdirect,
             "shared_w": mat.shared_w,
+            "packed": mat.packed,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -262,6 +263,8 @@ def load_prepared(path: str) -> PreparedFormat:
             xdirect=aux.get("xdirect", False),
             # pre-shared_w checkpoints baked per-sub-block Q: keep False
             shared_w=aux.get("shared_w", False),
+            # pre-round-5 checkpoints predate the packed-pair layout
+            packed=aux.get("packed", False),
         )
     if kind == "RoutedDF":
         mat = _read_routed(r, aux["inner"])

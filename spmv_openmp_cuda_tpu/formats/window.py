@@ -71,7 +71,7 @@ class WindowError(ValueError):
     data_fields=["vals", "sidx", "gid", "rsrc", "vals_lo"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
-        "bps", "xdirect", "shared_w",
+        "bps", "xdirect", "shared_w", "packed",
     ],
 )
 @dataclasses.dataclass
@@ -108,10 +108,33 @@ class WindowCSR:
     # union-relative): the per-sub-block restage + wT transpose disappear.
     # Needs the union span ((bps-1)*g + g + 2*wr chunk rows) under 128.
     shared_w: bool = False
+    # Packed-pair mode (round 5): the x window is carried as int32 lanes
+    # holding 2 bf16 residues (r, r+64); assembly runs BATCHED over the
+    # grid step's bps*k_pad slot rows in 128-row tiles — tile PAIRS share
+    # one packed taa + transpose, products are gathered straight from the
+    # transposed assembly value (no src scratch round trip). Measured
+    # 6.35 vs 10.27 ps/slot-elem on the pipeline probe
+    # (scripts/probe_pack2.py). Slot rows come from the capacity-aware
+    # pair greedy (native spmv_window_pair_greedy): per (row, residue
+    # pair) a single window row. bps > 1 requires shared_w.
+    packed: bool = False
 
     @property
     def n_ktiles(self) -> int:
         return -(-self.k_pad // LANE)
+
+    @property
+    def step_tiles(self) -> int:
+        """Batched (packed) layout: 128-row assembly tiles per grid step."""
+        return (self.bps * self.k_pad) // LANE
+
+    @property
+    def n_pairs(self) -> int:
+        return self.step_tiles // 2
+
+    @property
+    def n_odd(self) -> int:
+        return self.step_tiles % 2
 
 
 def _next_pow2(v: int) -> int:
@@ -436,6 +459,196 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
         np.r_[left, pad_l], np.r_[right, pad_r], d_target
     )
     return colors[:n].astype(np.int64)
+
+
+def _pair_greedy_py(rq, lane, q, jres, g, nblocks, budget=0):
+    """Python fallback for the native packed-pair greedy
+    (spmv_window_pair_greedy): same constraint set (<=1 slot per
+    (row, lane); one window row per (row, residue-pair)), same
+    srow encoding (class slots cls + 8*row, overflow -(row+1)).
+    O(nnz * rows) per cell — fine for the test-sized matrices that run
+    without the native library."""
+    cls = (rq % g) % 8
+    blk = rq // g
+    p2 = jres % 64
+    srow = np.empty(rq.shape[0], np.int64)
+    mc = mo = 0
+
+    def pack_cell(ids, budget_rows):
+        key = p2[ids] * (1 << 32) + q[ids]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.r_[0, np.where(ks[1:] != ks[:-1])[0] + 1]
+        ends = np.r_[starts[1:], ks.size]
+        border = np.argsort(-(ends - starts), kind="stable")
+        masks, qmaps, rows_slots = [], [], []
+        out = np.empty(ids.size, np.int64)
+        spill = []
+        for b in border:
+            sl = order[starts[b] : ends[b]]
+            pp, qq = int(p2[ids[sl[0]]]), int(q[ids[sl[0]]])
+            cands = [i for i in range(len(masks)) if qmaps[i].get(pp) == qq]
+            cands += [i for i in range(len(masks)) if pp not in qmaps[i]]
+            for s in sl:
+                l = int(lane[ids[s]])
+                bit = 1 << l
+                for i in cands:
+                    if not masks[i] & bit:
+                        masks[i] |= bit
+                        qmaps[i][pp] = qq
+                        out[s] = i
+                        break
+                else:
+                    if budget_rows and len(masks) >= budget_rows:
+                        spill.append(s)
+                        out[s] = -1
+                        continue
+                    masks.append(bit)
+                    qmaps.append({pp: qq})
+                    out[s] = len(masks) - 1
+                    cands.append(len(masks) - 1)
+        return out, len(masks), spill
+
+    for b in range(nblocks):
+        in_b = np.where(blk == b)[0]
+        if not in_b.size:
+            continue
+        spill_ids = []
+        for cl in range(8):
+            ids = in_b[cls[in_b] == cl]
+            if not ids.size:
+                continue
+            out, used, spill = pack_cell(ids, budget)
+            mc = max(mc, used)
+            srow[ids] = cl + 8 * out
+            spill_ids.extend(ids[s] for s in spill)
+        if spill_ids:
+            ids = np.array(sorted(spill_ids), np.int64)
+            out, used, _ = pack_cell(ids, 0)
+            mo = max(mo, used)
+            srow[ids] = -(out + 1)
+    return srow, None, mc, mo
+
+
+def _pair_srow(csr, g, nblocks, base, budget=0):
+    """Packed-mode slot rows: native greedy when built, Python otherwise.
+    Returns (srow with overflow rebased after k_c, k_c, v)."""
+    rq, lane, q, jres = base
+    from ..io.native import window_pair_greedy_native
+
+    res = window_pair_greedy_native(rq, lane, q, jres, g, nblocks, budget)
+    if res is None:
+        res = _pair_greedy_py(rq, lane, q, jres, g, nblocks, budget)
+    srow, _rows, mc, mo = res
+    k_c = 8 * mc
+    srow = np.where(srow < 0, k_c + (-srow - 1), srow)
+    return srow, k_c, mo
+
+
+def prepare_window_packed(
+    csr: CSRMatrix, g: int = 8, vals_dtype=jnp.bfloat16, max_pad: float = 4.5,
+    bps: int = 1, base=None, budget: int = 0,
+) -> WindowCSR:
+    """Packed-pair window prepare (see WindowCSR.packed). The x window is
+    bf16 in this mode, so vals default to bf16 too (the precision story
+    matches PL_CSR_WINDOW_BF16: absolute tolerance 7e-4 on |x| < 3e-5
+    inputs, reference config.h:113-115)."""
+    m, n = csr.shape
+    if csr.nnz == 0 or m == 0:
+        raise WindowError("empty matrix")
+    assert 2 <= g <= 64
+    if bps > 1 and g % 8:
+        raise WindowError("bps > 1 requires g % 8 == 0 (uniform staging)")
+    if base is None:
+        base = _base_fields(csr)
+    wr, nspecs, nblocks = _geometry(csr, g, base)
+    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
+    if bps > 1 and ns_tot * 8 > LANE:
+        # batched assembly tiles span sub-blocks, so every tile must
+        # gather from ONE union window
+        raise WindowError(
+            f"packed bps={bps} needs the shared union window "
+            f"({ns_tot * 8} rows > 128)"
+        )
+    shared_w = bps > 1
+    q, blk, lane, jres, gid = _entry_fields(csr, g, base)
+
+    srow, k_c, mo = _pair_srow(csr, g, nblocks, base, budget)
+    # pad k_pad so each grid step's bps*k_pad rows tile exactly into
+    # 128-row assembly tiles
+    step_mult = LANE // int(np.gcd(bps, LANE))
+    k_pad = int(-(-(k_c + mo) // step_mult) * step_mult)
+    k_c = int(k_c)
+    if nblocks * k_pad * LANE > max_pad * csr.nnz:
+        raise WindowError(
+            f"padding {nblocks * k_pad * LANE / csr.nnz:.1f}x "
+            f"exceeds {max_pad}x cap"
+        )
+    if k_pad * bps > _K_CAP:
+        raise WindowError(
+            f"bps={bps} x {k_pad} slot rows exceed the per-step VMEM cap"
+        )
+    step_tiles = (bps * k_pad) // LANE
+    n_pairs, n_odd = step_tiles // 2, step_tiles % 2
+    rps = (n_pairs + n_odd) * LANE  # rsrc rows per step
+
+    vals = np.zeros((nblocks * k_pad, LANE), dtype=np.float64)
+    sidx = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
+    gslab = np.zeros((nblocks * k_pad, LANE), dtype=np.uint8)
+    n_steps = -(-nblocks // bps)
+    rsrc = np.zeros((n_steps * rps, LANE), dtype=np.int8)
+
+    slot_row = blk * k_pad + srow
+    vals[slot_row, lane] = csr.data
+    t_step, j_in = np.divmod((blk % bps) * k_pad + srow, LANE)
+    pair = t_step // 2
+    half = t_step % 2
+    in_pair = pair < n_pairs
+    sidx[slot_row, lane] = np.where(
+        in_pair, (jres % 64) + 64 * half, jres
+    ).astype(np.int8)
+    gslab[slot_row, lane] = (
+        np.where(srow < k_c, gid // 8, gid) + (jres // 64) * 128
+    ).astype(np.uint8)
+    dq = q - blk * g + wr
+    dq_staged = dq + ((blk % bps) * g if shared_w else (blk * g) % 8)
+    step = blk // bps
+    rrow = np.where(
+        in_pair,
+        step * rps + pair * LANE + (jres % 64) + 64 * half,
+        step * rps + n_pairs * LANE + jres,
+    )
+    rsrc[rrow, j_in] = dq_staged.astype(np.int8)
+
+    nblocks_pad = n_steps * bps
+    if nblocks_pad > nblocks:
+        pad_rows = (nblocks_pad - nblocks) * k_pad
+        vals = np.concatenate([vals, np.zeros((pad_rows, LANE))])
+        sidx = np.concatenate(
+            [sidx, np.zeros((pad_rows, LANE), np.int8)]
+        )
+        gslab = np.concatenate(
+            [gslab, np.zeros((pad_rows, LANE), np.uint8)]
+        )
+
+    return WindowCSR(
+        vals=jnp.asarray(vals, dtype=vals_dtype),
+        sidx=jnp.asarray(sidx),
+        gid=jnp.asarray(gslab.view(np.int8)),
+        rsrc=jnp.asarray(rsrc),
+        shape=(m, n),
+        nnz=csr.nnz,
+        g=g,
+        k_pad=k_pad,
+        wr=wr,
+        nspecs=nspecs,
+        nblocks=nblocks_pad,
+        k_c=k_c,
+        bps=bps,
+        xdirect=False,
+        shared_w=shared_w,
+        packed=True,
+    )
 
 
 def prepare_window(
@@ -1056,6 +1269,156 @@ def window_kernel_call(
     return out
 
 
+def _reduce_prod(prod, gv, *, g, k_pad, k_c, o_ref, ob):
+    """Masked reduce of a sub-block's (k_pad, 128) product slab (f32):
+    mod-8 fold over the class rows, per-gid masked passes over the
+    overflow rows — the reduce half of _gather_reduce_block, shared by
+    the packed kernel whose products arrive precomputed in scratch."""
+    nh = -(-g // 8)
+    g_pad = nh * 8
+
+    def masked(h_sel, lo, hi):
+        return jnp.where(gv[lo:hi] == h_sel, prod[lo:hi], 0.0)
+
+    def halve(parts):
+        while len(parts) > 1:
+            parts = [
+                parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0]
+
+    if k_c:
+        tiles = [
+            halve(
+                [masked(h, 0, k_c)[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
+            )
+            for h in range(nh)
+        ]
+        out = jnp.concatenate(tiles, axis=0)
+    else:
+        out = jnp.zeros((g_pad, LANE), jnp.float32)
+    if k_pad > k_c:
+        grows = [
+            jnp.sum(masked(gg, k_c, k_pad), axis=0, keepdims=True)
+            for gg in range(g)
+        ]
+        if g_pad > g:
+            grows.append(jnp.zeros((g_pad - g, LANE), jnp.float32))
+        out = out + jnp.concatenate(grows, axis=0)
+    o_ref[ob : ob + g_pad, :] = out
+
+
+def _window_packed_call(mat: WindowCSR, xp2: jax.Array) -> jax.Array:
+    """Packed-pair batched kernel (WindowCSR.packed): per grid step, the
+    bps*k_pad slot rows assemble in 128-row tiles — tile PAIRS share one
+    int32 taa on the packed (2 x bf16 residues per lane) window + one
+    transpose, and each tile's source values gather straight from the
+    transposed assembly VALUE (no src scratch round trip; probed 6.35 vs
+    10.27 ps/slot-elem, scripts/probe_pack2.py). Products land in one
+    (bps*k_pad, 128) scratch the per-sub-block masked reduce consumes."""
+    g, k_pad, k_c, bps = mat.g, mat.k_pad, mat.k_c, mat.bps
+    nspecs, nblocks = mat.nspecs, mat.nblocks
+    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
+    n_pairs, n_odd = mat.n_pairs, mat.n_odd
+    rps = (n_pairs + n_odd) * LANE
+    nh = -(-g // 8)
+    g_pad = nh * 8
+    r_step = bps * k_pad
+    assert r_step % LANE == 0, "prepare pads k_pad to tile the step"
+
+    def kernel(*refs):
+        refs_l = list(refs)
+        xrefs = [refs_l.pop(0) for _ in range(ns_tot)]
+        vals_ref, sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:5]
+        w_ref, prod_ref = refs_l[5:7]
+        if ns_tot * 8 < LANE:
+            w_ref[ns_tot * 8 :, :] = jnp.zeros(
+                (LANE - ns_tot * 8, LANE), jnp.float32
+            )
+        for j in range(ns_tot):
+            w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j][:]
+        wt = w_ref[:].T
+        if n_pairs:
+            # packed window: int32 lane q of pair row r2 carries
+            # (bf16 bits of residue r2+64) << 16 | bf16 bits of r2,
+            # duplicated vertically so pair Q maps index one source
+            bb = wt.astype(jnp.bfloat16).astype(jnp.float32)
+            bits = jax.lax.bitcast_convert_type(bb, jnp.int32)
+            lo = jax.lax.shift_right_logical(bits[0:64, :], 16)
+            hi = jnp.bitwise_and(bits[64:128, :], jnp.int32(-65536))
+            wp = jnp.bitwise_or(lo, hi)
+            wp2 = jnp.concatenate([wp, wp], axis=0)
+        for p in range(n_pairs):
+            qv = rsrc_ref[p * LANE : (p + 1) * LANE, :].astype(jnp.int32)
+            st = jnp.take_along_axis(wp2, qv, axis=1)
+            at = st.T
+            for h in range(2):
+                t = 2 * p + h
+                rows = slice(t * LANE, (t + 1) * LANE)
+                sv = sidx_ref[rows, :].astype(jnp.int32)
+                gth = jnp.take_along_axis(at, sv, axis=1)
+                g32 = gid_ref[rows, :].astype(jnp.int32)
+                vlo = jax.lax.bitcast_convert_type(
+                    jax.lax.shift_left(gth, 16), jnp.float32
+                )
+                vhi = jax.lax.bitcast_convert_type(
+                    jnp.bitwise_and(gth, jnp.int32(-65536)), jnp.float32
+                )
+                v = jnp.where(g32 < 0, vhi, vlo)  # gid bit 7 = parity
+                prod_ref[rows, :] = (
+                    vals_ref[rows, :].astype(jnp.float32) * v
+                )
+        if n_odd:
+            qv = rsrc_ref[n_pairs * LANE : (n_pairs + 1) * LANE, :].astype(
+                jnp.int32
+            )
+            st = jnp.take_along_axis(wt, qv, axis=1)
+            at = st.T
+            rows = slice(2 * n_pairs * LANE, (2 * n_pairs + 1) * LANE)
+            sv = sidx_ref[rows, :].astype(jnp.int32)
+            gth = jnp.take_along_axis(at, sv, axis=1)
+            prod_ref[rows, :] = vals_ref[rows, :].astype(jnp.float32) * gth
+        for b in range(bps):
+            sl = slice(b * k_pad, (b + 1) * k_pad)
+            gv = jnp.bitwise_and(gid_ref[sl, :].astype(jnp.int32), 127)
+            _reduce_prod(
+                prod_ref[sl, :], gv, g=g, k_pad=k_pad, k_c=k_c,
+                o_ref=o_ref, ob=b * g_pad,
+            )
+
+    xspecs = [
+        pl.BlockSpec(
+            (8, LANE),
+            functools.partial(lambda j, i: ((i * bps * g) // 8 + j, 0), j),
+        )
+        for j in range(ns_tot)
+    ]
+    kspec = pl.BlockSpec(
+        (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    rspec = pl.BlockSpec(
+        (rps, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec(
+        (bps * g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks // bps,),
+        in_specs=xspecs + [kspec, kspec, kspec, rspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct(
+            (nblocks * g_pad, LANE), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((LANE, LANE), jnp.float32),
+            pltpu.VMEM((r_step, LANE), jnp.float32),
+        ],
+        interpret=_interp(),
+    )(*([xp2] * ns_tot), mat.vals, mat.sidx, mat.gid, mat.rsrc)
+
+
 def _window_single_call(
     vals, sidx, gid, rsrc, x2d, *, g, k_pad, k_c, vals_lo=None, x2d_lo=None
 ):
@@ -1198,6 +1561,9 @@ def _window_spmv_32(mat, xh, xl, _finish, acc_dtype):
             (wr * LANE,),
         )
         return xp.reshape(total_rows, LANE)
+
+    if mat.packed:
+        return _finish(_window_packed_call(mat, _padded(xh)))
 
     out = window_kernel_call(
         mat.vals, mat.sidx, mat.gid, mat.rsrc, _padded(xh),

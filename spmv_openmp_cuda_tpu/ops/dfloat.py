@@ -123,12 +123,22 @@ def _nofma(p):
     8, 23)`` is NOT usable either: on XLA:CPU it is not a value-identity
     (scripts/probe_fma_fence.py: hi-word bit-flips, 6.6e-7 chain error —
     worse than no fence).  The TPU VPU has no FMA and Mosaic does not
-    contract, so the fence is interpret-mode-only — free on device."""
-    import jax
-
-    if jax.default_backend() != "tpu":
+    contract, so the fence is needed exactly when the Pallas kernels run
+    in interpret mode — the SAME predicate spmv_pallas uses (one source
+    of truth: interpret_mode below), so the fence follows the kernels'
+    actual compilation target."""
+    if interpret_mode():
         return jnp.copysign(jnp.abs(p), p)
     return p
+
+
+def interpret_mode() -> bool:
+    """True when Pallas kernels run in interpret mode (no TPU default
+    backend). Shared by the df FMA fence and every pallas_call site so the
+    two decisions can never diverge."""
+    import jax
+
+    return jax.default_backend() != "tpu"
 
 
 def two_sum(a, b):

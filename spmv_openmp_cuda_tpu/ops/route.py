@@ -368,73 +368,6 @@ def apply_sw_w2_sw(plan: PlannedPermutation, x2: jax.Array) -> jax.Array:
     return x4.reshape(LANE, t, LANE).swapaxes(0, 1).reshape(t * LANE, LANE)
 
 
-# ---------------------------------------------------------------------------
-# transposed-space pipeline: every W stage consumes and produces TRANSPOSED
-# tiles (tile tt block = B_tt[lane m, in-tile pos]), so the per-tile
-# transpose.taa.transpose collapses to one taa — the producer (gather) emits
-# transposed tiles for free (it ends on a taa in transposed space anyway)
-# and the consumer (W3+R3+reduce kernel) pays ONE transpose back to row
-# space instead of two. The W stage index arrays are unchanged: their rows
-# are already (tile*128 + lane m).
-# ---------------------------------------------------------------------------
-
-
-def sw_transposed(x2t: jax.Array, t: int) -> jax.Array:
-    """SW (row-grid swap tt*128+ss -> ss*t+tt) expressed on transposed
-    tiles: x3t[k*128+m, u*t+v] = x2t[v*128+m, k*(128//t)+u]."""
-    if t == 1:
-        return x2t
-    q = LANE // t
-    return (
-        x2t.reshape(t, LANE, t, q)
-        .transpose(2, 1, 3, 0)
-        .reshape(t * LANE, LANE)
-    )
-
-
-def sw_inv_transposed(x4t: jax.Array, t: int) -> jax.Array:
-    """Inverse of sw_transposed."""
-    if t == 1:
-        return x4t
-    q = LANE // t
-    return (
-        x4t.reshape(t, LANE, q, t)
-        .transpose(3, 1, 0, 2)
-        .reshape(t * LANE, LANE)
-    )
-
-
-def _whole_w_call_t(x, w):
-    """Single-block W stage on transposed tiles: one taa per tile."""
-    t = x.shape[0] // LANE
-
-    def kernel(x_ref, w_ref, o_ref):
-        for tt in range(t):
-            sl = slice(tt * LANE, (tt + 1) * LANE)
-            o_ref[sl, :] = jnp.take_along_axis(
-                x_ref[sl, :], w_ref[sl, :].astype(jnp.int32), axis=1
-            )
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(x, w)
-
-
-def apply_sw_w2_sw_transposed(
-    plan: PlannedPermutation, x2t: jax.Array
-) -> jax.Array:
-    """Middle stages on transposed tiles: SW/SW^-1 are XLA rearrangements
-    (same data volume as the row-space swapaxes), W2 is taa-only."""
-    t = plan.t
-    x3t = sw_transposed(x2t, t)
-    x4t = _whole_w_call_t(x3t, plan.w2)
-    return sw_inv_transposed(x4t, t)
-
-
 def apply_permutation_to_mid(plan: PlannedPermutation, x: jax.Array) -> jax.Array:
     """First four stages only (W1[+r1], SW, W2, SW^-1): the returned x5 still
     needs the per-tile W3 sublane perm and the R3 lane perm, which callers

@@ -35,11 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import LANE, SUBLANE
 from ..formats.dia import DeviceDIA, pad_x_dia
 from ..formats.matrix import DeviceELL, _ceil_to
-from .dfloat import traced_x32 as _traced_x32
+from .dfloat import interpret_mode, traced_x32 as _traced_x32
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return interpret_mode()
 
 
 def _pick_block(m_pad: int, want: int) -> int:
@@ -606,7 +606,7 @@ def dia_spmv_pallas_df(
         ospec = pl.BlockSpec((bs, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
         in_specs = [xspec(0), xspec(1), xspec(2)] * 2 + [dspec, dspec]
         args = [xkh, xkh, xkh, xkl, xkl, xkl, mat.data, mat.data_lo]
-        scratch = [pltpu.VMEM((3 * bs, LANE), jnp.float32)] * 2
+        scratch = [pltpu.VMEM((3 * bs, LANE), jnp.float32) for _ in range(2)]
         if resid is not None:
             kspec = pl.BlockSpec(
                 (k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
