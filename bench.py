@@ -118,8 +118,8 @@ FALLBACK = {
 AB_EXTRA = {
     "raefsky1_like": ["PL_DIA_BF16", "PL_CSR_WINDOW_BF16"],
     "caida_like": ["PL_CSR_ROUTED"],
-    "thermal2_like": ["PL_CSR_ROUTED_BF16"],
-    "fem_3d_thermal2_like": ["PL_CSR_ROUTED_BF16"],
+    "thermal2_like": ["PL_CSR_WINDOW_PACK", "PL_CSR_ROUTED_BF16"],
+    "fem_3d_thermal2_like": ["PL_CSR_WINDOW_PACK", "PL_CSR_ROUTED_BF16"],
     "delaunay_n12_like": ["PL_CSR_ROUTED"],
 }
 # SPMV_DTYPE=float64 suite: the reference's semantics are double precision
@@ -229,6 +229,11 @@ def build_suite():
         suite = [
             (p, ref, cands + extra.get(p, [])) for p, ref, cands in suite
         ]
+    cands_env = os.environ.get("BENCH_CANDS")
+    if cands_env:
+        # A/B payloads: pin the candidate list (comma-separated mode
+        # names) for every selected proxy
+        suite = [(p, ref, cands_env.split(",")) for p, ref, _ in suite]
     return suite, fallback, extended, dtype, len(base_suite)
 
 

@@ -111,6 +111,7 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "xdirect": mat.xdirect,
             "shared_w": mat.shared_w,
             "packed": mat.packed,
+            "pairs": mat.pairs,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -265,6 +266,7 @@ def load_prepared(path: str) -> PreparedFormat:
             shared_w=aux.get("shared_w", False),
             # pre-round-5 checkpoints predate the packed-pair layout
             packed=aux.get("packed", False),
+            pairs=aux.get("pairs", 0),
         )
     if kind == "RoutedDF":
         mat = _read_routed(r, aux["inner"])

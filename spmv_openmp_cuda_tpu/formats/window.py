@@ -71,7 +71,7 @@ class WindowError(ValueError):
     data_fields=["vals", "sidx", "gid", "rsrc", "vals_lo"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
-        "bps", "xdirect", "shared_w", "packed",
+        "bps", "xdirect", "shared_w", "packed", "pairs",
     ],
 )
 @dataclasses.dataclass
@@ -117,7 +117,13 @@ class WindowCSR:
     # (scripts/probe_pack2.py). Slot rows come from the capacity-aware
     # pair greedy (native spmv_window_pair_greedy): per (row, residue
     # pair) a single window row. bps > 1 requires shared_w.
+    # pairs == 0 is the BATCHED-UNPACKED layout: legacy Euler slot rows,
+    # every tile assembled full-residue from the f32 window (no bf16
+    # rounding) but still step-batched with the value-direct gather —
+    # for matrices whose pair-q structure fragments the greedy (thermal2
+    # class) while the per-block tile quantization still hurts.
     packed: bool = False
+    pairs: int = 0  # packed tile pairs per step; rest are full-residue
 
     @property
     def n_ktiles(self) -> int:
@@ -129,12 +135,8 @@ class WindowCSR:
         return (self.bps * self.k_pad) // LANE
 
     @property
-    def n_pairs(self) -> int:
-        return self.step_tiles // 2
-
-    @property
     def n_odd(self) -> int:
-        return self.step_tiles % 2
+        return self.step_tiles - 2 * self.pairs
 
 
 def _next_pow2(v: int) -> int:
@@ -461,6 +463,45 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
     return colors[:n].astype(np.int64)
 
 
+def _legacy_srow(blk, lane, jres, gid, nblocks, cap):
+    """Slot-row assignment by the exact Euler edge coloring (the legacy
+    prepare path, shared by the batched-unpacked prepare): per-class band
+    peels + pow2 colorings, overflow colored class-blind. Returns
+    (srow, k_c, v)."""
+    srow = np.empty(gid.shape[0], np.int64)
+    if cap is None:
+        dl = np.bincount(blk * LANE + lane, minlength=nblocks * LANE)
+        dr = np.bincount(blk * LANE + jres, minlength=nblocks * LANE)
+        k_c = 0
+        v = _next_pow2(
+            max(int(dl.max(initial=1)), int(dr.max(initial=1)), 16)
+        )
+        keep = np.zeros(gid.shape[0], bool)
+    else:
+        caps = _cap_bands(cap)
+        bands, v = _class_split(blk, lane, jres, gid, nblocks, caps)
+        k_c = 8 * sum(caps)
+        cls = gid % 8
+        keep = np.zeros(gid.shape[0], bool)
+        base_row = 0
+        for cap_b, keep_b in zip(caps, bands):
+            for r in range(8):
+                sel = keep_b & (cls == r)
+                if not sel.any():
+                    continue
+                colors = _pack_coloring(
+                    blk[sel], lane[sel], jres[sel], nblocks, cap_b
+                )
+                srow[sel] = base_row + r + 8 * colors
+            keep |= keep_b
+            base_row += 8 * cap_b
+    if v:
+        of = ~keep
+        colors = _pack_coloring(blk[of], lane[of], jres[of], nblocks, v)
+        srow[of] = k_c + colors
+    return srow, k_c, v
+
+
 def _pair_greedy_py(rq, lane, q, jres, g, nblocks, budget=0):
     """Python fallback for the native packed-pair greedy
     (spmv_window_pair_greedy): same constraint set (<=1 slot per
@@ -547,7 +588,7 @@ def _pair_srow(csr, g, nblocks, base, budget=0):
 
 def prepare_window_packed(
     csr: CSRMatrix, g: int = 8, vals_dtype=jnp.bfloat16, max_pad: float = 4.5,
-    bps: int = 1, base=None, budget: int = 0,
+    bps: int = 1, base=None, budget: int = 0, _pair=None,
 ) -> WindowCSR:
     """Packed-pair window prepare (see WindowCSR.packed). The x window is
     bf16 in this mode, so vals default to bf16 too (the precision story
@@ -573,7 +614,9 @@ def prepare_window_packed(
     shared_w = bps > 1
     q, blk, lane, jres, gid = _entry_fields(csr, g, base)
 
-    srow, k_c, mo = _pair_srow(csr, g, nblocks, base, budget)
+    srow, k_c, mo = (
+        _pair if _pair is not None else _pair_srow(csr, g, nblocks, base, budget)
+    )
     # pad k_pad so each grid step's bps*k_pad rows tile exactly into
     # 128-row assembly tiles
     step_mult = LANE // int(np.gcd(bps, LANE))
@@ -648,6 +691,194 @@ def prepare_window_packed(
         xdirect=False,
         shared_w=shared_w,
         packed=True,
+        pairs=((bps * k_pad) // LANE) // 2,
+    )
+
+
+def prepare_window_batched(
+    csr: CSRMatrix, g: int = 8, vals_dtype=jnp.bfloat16, max_pad: float = 4.5,
+    bps: int = 1, cap="auto", base=None,
+) -> WindowCSR:
+    """Batched-UNPACKED window prepare (WindowCSR.pairs == 0): legacy
+    Euler-coloring slot rows (optimal row count — no pair-q constraint),
+    but the step-batched assembly layout with the value-direct gather:
+    every 128-row tile is assembled full-residue from the f32 window (no
+    bf16 x rounding). For matrices whose pair-q structure fragments the
+    packed greedy (thermal2's fem_like scatter) while per-block tile
+    quantization still hurts."""
+    m, n = csr.shape
+    if csr.nnz == 0 or m == 0:
+        raise WindowError("empty matrix")
+    assert 2 <= g <= 64
+    if bps > 1 and g % 8:
+        raise WindowError("bps > 1 requires g % 8 == 0 (uniform staging)")
+    if base is None:
+        base = _base_fields(csr)
+    wr, nspecs, nblocks = _geometry(csr, g, base)
+    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
+    if bps > 1 and ns_tot * 8 > LANE:
+        raise WindowError(
+            f"batched bps={bps} needs the shared union window "
+            f"({ns_tot * 8} rows > 128)"
+        )
+    shared_w = bps > 1
+    q, blk, lane, jres, gid = _entry_fields(csr, g, base)
+    if cap == "auto":
+        cap = _scan_caps(csr, g, bps=bps, max_pad=max_pad, base=base)[0]
+    srow, k_c, v = _legacy_srow(blk, lane, jres, gid, nblocks, cap)
+
+    step_mult = LANE // int(np.gcd(bps, LANE))
+    k_pad = int(-(-(k_c + v) // step_mult) * step_mult)
+    if nblocks * k_pad * LANE > max_pad * csr.nnz:
+        raise WindowError(
+            f"padding {nblocks * k_pad * LANE / csr.nnz:.1f}x "
+            f"exceeds {max_pad}x cap"
+        )
+    if k_pad * bps > _K_CAP_PACKED:
+        raise WindowError(
+            f"bps={bps} x {k_pad} slot rows exceed the per-step VMEM cap"
+        )
+    step_tiles = (bps * k_pad) // LANE
+    rps = step_tiles * LANE  # all tiles full-residue (pairs = 0)
+
+    vals = np.zeros((nblocks * k_pad, LANE), dtype=np.float64)
+    sidx = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
+    gslab = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
+    n_steps = -(-nblocks // bps)
+    rsrc = np.zeros((n_steps * rps, LANE), dtype=np.int8)
+
+    slot_row = blk * k_pad + srow
+    vals[slot_row, lane] = csr.data
+    sidx[slot_row, lane] = jres.astype(np.int8)
+    gslab[slot_row, lane] = np.where(srow < k_c, gid // 8, gid).astype(
+        np.int8
+    )
+    t_step, j_in = np.divmod((blk % bps) * k_pad + srow, LANE)
+    dq = q - blk * g + wr
+    dq_staged = dq + ((blk % bps) * g if shared_w else (blk * g) % 8)
+    step = blk // bps
+    rsrc[step * rps + t_step * LANE + jres, j_in] = dq_staged.astype(np.int8)
+
+    nblocks_pad = n_steps * bps
+    if nblocks_pad > nblocks:
+        pad_rows = (nblocks_pad - nblocks) * k_pad
+        vals = np.concatenate([vals, np.zeros((pad_rows, LANE))])
+        sidx = np.concatenate([sidx, np.zeros((pad_rows, LANE), np.int8)])
+        gslab = np.concatenate([gslab, np.zeros((pad_rows, LANE), np.int8)])
+
+    return WindowCSR(
+        vals=jnp.asarray(vals, dtype=vals_dtype),
+        sidx=jnp.asarray(sidx),
+        gid=jnp.asarray(gslab),
+        rsrc=jnp.asarray(rsrc),
+        shape=(m, n),
+        nnz=csr.nnz,
+        g=g,
+        k_pad=k_pad,
+        wr=wr,
+        nspecs=nspecs,
+        nblocks=nblocks_pad,
+        k_c=k_c,
+        bps=bps,
+        xdirect=False,
+        shared_w=shared_w,
+        packed=True,
+        pairs=0,
+    )
+
+
+#: packed-mode per-step slot-row cap (R = bps * k_pad): the packed kernel's
+#: VMEM residency is ~8.5 B/slot (bf16 vals + sidx + gid + rsrc/2 + f32
+#: product scratch), so 4096 rows is ~4.5 MB — the old 16-tile cap guarded
+#: the legacy kernel's larger per-block scratch set
+_K_CAP_PACKED = 4096
+
+#: measured packed-pipeline cost per slot element within PAIRED tiles
+#: (scripts/probe_pack2.py on-TPU: 6.35 ps incl. per-rep window packing;
+#: the engine packs once per step but adds the product-store pass)
+_C_PACK = 7.0
+
+
+def _cost_packed(g, k_pad, k_c, bps, nblocks) -> float:
+    """Packed-mode cost model (refit against the round-5 A/B once
+    measured): paired tiles at the probed packed rate, odd tile at the
+    legacy tile rate, same fold/overflow/step constants."""
+    nh = -(-g // 8)
+    tiles = (bps * k_pad) // LANE
+    pairs, odd = tiles // 2, tiles % 2
+    nsteps = -(-nblocks // bps)
+    return (
+        (pairs * 2 * LANE * LANE * _C_PACK + odd * LANE * LANE * _C_TILE)
+        * nsteps
+        + k_c * LANE * nblocks * _C_FOLD * nh
+        + (k_pad - k_c) * LANE * nblocks * _C_PASS * g
+        + nsteps * _C_BLOCK
+        + _C_PADCHAIN
+    )
+
+
+#: packed-mode group-size ladder (bps > 1 needs g % 8 == 0; the batched
+#: assembly makes small g viable — per-block tile quantization is gone)
+_G_LADDER_PACKED = (8, 16, 24, 32, 40, 48)
+
+
+def prepare_window_packed_auto(
+    csr: CSRMatrix, max_pad: float = 4.5, vals_dtype=jnp.bfloat16,
+) -> WindowCSR:
+    """Pick (g, bps) for the packed-pair engine: one pair-greedy per g
+    (the row assignment is bps-independent and reused by the final
+    prepare), then the packed cost model ranks (g, bps) pairs.
+    SPMV_WINDOW_PACK="g,bps" forces a packed config; "g,bps,b" forces the
+    batched-UNPACKED layout (prepare_window_batched)."""
+    import os
+
+    forced = os.environ.get("SPMV_WINDOW_PACK", "")
+    base = _base_fields(csr)
+    if forced:
+        parts = forced.split(",")
+        g, bps = int(parts[0]), int(parts[1])
+        if len(parts) > 2 and parts[2] == "b":
+            return prepare_window_batched(
+                csr, g=g, bps=bps, max_pad=max_pad, vals_dtype=vals_dtype,
+                base=base,
+            )
+        return prepare_window_packed(
+            csr, g=g, bps=bps, max_pad=max_pad, vals_dtype=vals_dtype,
+            base=base,
+        )
+    best = None  # (cost, g, bps, pair)
+    for g in _G_LADDER_PACKED:
+        try:
+            wr, nspecs, nblocks = _geometry(csr, g, base)
+        except WindowError:
+            continue
+        pair = None
+        for bps in (8, 4, 2, 1):
+            if bps > 1 and g % 8:
+                continue
+            ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
+            if bps > 1 and ns_tot * 8 > LANE:
+                continue
+            if bps > nblocks:
+                continue
+            if pair is None:
+                pair = _pair_srow(csr, g, nblocks, base)
+            _srow, k_c, mo = pair
+            step_mult = LANE // int(np.gcd(bps, LANE))
+            k_pad = int(-(-(k_c + mo) // step_mult) * step_mult)
+            if bps * k_pad > _K_CAP_PACKED:
+                continue
+            if nblocks * k_pad * LANE > max_pad * csr.nnz:
+                continue
+            cost = _cost_packed(g, k_pad, k_c, bps, nblocks)
+            if best is None or cost < best[0]:
+                best = (cost, g, bps, pair)
+    if best is None:
+        raise WindowError("no feasible packed window configuration")
+    _cost, g, bps, pair = best
+    return prepare_window_packed(
+        csr, g=g, bps=bps, max_pad=max_pad, vals_dtype=vals_dtype,
+        base=base, _pair=pair,
     )
 
 
@@ -687,37 +918,7 @@ def prepare_window(
         # versa)
         cap = _scan_caps(csr, g, bps=bps, max_pad=max_pad, base=base)[0]
 
-    srow = np.empty(gid.shape[0], np.int64)
-    if cap is None:
-        dl = np.bincount(blk * LANE + lane, minlength=nblocks * LANE)
-        dr = np.bincount(blk * LANE + jres, minlength=nblocks * LANE)
-        k_c = 0
-        v = _next_pow2(
-            max(int(dl.max(initial=1)), int(dr.max(initial=1)), 16)
-        )
-        keep = np.zeros(gid.shape[0], bool)
-    else:
-        caps = _cap_bands(cap)
-        bands, v = _class_split(blk, lane, jres, gid, nblocks, caps)
-        k_c = 8 * sum(caps)
-        cls = gid % 8
-        keep = np.zeros(gid.shape[0], bool)
-        base_row = 0
-        for cap_b, keep_b in zip(caps, bands):
-            for r in range(8):
-                sel = keep_b & (cls == r)
-                if not sel.any():
-                    continue
-                colors = _pack_coloring(
-                    blk[sel], lane[sel], jres[sel], nblocks, cap_b
-                )
-                srow[sel] = base_row + r + 8 * colors
-            keep |= keep_b
-            base_row += 8 * cap_b
-    if v:
-        of = ~keep
-        colors = _pack_coloring(blk[of], lane[of], jres[of], nblocks, v)
-        srow[of] = k_c + colors
+    srow, k_c, v = _legacy_srow(blk, lane, jres, gid, nblocks, cap)
 
     k_pad = k_c + v
     n_ktiles = -(-k_pad // LANE)
@@ -1320,7 +1521,7 @@ def _window_packed_call(mat: WindowCSR, xp2: jax.Array) -> jax.Array:
     g, k_pad, k_c, bps = mat.g, mat.k_pad, mat.k_c, mat.bps
     nspecs, nblocks = mat.nspecs, mat.nblocks
     ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
-    n_pairs, n_odd = mat.n_pairs, mat.n_odd
+    n_pairs, n_odd = mat.pairs, mat.n_odd
     rps = (n_pairs + n_odd) * LANE
     nh = -(-g // 8)
     g_pad = nh * 8
@@ -1369,13 +1570,14 @@ def _window_packed_call(mat: WindowCSR, xp2: jax.Array) -> jax.Array:
                 prod_ref[rows, :] = (
                     vals_ref[rows, :].astype(jnp.float32) * v
                 )
-        if n_odd:
-            qv = rsrc_ref[n_pairs * LANE : (n_pairs + 1) * LANE, :].astype(
-                jnp.int32
-            )
+        for o in range(n_odd):
+            qv = rsrc_ref[
+                (n_pairs + o) * LANE : (n_pairs + o + 1) * LANE, :
+            ].astype(jnp.int32)
             st = jnp.take_along_axis(wt, qv, axis=1)
             at = st.T
-            rows = slice(2 * n_pairs * LANE, (2 * n_pairs + 1) * LANE)
+            t = 2 * n_pairs + o
+            rows = slice(t * LANE, (t + 1) * LANE)
             sv = sidx_ref[rows, :].astype(jnp.int32)
             gth = jnp.take_along_axis(at, sv, axis=1)
             prod_ref[rows, :] = vals_ref[rows, :].astype(jnp.float32) * gth

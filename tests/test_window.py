@@ -356,3 +356,29 @@ def test_window_packed_serialize_roundtrip(tmp_path):
     y1 = np.asarray(W.window_spmv(mat, jnp.asarray(x, jnp.float32)))
     y2 = np.asarray(W.window_spmv(mat2, jnp.asarray(x, jnp.float32)))
     assert np.array_equal(y1, y2)
+
+
+@pytest.mark.parametrize("g,bps", [(8, 1), (16, 2), (8, 4)])
+def test_window_batched_unpacked(g, bps):
+    coo = synth.fem_like(m=6000, n=6000, nnz=60000, spread=500, lo=5, hi=20,
+                         seed=3)
+    csr = S.coo_to_csr(coo)
+    try:
+        mat = W.prepare_window_batched(csr, g=g, bps=bps, max_pad=30.0,
+                                       vals_dtype=jnp.float32)
+    except WindowError as e:
+        pytest.skip(f"config infeasible for this synth: {e}")
+    assert mat.packed and mat.pairs == 0
+    _check(csr, mat)
+
+
+def test_window_batched_matches_legacy_exactly():
+    # pairs=0 keeps the f32 window: same rounding as the legacy kernel on
+    # the same Euler slot rows
+    coo = synth.banded(3000, 3000, 30, fill=0.9, seed=9)
+    csr = S.coo_to_csr(coo)
+    x = fill_rnd_vector(csr.shape[1], seed=2)
+    mb = W.prepare_window_batched(csr, g=8, max_pad=30.0,
+                                  vals_dtype=jnp.float32)
+    yb = np.asarray(W.window_spmv(mb, jnp.asarray(x, jnp.float32)), np.float64)
+    assert vectors_diff(yb, serial_csr_spmv(csr, x)).ok
