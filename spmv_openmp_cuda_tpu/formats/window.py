@@ -697,7 +697,7 @@ def prepare_window_packed(
 
 def prepare_window_batched(
     csr: CSRMatrix, g: int = 8, vals_dtype=jnp.bfloat16, max_pad: float = 4.5,
-    bps: int = 1, cap="auto", base=None,
+    bps: int = 1, cap="auto", base=None, df: bool = False,
 ) -> WindowCSR:
     """Batched-UNPACKED window prepare (WindowCSR.pairs == 0): legacy
     Euler-coloring slot rows (optimal row count — no pair-q constraint),
@@ -766,11 +766,20 @@ def prepare_window_batched(
         sidx = np.concatenate([sidx, np.zeros((pad_rows, LANE), np.int8)])
         gslab = np.concatenate([gslab, np.zeros((pad_rows, LANE), np.int8)])
 
+    if df:
+        from ..ops.dfloat import split_f64
+
+        vhi, vlo = split_f64(vals)
+        vals_j, vals_lo_j = jnp.asarray(vhi), jnp.asarray(vlo)
+    else:
+        vals_j, vals_lo_j = jnp.asarray(vals, dtype=vals_dtype), None
+
     return WindowCSR(
-        vals=jnp.asarray(vals, dtype=vals_dtype),
+        vals=vals_j,
         sidx=jnp.asarray(sidx),
         gid=jnp.asarray(gslab),
         rsrc=jnp.asarray(rsrc),
+        vals_lo=vals_lo_j,
         shape=(m, n),
         nnz=csr.nnz,
         g=g,
@@ -1115,7 +1124,20 @@ def prepare_window_auto(
     """Pick group size g, packing cap and blocks-per-step by the
     exact-slots cost model. bps=None follows the policy (SPMV_WINDOW_BPS
     env override; see _BPS_POLICY_DEFAULT); an explicit bps pins it and
-    the scan only picks (g, cap)."""
+    the scan only picks (g, cap).
+
+    df=True honors SPMV_WINDOW_BATCHED_DF="g,bps" (round-5 A/B hook):
+    forces the step-batched df layout (prepare_window_batched, df=True)
+    instead of the legacy per-block kernel."""
+    import os
+
+    if df:
+        forced = os.environ.get("SPMV_WINDOW_BATCHED_DF", "")
+        if forced:
+            fg, fbps = (int(v) for v in forced.split(","))
+            return prepare_window_batched(
+                csr, g=fg, bps=fbps, max_pad=max_pad, df=True
+            )
     policy = str(bps) if bps is not None else _bps_policy()
     base = _base_fields(csr)
     by_g = {}
@@ -1510,7 +1532,66 @@ def _reduce_prod(prod, gv, *, g, k_pad, k_c, o_ref, ob):
     o_ref[ob : ob + g_pad, :] = out
 
 
-def _window_packed_call(mat: WindowCSR, xp2: jax.Array) -> jax.Array:
+def _reduce_prod_df(prod, prod_lo, gv, *, g, k_pad, k_c, o_ref, olo_ref, ob):
+    """Double-float twin of _reduce_prod: error-compensated (TwoSum) trees
+    over precomputed (hi, lo) product slabs."""
+    nh = -(-g // 8)
+    g_pad = nh * 8
+
+    def masked(h_sel, lo, hi):
+        m = gv[lo:hi] == h_sel
+        return (
+            jnp.where(m, prod[lo:hi], 0.0),
+            jnp.where(m, prod_lo[lo:hi], 0.0),
+        )
+
+    add = lambda a, b: _df_add(a[0], a[1], b[0], b[1])  # noqa: E731
+
+    def rows_of(t2, r):
+        return tuple(v[r * 8 : (r + 1) * 8] for v in t2)
+
+    if k_c:
+        tiles = []
+        for h in range(nh):
+            m8 = masked(h, 0, k_c)
+            tiles.append(
+                _halve_pairs([rows_of(m8, i) for i in range(k_c // 8)], add)
+            )
+        out = tuple(
+            jnp.concatenate([t[j] for t in tiles], axis=0) for j in range(2)
+        )
+    else:
+        out = tuple(jnp.zeros((g_pad, LANE), jnp.float32) for _ in range(2))
+    if k_pad > k_c:
+        v_rows = k_pad - k_c
+        grows = []
+        for gg in range(g):
+            mv = masked(gg, k_c, k_pad)
+            t8 = _halve_pairs(
+                [rows_of(mv, i) for i in range(v_rows // 8)], add
+            )
+            srow = _halve_pairs(
+                [tuple(v[j : j + 1] for v in t8) for j in range(8)], add
+            )
+            grows.append(srow)
+        if g_pad > g:
+            grows.append(
+                tuple(
+                    jnp.zeros((g_pad - g, LANE), jnp.float32)
+                    for _ in range(2)
+                )
+            )
+        ovf = tuple(
+            jnp.concatenate([r[j] for r in grows], axis=0) for j in range(2)
+        )
+        out = add(out, ovf)
+    o_ref[ob : ob + g_pad, :] = out[0]
+    olo_ref[ob : ob + g_pad, :] = out[1]
+
+
+def _window_packed_call(
+    mat: WindowCSR, xp2: jax.Array, xp2_lo: jax.Array | None = None
+):
     """Packed-pair batched kernel (WindowCSR.packed): per grid step, the
     bps*k_pad slot rows assemble in 128-row tiles — tile PAIRS share one
     int32 taa on the packed (2 x bf16 residues per lane) window + one
@@ -1527,19 +1608,33 @@ def _window_packed_call(mat: WindowCSR, xp2: jax.Array) -> jax.Array:
     g_pad = nh * 8
     r_step = bps * k_pad
     assert r_step % LANE == 0, "prepare pads k_pad to tile the step"
+    df = mat.vals_lo is not None
+    assert not df or n_pairs == 0, "df rides the batched-UNPACKED layout"
 
     def kernel(*refs):
         refs_l = list(refs)
         xrefs = [refs_l.pop(0) for _ in range(ns_tot)]
-        vals_ref, sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:5]
-        w_ref, prod_ref = refs_l[5:7]
+        xlrefs = [refs_l.pop(0) for _ in range(ns_tot)] if df else None
+        vals_ref = refs_l.pop(0)
+        vlo_ref = refs_l.pop(0) if df else None
+        sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:4]
+        refs_l = refs_l[4:]
+        olo_ref = refs_l.pop(0) if df else None
+        w_ref = refs_l.pop(0)
+        wl_ref = refs_l.pop(0) if df else None
+        prod_ref = refs_l.pop(0)
+        prodl_ref = refs_l.pop(0) if df else None
         if ns_tot * 8 < LANE:
-            w_ref[ns_tot * 8 :, :] = jnp.zeros(
-                (LANE - ns_tot * 8, LANE), jnp.float32
-            )
+            z = jnp.zeros((LANE - ns_tot * 8, LANE), jnp.float32)
+            w_ref[ns_tot * 8 :, :] = z
+            if df:
+                wl_ref[ns_tot * 8 :, :] = z
         for j in range(ns_tot):
             w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j][:]
+            if df:
+                wl_ref[j * 8 : (j + 1) * 8, :] = xlrefs[j][:]
         wt = w_ref[:].T
+        wtl = wl_ref[:].T if df else None
         if n_pairs:
             # packed window: int32 lane q of pair row r2 carries
             # (bf16 bits of residue r2+64) << 16 | bf16 bits of r2,
@@ -1580,14 +1675,31 @@ def _window_packed_call(mat: WindowCSR, xp2: jax.Array) -> jax.Array:
             rows = slice(t * LANE, (t + 1) * LANE)
             sv = sidx_ref[rows, :].astype(jnp.int32)
             gth = jnp.take_along_axis(at, sv, axis=1)
-            prod_ref[rows, :] = vals_ref[rows, :].astype(jnp.float32) * gth
+            vh = vals_ref[rows, :].astype(jnp.float32)
+            if df:
+                from ..ops.dfloat import two_prod
+
+                stl = jnp.take_along_axis(wtl, qv, axis=1)
+                gtl = jnp.take_along_axis(stl.T, sv, axis=1)
+                vl = vlo_ref[rows, :]
+                ph, pe = two_prod(vh, gth)
+                prod_ref[rows, :] = ph
+                prodl_ref[rows, :] = pe + (vh * gtl + vl * gth)
+            else:
+                prod_ref[rows, :] = vh * gth
         for b in range(bps):
             sl = slice(b * k_pad, (b + 1) * k_pad)
             gv = jnp.bitwise_and(gid_ref[sl, :].astype(jnp.int32), 127)
-            _reduce_prod(
-                prod_ref[sl, :], gv, g=g, k_pad=k_pad, k_c=k_c,
-                o_ref=o_ref, ob=b * g_pad,
-            )
+            if df:
+                _reduce_prod_df(
+                    prod_ref[sl, :], prodl_ref[sl, :], gv, g=g, k_pad=k_pad,
+                    k_c=k_c, o_ref=o_ref, olo_ref=olo_ref, ob=b * g_pad,
+                )
+            else:
+                _reduce_prod(
+                    prod_ref[sl, :], gv, g=g, k_pad=k_pad, k_c=k_c,
+                    o_ref=o_ref, ob=b * g_pad,
+                )
 
     xspecs = [
         pl.BlockSpec(
@@ -1605,20 +1717,26 @@ def _window_packed_call(mat: WindowCSR, xp2: jax.Array) -> jax.Array:
     ospec = pl.BlockSpec(
         (bps * g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    oshape = jax.ShapeDtypeStruct((nblocks * g_pad, LANE), jnp.float32)
+    in_specs = xspecs + (xspecs if df else []) + [kspec] * (3 + df) + [rspec]
+    scratch = [pltpu.VMEM((LANE, LANE), jnp.float32)] * (1 + df) + [
+        pltpu.VMEM((r_step, LANE), jnp.float32)
+    ] * (1 + df)
+    args = [xp2] * ns_tot
+    if df:
+        args += [xp2_lo] * ns_tot
+    args += [mat.vals] + ([mat.vals_lo] if df else []) + [
+        mat.sidx, mat.gid, mat.rsrc,
+    ]
     return pl.pallas_call(
         kernel,
         grid=(nblocks // bps,),
-        in_specs=xspecs + [kspec, kspec, kspec, rspec],
-        out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct(
-            (nblocks * g_pad, LANE), jnp.float32
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((LANE, LANE), jnp.float32),
-            pltpu.VMEM((r_step, LANE), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=[ospec, ospec] if df else ospec,
+        out_shape=[oshape, oshape] if df else oshape,
+        scratch_shapes=scratch,
         interpret=_interp(),
-    )(*([xp2] * ns_tot), mat.vals, mat.sidx, mat.gid, mat.rsrc)
+    )(*args)
 
 
 def _window_single_call(
@@ -1765,7 +1883,11 @@ def _window_spmv_32(mat, xh, xl, _finish, acc_dtype):
         return xp.reshape(total_rows, LANE)
 
     if mat.packed:
-        return _finish(_window_packed_call(mat, _padded(xh)))
+        return _finish(
+            _window_packed_call(
+                mat, _padded(xh), _padded(xl) if df else None
+            )
+        )
 
     out = window_kernel_call(
         mat.vals, mat.sidx, mat.gid, mat.rsrc, _padded(xh),

@@ -382,3 +382,15 @@ def test_window_batched_matches_legacy_exactly():
                                   vals_dtype=jnp.float32)
     yb = np.asarray(W.window_spmv(mb, jnp.asarray(x, jnp.float32)), np.float64)
     assert vectors_diff(yb, serial_csr_spmv(csr, x)).ok
+
+
+def test_window_batched_df():
+    coo = synth.fem_like(m=4000, n=4000, nnz=40000, spread=500, lo=5, hi=20,
+                         seed=5)
+    csr = S.coo_to_csr(coo)
+    mat = W.prepare_window_batched(csr, g=8, bps=2, df=True, max_pad=30.0)
+    assert mat.packed and mat.pairs == 0 and mat.vals_lo is not None
+    x = fill_rnd_vector(csr.shape[1], seed=1)
+    y = np.asarray(W.window_spmv(mat, jnp.asarray(x, jnp.float64)))
+    err = np.abs(y - serial_csr_spmv(csr, x)).max()
+    assert err < 1e-10, err  # double-float accuracy, far beyond f32
