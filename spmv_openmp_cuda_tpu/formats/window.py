@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -1610,6 +1611,12 @@ def _window_packed_call(
     assert r_step % LANE == 0, "prepare pads k_pad to tile the step"
     df = mat.vals_lo is not None
     assert not df or n_pairs == 0, "df rides the batched-UNPACKED layout"
+    # Stage multi-consumer VALUES (transposed window, packed window, the
+    # per-pair transposed assembly) through VMEM scratch refs: Mosaic may
+    # rematerialize a value per consumer, and the round-5 A/B measured the
+    # value-direct variant far over the probe's rate. SPMV_WINDOW_PACK_
+    # STAGE=0 keeps the value-direct form for A/B.
+    stage = os.environ.get("SPMV_WINDOW_PACK_STAGE", "1") == "1"
 
     def kernel(*refs):
         refs_l = list(refs)
@@ -1624,6 +1631,11 @@ def _window_packed_call(
         wl_ref = refs_l.pop(0) if df else None
         prod_ref = refs_l.pop(0)
         prodl_ref = refs_l.pop(0) if df else None
+        wt_ref = refs_l.pop(0) if stage else None
+        wtl_ref = refs_l.pop(0) if stage and df else None
+        wp2_ref = refs_l.pop(0) if stage and n_pairs else None
+        atp_ref = refs_l.pop(0) if stage and n_pairs else None
+        at_ref = refs_l.pop(0) if stage and n_odd else None
         if ns_tot * 8 < LANE:
             z = jnp.zeros((LANE - ns_tot * 8, LANE), jnp.float32)
             w_ref[ns_tot * 8 :, :] = z
@@ -1633,27 +1645,50 @@ def _window_packed_call(
             w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j][:]
             if df:
                 wl_ref[j * 8 : (j + 1) * 8, :] = xlrefs[j][:]
-        wt = w_ref[:].T
-        wtl = wl_ref[:].T if df else None
+        if stage:
+            wt_ref[:] = w_ref[:].T
+            wt = None
+            if df:
+                wtl_ref[:] = wl_ref[:].T
+        else:
+            wt = w_ref[:].T
+            wtl = wl_ref[:].T if df else None
+
+        def read_wt():
+            return wt_ref[:] if stage else wt
+
+        def read_wtl():
+            return wtl_ref[:] if stage else wtl
+
         if n_pairs:
             # packed window: int32 lane q of pair row r2 carries
             # (bf16 bits of residue r2+64) << 16 | bf16 bits of r2,
             # duplicated vertically so pair Q maps index one source
-            bb = wt.astype(jnp.bfloat16).astype(jnp.float32)
+            bb = read_wt().astype(jnp.bfloat16).astype(jnp.float32)
             bits = jax.lax.bitcast_convert_type(bb, jnp.int32)
             lo = jax.lax.shift_right_logical(bits[0:64, :], 16)
             hi = jnp.bitwise_and(bits[64:128, :], jnp.int32(-65536))
             wp = jnp.bitwise_or(lo, hi)
             wp2 = jnp.concatenate([wp, wp], axis=0)
+            if stage:
+                wp2_ref[:] = wp2
         for p in range(n_pairs):
             qv = rsrc_ref[p * LANE : (p + 1) * LANE, :].astype(jnp.int32)
-            st = jnp.take_along_axis(wp2, qv, axis=1)
-            at = st.T
+            st = jnp.take_along_axis(
+                wp2_ref[:] if stage else wp2, qv, axis=1
+            )
+            if stage:
+                atp_ref[:] = st.T
+                at = None
+            else:
+                at = st.T
             for h in range(2):
                 t = 2 * p + h
                 rows = slice(t * LANE, (t + 1) * LANE)
                 sv = sidx_ref[rows, :].astype(jnp.int32)
-                gth = jnp.take_along_axis(at, sv, axis=1)
+                gth = jnp.take_along_axis(
+                    atp_ref[:] if stage else at, sv, axis=1
+                )
                 g32 = gid_ref[rows, :].astype(jnp.int32)
                 vlo = jax.lax.bitcast_convert_type(
                     jax.lax.shift_left(gth, 16), jnp.float32
@@ -1669,21 +1704,30 @@ def _window_packed_call(
             qv = rsrc_ref[
                 (n_pairs + o) * LANE : (n_pairs + o + 1) * LANE, :
             ].astype(jnp.int32)
-            st = jnp.take_along_axis(wt, qv, axis=1)
-            at = st.T
+            st = jnp.take_along_axis(read_wt(), qv, axis=1)
             t = 2 * n_pairs + o
             rows = slice(t * LANE, (t + 1) * LANE)
             sv = sidx_ref[rows, :].astype(jnp.int32)
-            gth = jnp.take_along_axis(at, sv, axis=1)
+            if stage:
+                at_ref[:] = st.T
+                gth = jnp.take_along_axis(at_ref[:], sv, axis=1)
+            else:
+                gth = jnp.take_along_axis(st.T, sv, axis=1)
             vh = vals_ref[rows, :].astype(jnp.float32)
             if df:
                 from ..ops.dfloat import two_prod
 
-                stl = jnp.take_along_axis(wtl, qv, axis=1)
-                gtl = jnp.take_along_axis(stl.T, sv, axis=1)
+                stl = jnp.take_along_axis(read_wtl(), qv, axis=1)
+                if stage:
+                    ph, pe = two_prod(vh, gth)
+                    prod_ref[rows, :] = ph
+                    at_ref[:] = stl.T
+                    gtl = jnp.take_along_axis(at_ref[:], sv, axis=1)
+                else:
+                    gtl = jnp.take_along_axis(stl.T, sv, axis=1)
+                    ph, pe = two_prod(vh, gth)
+                    prod_ref[rows, :] = ph
                 vl = vlo_ref[rows, :]
-                ph, pe = two_prod(vh, gth)
-                prod_ref[rows, :] = ph
                 prodl_ref[rows, :] = pe + (vh * gtl + vl * gth)
             else:
                 prod_ref[rows, :] = vh * gth
@@ -1722,6 +1766,12 @@ def _window_packed_call(
     scratch = [pltpu.VMEM((LANE, LANE), jnp.float32)] * (1 + df) + [
         pltpu.VMEM((r_step, LANE), jnp.float32)
     ] * (1 + df)
+    if stage:
+        scratch += [pltpu.VMEM((LANE, LANE), jnp.float32)] * (1 + df)
+        if n_pairs:
+            scratch += [pltpu.VMEM((LANE, LANE), jnp.int32)] * 2
+        if n_odd:
+            scratch += [pltpu.VMEM((LANE, LANE), jnp.float32)]
     args = [xp2] * ns_tot
     if df:
         args += [xp2_lo] * ns_tot
