@@ -80,10 +80,78 @@ def stage_hl_suite():
     bench_inproc("hl")
 
 
+def stage_sg_audit():
+    # sg_like structure audit (round-5 task 9): measure the adversarial
+    # no-locality twin so the SG extended-suite row carries a measured
+    # lower bound instead of an unverified structure guess
+    import json
+
+    import bench as B
+
+    cfg = B.make_cfg("float32")
+    det = B.measure_proxy(
+        "sg_rand_like", 2.25, ["PL_CSR_ROUTED_BF16"], cfg
+    )
+    out = os.path.join(OUT, "sg_audit.json")
+    with open(out, "w") as f:
+        json.dump(det, f, indent=1)
+    print(f"[sg_audit] wrote {out}: {det}", flush=True)
+
+
+def stage_ab_staged():
+    # round-5b: the scratch-staged kernel variant (SPMV_WINDOW_PACK_STAGE
+    # defaults to 1 now) vs the measured value-direct losses
+    for cfg in ("16,4,b", "8,8,b"):
+        bench_inproc(
+            "abs_" + cfg.replace(",", "_"),
+            BENCH_ONLY="thermal2_like",
+            BENCH_CANDS="PL_CSR_WINDOW_PACK",
+            SPMV_WINDOW_PACK=cfg,
+        )
+    bench_inproc(
+        "abs_fem16_4",
+        BENCH_ONLY="fem_3d_thermal2_like",
+        BENCH_CANDS="PL_CSR_WINDOW_PACK",
+        SPMV_WINDOW_PACK="16,4",
+    )
+    # same-geometry probe: batched-unpacked at fem's record config class
+    # (g40/b1, k_pad 1152 vs legacy 1088) isolates the kernel restructure
+    bench_inproc(
+        "abs_fem40_1b",
+        BENCH_ONLY="fem_3d_thermal2_like",
+        BENCH_CANDS="PL_CSR_WINDOW_PACK",
+        SPMV_WINDOW_PACK="40,1,b",
+    )
+
+
+def stage_f64_raefsky_ab():
+    # task 3: raefsky df margin (1.066x) — try the window-df engine
+    # against the DIA-resid record holder
+    bench_inproc(
+        "f64raef", SPMV_DTYPE="float64", BENCH_ONLY="raefsky1_like",
+        BENCH_CANDS="PL_DIA_RESID_F64,PL_CSR_WINDOW_F64",
+    )
+
+
+def stage_f64_fem_batched():
+    for cfg in ("40,1", "16,4"):
+        bench_inproc(
+            "f64fem_" + cfg.replace(",", "_"),
+            SPMV_DTYPE="float64",
+            BENCH_ONLY="fem_3d_thermal2_like",
+            BENCH_CANDS="PL_CSR_WINDOW_F64",
+            SPMV_WINDOW_BATCHED_DF=cfg,
+        )
+
+
 if __name__ == "__main__":
     run_stages(STAGES, {
         "verify_cli": stage_verify_cli,
         "ab_pack": stage_ab_pack,
         "ab_batched": stage_ab_batched,
+        "ab_staged": stage_ab_staged,
+        "f64_raefsky_ab": stage_f64_raefsky_ab,
+        "f64_fem_batched": stage_f64_fem_batched,
         "hl_suite": stage_hl_suite,
+        "sg_audit": stage_sg_audit,
     })

@@ -186,6 +186,31 @@ def run_scaling(preset: str, device_counts: List[int], path: str):
                 return chain
 
             y = np.asarray(spmv(op, xs), np.float64).reshape(-1)[:m]
+        elif path == "routed_spmd":
+            from ..parallel.routed_spmd import (
+                make_routed_spmd,
+                prepare_routed_spmd,
+            )
+
+            op = prepare_routed_spmd(csr, mesh)
+            spmv = make_routed_spmd(mesh, op)
+            xs = jnp.asarray(x, dtype=jnp.float32)
+            m = csr.shape[0]
+
+            def mk(steps, spmv=spmv, op=op):
+                import jax as _jax
+
+                @_jax.jit
+                def chain(xv):
+                    def body(i, xv):
+                        yv = spmv(op, xv)
+                        return xv * (1.0 + jnp.sum(yv) * 1e-30)
+
+                    return _jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+
+                return chain
+
+            y = np.asarray(spmv(op, xs), np.float64).reshape(-1)[:m]
         elif path == "ell_ring":
             op = sh.prepare_ring_ell(csr, mesh)
             xs = sh.pad_x_for_ring(np.asarray(x), op, mesh, jnp.float32)
@@ -236,7 +261,7 @@ def main(argv=None):
         "--path",
         choices=[
             "dia_halo", "ell_ring", "ell_rows", "csr_psum", "routed_md",
-            "window_halo",
+            "window_halo", "routed_spmd",
         ],
         default="dia_halo",
     )

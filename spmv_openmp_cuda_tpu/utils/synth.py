@@ -235,6 +235,16 @@ PRESETS = {
         fem_like,
         dict(m=144649, n=144649, nnz=2148786, spread=2048, lo=6, hi=26),
     ),
+    # structure-audit twin of sg_like (round 5): the template log pins only
+    # dims/nnz/maxRowNZ, so the mesh-locality guess is unverifiable with
+    # zero egress. This variant keeps the pinned stats but scatters columns
+    # across the whole row (spread ~ n): NOT windowable, runs the routed
+    # engine — its measured number is the LOWER bound of the SG claim under
+    # the adversarial structure hypothesis (doc/PROXIES.md).
+    "sg_rand_like": (
+        fem_like,
+        dict(m=144649, n=144649, nnz=2148786, spread=140000, lo=6, hi=26),
+    ),
     # Cube_Coup_dt0 (BASELINE.md, ompNew.ods corpus): 2164760^2, 127.2M nnz,
     # 3D coupled structural mechanics -> dense near-diagonal band (~59/row).
     "cube_coup_like": (
