@@ -1611,12 +1611,19 @@ def _window_packed_call(
     assert r_step % LANE == 0, "prepare pads k_pad to tile the step"
     df = mat.vals_lo is not None
     assert not df or n_pairs == 0, "df rides the batched-UNPACKED layout"
-    # Stage multi-consumer VALUES (transposed window, packed window, the
-    # per-pair transposed assembly) through VMEM scratch refs: Mosaic may
-    # rematerialize a value per consumer, and the round-5 A/B measured the
-    # value-direct variant far over the probe's rate. SPMV_WINDOW_PACK_
-    # STAGE=0 keeps the value-direct form for A/B.
-    stage = os.environ.get("SPMV_WINDOW_PACK_STAGE", "1") == "1"
+    # Kernel-shape variants (round-5 A/B):
+    #   0 = value-direct per-tile gathers (thermal2 16,4,b: 364 us)
+    #   1 = multi-consumer values staged through scratch refs (363.6 us —
+    #       staging changed nothing, rematerialization ruled out)
+    #   2 = batched ASSEMBLY only: tiles store st.T into one step-wide src
+    #       scratch, then the LEGACY shape per sub-block — one big gather
+    #       taa + in-value masked reduce (no product scratch round trip,
+    #       no per-tile 128-row taa's). pairs == 0 only.
+    stage_env = os.environ.get("SPMV_WINDOW_PACK_STAGE", "2")
+    stage_mode = int(stage_env) if stage_env.isdigit() else 2
+    if stage_mode == 2 and n_pairs:
+        stage_mode = 1  # packed pairs keep the per-tile unpack path
+    stage = stage_mode == 1
 
     def kernel(*refs):
         refs_l = list(refs)
@@ -1659,6 +1666,45 @@ def _window_packed_call(
 
         def read_wtl():
             return wtl_ref[:] if stage else wtl
+
+        if stage_mode == 2:
+            # batched assembly into one step-wide src scratch (prod_ref
+            # doubles as src_ref — same shape), then the legacy shape per
+            # sub-block: one big gather taa + in-value masked reduce
+            for t in range(n_pairs * 2 + n_odd):
+                qv = rsrc_ref[t * LANE : (t + 1) * LANE, :].astype(jnp.int32)
+                st = jnp.take_along_axis(wt, qv, axis=1)
+                prod_ref[t * LANE : (t + 1) * LANE, :] = st.T
+                if df:
+                    stl = jnp.take_along_axis(wtl, qv, axis=1)
+                    prodl_ref[t * LANE : (t + 1) * LANE, :] = stl.T
+            for b in range(bps):
+                sl = slice(b * k_pad, (b + 1) * k_pad)
+                sv = sidx_ref[sl, :].astype(jnp.int32)
+                gathered = jnp.take_along_axis(prod_ref[sl, :], sv, axis=1)
+                vh = vals_ref[sl, :].astype(jnp.float32)
+                gv = jnp.bitwise_and(
+                    gid_ref[sl, :].astype(jnp.int32), 127
+                )
+                if df:
+                    from ..ops.dfloat import two_prod
+
+                    g_lo = jnp.take_along_axis(
+                        prodl_ref[sl, :], sv, axis=1
+                    )
+                    vl = vlo_ref[sl, :]
+                    ph, pe = two_prod(vh, gathered)
+                    _reduce_prod_df(
+                        ph, pe + (vh * g_lo + vl * gathered), gv, g=g,
+                        k_pad=k_pad, k_c=k_c, o_ref=o_ref, olo_ref=olo_ref,
+                        ob=b * g_pad,
+                    )
+                else:
+                    _reduce_prod(
+                        vh * gathered, gv, g=g, k_pad=k_pad, k_c=k_c,
+                        o_ref=o_ref, ob=b * g_pad,
+                    )
+            return
 
         if n_pairs:
             # packed window: int32 lane q of pair row r2 carries
