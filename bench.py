@@ -118,8 +118,8 @@ FALLBACK = {
 AB_EXTRA = {
     "raefsky1_like": ["PL_DIA_BF16", "PL_CSR_WINDOW_BF16"],
     "caida_like": ["PL_CSR_ROUTED"],
-    "thermal2_like": ["PL_CSR_WINDOW_PACK", "PL_CSR_ROUTED_BF16"],
-    "fem_3d_thermal2_like": ["PL_CSR_WINDOW_PACK", "PL_CSR_ROUTED_BF16"],
+    "thermal2_like": ["PL_CSR_ROUTED_BF16"],
+    "fem_3d_thermal2_like": ["PL_CSR_ROUTED_BF16"],
     "delaunay_n12_like": ["PL_CSR_ROUTED"],
 }
 # SPMV_DTYPE=float64 suite: the reference's semantics are double precision

@@ -455,240 +455,7 @@ int spmv_window_fill(int64_t nnz, const int64_t* rq, const int64_t* lane,
 
 }  // extern "C"
 
-// ---------------------------------------------------------------------------
-// Packed-pair window coloring (formats/window.py packed mode, round 5): the
-// packed assembly carries residues r and r+64 as two bf16 halves of one
-// int32 window lane, so a slot row may use BOTH residues of a pair ONLY at a
-// single shared window row q. Constraint set per slot row: <=1 slot per
-// out-lane; per residue-pair p2 = jres % 64 one window row q (any number of
-// slots may share it — the gather just indexes the packed element; this is
-// WEAKER per-residue than the Euler coloring's proper-matching rows).
-//
-// Greedy per (block, gid%8 class): bundles = slots grouped by (p2, q),
-// processed in size-desc order; each slot goes to the first row with its
-// lane free and p2 either already == q or unset; then compaction sweeps
-// relocate slots out of the tail rows. Rows past `budget` spill to a
-// per-block class-free overflow region packed the same way.
-//
-// srow_out: class slots get cls + 8*rowidx; overflow slots get -(ovfrow+1)
-// (the caller rebases them past k_c once the global row maxima are known).
-// ---------------------------------------------------------------------------
-namespace {
-
-struct PackRow {
-  uint64_t lm[2] = {0, 0};     // lane occupancy bitmap
-  int32_t qmap[64];            // p2 -> window row (-1 unset)
-  int32_t qcnt[64];            // p2 -> slot count at qmap value
-  std::vector<int64_t> slots;  // global slot ids (for compaction)
-  PackRow() {
-    std::fill(qmap, qmap + 64, int32_t(-1));
-    std::fill(qcnt, qcnt + 64, int32_t(0));
-  }
-  bool lane_free(int64_t l) const {
-    return !(lm[l >> 6] & (uint64_t(1) << (l & 63)));
-  }
-  bool compat(int64_t p2, int64_t q) const {
-    return qmap[p2] < 0 || qmap[p2] == q;
-  }
-  void add(int64_t l, int64_t p2, int64_t q, int64_t slot) {
-    lm[l >> 6] |= uint64_t(1) << (l & 63);
-    qmap[p2] = static_cast<int32_t>(q);
-    qcnt[p2]++;
-    slots.push_back(slot);
-  }
-  void remove(int64_t l, int64_t p2) {
-    lm[l >> 6] &= ~(uint64_t(1) << (l & 63));
-    if (--qcnt[p2] == 0) qmap[p2] = -1;
-  }
-};
-
-// Greedy + compaction over one slot set (a (block, class) cell or a block's
-// overflow pool). lanes/p2s/qs index by position; out_row[i] = row index.
-int64_t pack_cell(const std::vector<int64_t>& ids, const int64_t* lane,
-                  const int64_t* jres, const int64_t* qarr,
-                  std::vector<PackRow>& rows, std::vector<int64_t>& out_row,
-                  int64_t budget, std::vector<int64_t>* spill) {
-  const int64_t n = static_cast<int64_t>(ids.size());
-  auto p2_of = [&](int64_t s) { return jres[s] % 64; };
-  // bundle order: (p2, q) groups size-desc; q values are raw column
-  // chunks (equality matches the staged dq: dq = q + const per block)
-  std::vector<int64_t> order(n);
-  for (int64_t i = 0; i < n; ++i) order[i] = i;
-  auto bkey = [&](int64_t i) {
-    return p2_of(ids[i]) * (int64_t(1) << 32) + qarr[ids[i]];
-  };
-  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    int64_t ka = bkey(a), kb = bkey(b);
-    if (ka != kb) return ka < kb;
-    return a < b;
-  });
-  // bundle sizes
-  std::vector<std::pair<int64_t, int64_t>> bundles;  // (start, len) in order
-  for (int64_t i = 0; i < n;) {
-    int64_t j = i;
-    while (j < n && bkey(order[j]) == bkey(order[i])) ++j;
-    bundles.emplace_back(i, j - i);
-    i = j;
-  }
-  std::sort(bundles.begin(), bundles.end(),
-            [](const std::pair<int64_t, int64_t>& a,
-               const std::pair<int64_t, int64_t>& b) {
-              if (a.second != b.second) return a.second > b.second;
-              return a.first < b.first;
-            });
-  for (const auto& bd : bundles) {
-    for (int64_t t = 0; t < bd.second; ++t) {
-      int64_t pos = order[bd.first + t];
-      int64_t s = ids[pos];
-      int64_t l = lane[s], p2 = p2_of(s), q = qarr[s];
-      int64_t placed = -1;
-      // pass 1: rows already serving (p2 -> q); pass 2: p2 unset
-      for (int pass = 0; pass < 2 && placed < 0; ++pass) {
-        for (size_t r = 0; r < rows.size(); ++r) {
-          const PackRow& row = rows[r];
-          bool match = pass == 0 ? row.qmap[p2] == q : row.qmap[p2] < 0;
-          if (match && row.lane_free(l)) {
-            placed = static_cast<int64_t>(r);
-            break;
-          }
-        }
-      }
-      if (placed < 0) {
-        rows.emplace_back();
-        placed = static_cast<int64_t>(rows.size()) - 1;
-      }
-      rows[placed].add(l, p2, q, s);
-      out_row[pos] = placed;
-    }
-  }
-  // compaction sweeps: pull tail-row slots into earlier rows
-  for (int sweep = 0; sweep < 2; ++sweep) {
-    for (int64_t r = static_cast<int64_t>(rows.size()) - 1; r > 0; --r) {
-      auto& slots = rows[r].slots;
-      for (size_t si = 0; si < slots.size();) {
-        int64_t s = slots[si];
-        int64_t l = lane[s], p2 = p2_of(s), q = qarr[s];
-        int64_t tgt = -1;
-        for (int64_t r2 = 0; r2 < r; ++r2) {
-          if (rows[r2].compat(p2, q) && rows[r2].lane_free(l)) {
-            tgt = r2;
-            break;
-          }
-        }
-        if (tgt >= 0) {
-          rows[r].remove(l, p2);
-          slots[si] = slots.back();
-          slots.pop_back();
-          rows[tgt].add(l, p2, q, s);
-          // out_row indexes by position in ids; find via map below
-        } else {
-          ++si;
-        }
-      }
-    }
-    while (!rows.empty() && rows.back().slots.empty()) rows.pop_back();
-  }
-  // rebuild out_row from row slot lists (compaction moved slots)
-  {
-    // map global slot id -> position in ids
-    // ids are sorted ascending (built in order), so binary search
-    for (size_t r = 0; r < rows.size(); ++r) {
-      for (int64_t s : rows[r].slots) {
-        auto it = std::lower_bound(ids.begin(), ids.end(), s);
-        out_row[it - ids.begin()] = static_cast<int64_t>(r);
-      }
-    }
-  }
-  if (budget > 0 && static_cast<int64_t>(rows.size()) > budget) {
-    for (size_t r = static_cast<size_t>(budget); r < rows.size(); ++r)
-      for (int64_t s : rows[r].slots) spill->push_back(s);
-    rows.resize(static_cast<size_t>(budget));
-    return budget;
-  }
-  return static_cast<int64_t>(rows.size());
-}
-
-}  // namespace
-
 extern "C" {
-
-int spmv_window_pair_greedy(int64_t nnz, const int64_t* rq,
-                            const int64_t* lane, const int64_t* q,
-                            const int64_t* jres, int64_t g, int64_t nblocks,
-                            int64_t budget, int64_t* srow_out,
-                            int64_t* rows_used, int64_t* max_class_out,
-                            int64_t* max_over_out) {
-  if (nnz <= 0 || g <= 0 || nblocks <= 0) return SPMV_ERR_ENTRY;
-  std::vector<int64_t> max_class_per(nblocks, 0), max_over_per(nblocks, 0);
-  int err = 0;
-#pragma omp parallel
-  {
-    int nt = 1, tid = 0;
-#if defined(_OPENMP)
-    nt = omp_get_num_threads();
-    tid = omp_get_thread_num();
-#endif
-    auto lower_bound_blk = [&](int64_t blk_target) -> int64_t {
-      int64_t lo = 0, hi = nnz;
-      while (lo < hi) {
-        int64_t mid = (lo + hi) / 2;
-        if (rq[mid] / g < blk_target) lo = mid + 1;
-        else hi = mid;
-      }
-      return lo;
-    };
-    int64_t b0 = nblocks * tid / nt, b1 = nblocks * (tid + 1) / nt;
-    int64_t lo = lower_bound_blk(b0), hi = lower_bound_blk(b1);
-    std::vector<int64_t> p2v, qv2;
-    for (int64_t blk = b0; blk < b1; ++blk) {
-      // slot ranges of this block (CSR order -> contiguous)
-      int64_t s0 = lo;
-      while (s0 < hi && rq[s0] / g < blk) ++s0;
-      int64_t s1 = s0;
-      while (s1 < hi && rq[s1] / g == blk) ++s1;
-      lo = s1;
-      if (s0 == s1) continue;
-      // per-class cells
-      std::vector<int64_t> cls_ids[8];
-      for (int64_t i = s0; i < s1; ++i)
-        cls_ids[(rq[i] % g) % 8].push_back(i);
-      std::vector<int64_t> spill;
-      for (int cl = 0; cl < 8; ++cl) {
-        auto& ids = cls_ids[cl];
-        if (ids.empty()) {
-          rows_used[blk * 8 + cl] = 0;
-          continue;
-        }
-        std::vector<PackRow> rows;
-        std::vector<int64_t> out_row(ids.size());
-        pack_cell(ids, lane, jres, q, rows, out_row, budget, &spill);
-        rows_used[blk * 8 + cl] = static_cast<int64_t>(rows.size());
-        if (static_cast<int64_t>(rows.size()) > max_class_per[blk])
-          max_class_per[blk] = static_cast<int64_t>(rows.size());
-        for (size_t t = 0; t < ids.size(); ++t)
-          srow_out[ids[t]] = cl + 8 * out_row[t];
-      }
-      // overflow pool (class-free), same packing constraint
-      if (!spill.empty()) {
-        std::sort(spill.begin(), spill.end());
-        std::vector<PackRow> rows;
-        std::vector<int64_t> out_row(spill.size());
-        pack_cell(spill, lane, jres, q, rows, out_row, 0, nullptr);
-        max_over_per[blk] = static_cast<int64_t>(rows.size());
-        for (size_t t = 0; t < spill.size(); ++t)
-          srow_out[spill[t]] = -(out_row[t] + 1);
-      }
-    }
-  }
-  int64_t mc = 0, mo = 0;
-  for (int64_t b = 0; b < nblocks; ++b) {
-    if (max_class_per[b] > mc) mc = max_class_per[b];
-    if (max_over_per[b] > mo) mo = max_over_per[b];
-  }
-  *max_class_out = mc;
-  *max_over_out = mo;
-  return err;
-}
 
 int spmv_native_abi_version() { return 4; }
 

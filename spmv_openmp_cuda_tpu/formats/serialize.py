@@ -110,8 +110,6 @@ def _aux_of(mat: PreparedFormat) -> dict:
             "bps": mat.bps,
             "xdirect": mat.xdirect,
             "shared_w": mat.shared_w,
-            "packed": mat.packed,
-            "pairs": mat.pairs,
         }
     if isinstance(mat, RoutedCSR):
         return {
@@ -264,9 +262,6 @@ def load_prepared(path: str) -> PreparedFormat:
             xdirect=aux.get("xdirect", False),
             # pre-shared_w checkpoints baked per-sub-block Q: keep False
             shared_w=aux.get("shared_w", False),
-            # pre-round-5 checkpoints predate the packed-pair layout
-            packed=aux.get("packed", False),
-            pairs=aux.get("pairs", 0),
         )
     if kind == "RoutedDF":
         mat = _read_routed(r, aux["inner"])

@@ -72,7 +72,7 @@ class WindowError(ValueError):
     data_fields=["vals", "sidx", "gid", "rsrc", "vals_lo"],
     meta_fields=[
         "shape", "nnz", "g", "k_pad", "wr", "nspecs", "nblocks", "k_c",
-        "bps", "xdirect", "shared_w", "packed", "pairs",
+        "bps", "xdirect", "shared_w",
     ],
 )
 @dataclasses.dataclass
@@ -109,35 +109,15 @@ class WindowCSR:
     # union-relative): the per-sub-block restage + wT transpose disappear.
     # Needs the union span ((bps-1)*g + g + 2*wr chunk rows) under 128.
     shared_w: bool = False
-    # Packed-pair mode (round 5): the x window is carried as int32 lanes
-    # holding 2 bf16 residues (r, r+64); assembly runs BATCHED over the
-    # grid step's bps*k_pad slot rows in 128-row tiles — tile PAIRS share
-    # one packed taa + transpose, products are gathered straight from the
-    # transposed assembly value (no src scratch round trip). Measured
-    # 6.35 vs 10.27 ps/slot-elem on the pipeline probe
-    # (scripts/probe_pack2.py). Slot rows come from the capacity-aware
-    # pair greedy (native spmv_window_pair_greedy): per (row, residue
-    # pair) a single window row. bps > 1 requires shared_w.
-    # pairs == 0 is the BATCHED-UNPACKED layout: legacy Euler slot rows,
-    # every tile assembled full-residue from the f32 window (no bf16
-    # rounding) but still step-batched with the value-direct gather —
-    # for matrices whose pair-q structure fragments the greedy (thermal2
-    # class) while the per-block tile quantization still hurts.
-    packed: bool = False
-    pairs: int = 0  # packed tile pairs per step; rest are full-residue
+    # (A round-5 packed-pair/batched-assembly family — bf16 residue pairs
+    # in int32 window lanes, step-batched assembly tiles — was built,
+    # A/B'd on TPU in five kernel/config variants and DELETED as a
+    # measured loser on every window proxy; see doc/REPORT.md round-5
+    # summary and scripts/sample_ab_window_r5*.log.)
 
     @property
     def n_ktiles(self) -> int:
         return -(-self.k_pad // LANE)
-
-    @property
-    def step_tiles(self) -> int:
-        """Batched (packed) layout: 128-row assembly tiles per grid step."""
-        return (self.bps * self.k_pad) // LANE
-
-    @property
-    def n_odd(self) -> int:
-        return self.step_tiles - 2 * self.pairs
 
 
 def _next_pow2(v: int) -> int:
@@ -466,7 +446,7 @@ def _pack_coloring(blk, lane, jres, nblocks, d_target):
 
 def _legacy_srow(blk, lane, jres, gid, nblocks, cap):
     """Slot-row assignment by the exact Euler edge coloring (the legacy
-    prepare path, shared by the batched-unpacked prepare): per-class band
+    prepare path): per-class band
     peels + pow2 colorings, overflow colored class-blind. Returns
     (srow, k_c, v)."""
     srow = np.empty(gid.shape[0], np.int64)
@@ -501,395 +481,6 @@ def _legacy_srow(blk, lane, jres, gid, nblocks, cap):
         colors = _pack_coloring(blk[of], lane[of], jres[of], nblocks, v)
         srow[of] = k_c + colors
     return srow, k_c, v
-
-
-def _pair_greedy_py(rq, lane, q, jres, g, nblocks, budget=0):
-    """Python fallback for the native packed-pair greedy
-    (spmv_window_pair_greedy): same constraint set (<=1 slot per
-    (row, lane); one window row per (row, residue-pair)), same
-    srow encoding (class slots cls + 8*row, overflow -(row+1)).
-    O(nnz * rows) per cell — fine for the test-sized matrices that run
-    without the native library."""
-    cls = (rq % g) % 8
-    blk = rq // g
-    p2 = jres % 64
-    srow = np.empty(rq.shape[0], np.int64)
-    mc = mo = 0
-
-    def pack_cell(ids, budget_rows):
-        key = p2[ids] * (1 << 32) + q[ids]
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        starts = np.r_[0, np.where(ks[1:] != ks[:-1])[0] + 1]
-        ends = np.r_[starts[1:], ks.size]
-        border = np.argsort(-(ends - starts), kind="stable")
-        masks, qmaps, rows_slots = [], [], []
-        out = np.empty(ids.size, np.int64)
-        spill = []
-        for b in border:
-            sl = order[starts[b] : ends[b]]
-            pp, qq = int(p2[ids[sl[0]]]), int(q[ids[sl[0]]])
-            cands = [i for i in range(len(masks)) if qmaps[i].get(pp) == qq]
-            cands += [i for i in range(len(masks)) if pp not in qmaps[i]]
-            for s in sl:
-                l = int(lane[ids[s]])
-                bit = 1 << l
-                for i in cands:
-                    if not masks[i] & bit:
-                        masks[i] |= bit
-                        qmaps[i][pp] = qq
-                        out[s] = i
-                        break
-                else:
-                    if budget_rows and len(masks) >= budget_rows:
-                        spill.append(s)
-                        out[s] = -1
-                        continue
-                    masks.append(bit)
-                    qmaps.append({pp: qq})
-                    out[s] = len(masks) - 1
-                    cands.append(len(masks) - 1)
-        return out, len(masks), spill
-
-    for b in range(nblocks):
-        in_b = np.where(blk == b)[0]
-        if not in_b.size:
-            continue
-        spill_ids = []
-        for cl in range(8):
-            ids = in_b[cls[in_b] == cl]
-            if not ids.size:
-                continue
-            out, used, spill = pack_cell(ids, budget)
-            mc = max(mc, used)
-            srow[ids] = cl + 8 * out
-            spill_ids.extend(ids[s] for s in spill)
-        if spill_ids:
-            ids = np.array(sorted(spill_ids), np.int64)
-            out, used, _ = pack_cell(ids, 0)
-            mo = max(mo, used)
-            srow[ids] = -(out + 1)
-    return srow, None, mc, mo
-
-
-def _pair_srow(csr, g, nblocks, base, budget=0):
-    """Packed-mode slot rows: native greedy when built, Python otherwise.
-    Returns (srow with overflow rebased after k_c, k_c, v)."""
-    rq, lane, q, jres = base
-    from ..io.native import window_pair_greedy_native
-
-    res = window_pair_greedy_native(rq, lane, q, jres, g, nblocks, budget)
-    if res is None:
-        res = _pair_greedy_py(rq, lane, q, jres, g, nblocks, budget)
-    srow, _rows, mc, mo = res
-    k_c = 8 * mc
-    srow = np.where(srow < 0, k_c + (-srow - 1), srow)
-    return srow, k_c, mo
-
-
-def prepare_window_packed(
-    csr: CSRMatrix, g: int = 8, vals_dtype=jnp.bfloat16, max_pad: float = 4.5,
-    bps: int = 1, base=None, budget: int = 0, _pair=None,
-) -> WindowCSR:
-    """Packed-pair window prepare (see WindowCSR.packed). The x window is
-    bf16 in this mode, so vals default to bf16 too (the precision story
-    matches PL_CSR_WINDOW_BF16: absolute tolerance 7e-4 on |x| < 3e-5
-    inputs, reference config.h:113-115)."""
-    m, n = csr.shape
-    if csr.nnz == 0 or m == 0:
-        raise WindowError("empty matrix")
-    assert 2 <= g <= 64
-    if bps > 1 and g % 8:
-        raise WindowError("bps > 1 requires g % 8 == 0 (uniform staging)")
-    if base is None:
-        base = _base_fields(csr)
-    wr, nspecs, nblocks = _geometry(csr, g, base)
-    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
-    if bps > 1 and ns_tot * 8 > LANE:
-        # batched assembly tiles span sub-blocks, so every tile must
-        # gather from ONE union window
-        raise WindowError(
-            f"packed bps={bps} needs the shared union window "
-            f"({ns_tot * 8} rows > 128)"
-        )
-    shared_w = bps > 1
-    q, blk, lane, jres, gid = _entry_fields(csr, g, base)
-
-    srow, k_c, mo = (
-        _pair if _pair is not None else _pair_srow(csr, g, nblocks, base, budget)
-    )
-    # pad k_pad so each grid step's bps*k_pad rows tile exactly into
-    # 128-row assembly tiles
-    step_mult = LANE // int(np.gcd(bps, LANE))
-    k_pad = int(-(-(k_c + mo) // step_mult) * step_mult)
-    k_c = int(k_c)
-    if nblocks * k_pad * LANE > max_pad * csr.nnz:
-        raise WindowError(
-            f"padding {nblocks * k_pad * LANE / csr.nnz:.1f}x "
-            f"exceeds {max_pad}x cap"
-        )
-    if k_pad * bps > _K_CAP:
-        raise WindowError(
-            f"bps={bps} x {k_pad} slot rows exceed the per-step VMEM cap"
-        )
-    step_tiles = (bps * k_pad) // LANE
-    n_pairs, n_odd = step_tiles // 2, step_tiles % 2
-    rps = (n_pairs + n_odd) * LANE  # rsrc rows per step
-
-    vals = np.zeros((nblocks * k_pad, LANE), dtype=np.float64)
-    sidx = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
-    gslab = np.zeros((nblocks * k_pad, LANE), dtype=np.uint8)
-    n_steps = -(-nblocks // bps)
-    rsrc = np.zeros((n_steps * rps, LANE), dtype=np.int8)
-
-    slot_row = blk * k_pad + srow
-    vals[slot_row, lane] = csr.data
-    t_step, j_in = np.divmod((blk % bps) * k_pad + srow, LANE)
-    pair = t_step // 2
-    half = t_step % 2
-    in_pair = pair < n_pairs
-    sidx[slot_row, lane] = np.where(
-        in_pair, (jres % 64) + 64 * half, jres
-    ).astype(np.int8)
-    gslab[slot_row, lane] = (
-        np.where(srow < k_c, gid // 8, gid) + (jres // 64) * 128
-    ).astype(np.uint8)
-    dq = q - blk * g + wr
-    dq_staged = dq + ((blk % bps) * g if shared_w else (blk * g) % 8)
-    step = blk // bps
-    rrow = np.where(
-        in_pair,
-        step * rps + pair * LANE + (jres % 64) + 64 * half,
-        step * rps + n_pairs * LANE + jres,
-    )
-    rsrc[rrow, j_in] = dq_staged.astype(np.int8)
-
-    nblocks_pad = n_steps * bps
-    if nblocks_pad > nblocks:
-        pad_rows = (nblocks_pad - nblocks) * k_pad
-        vals = np.concatenate([vals, np.zeros((pad_rows, LANE))])
-        sidx = np.concatenate(
-            [sidx, np.zeros((pad_rows, LANE), np.int8)]
-        )
-        gslab = np.concatenate(
-            [gslab, np.zeros((pad_rows, LANE), np.uint8)]
-        )
-
-    return WindowCSR(
-        vals=jnp.asarray(vals, dtype=vals_dtype),
-        sidx=jnp.asarray(sidx),
-        gid=jnp.asarray(gslab.view(np.int8)),
-        rsrc=jnp.asarray(rsrc),
-        shape=(m, n),
-        nnz=csr.nnz,
-        g=g,
-        k_pad=k_pad,
-        wr=wr,
-        nspecs=nspecs,
-        nblocks=nblocks_pad,
-        k_c=k_c,
-        bps=bps,
-        xdirect=False,
-        shared_w=shared_w,
-        packed=True,
-        pairs=((bps * k_pad) // LANE) // 2,
-    )
-
-
-def prepare_window_batched(
-    csr: CSRMatrix, g: int = 8, vals_dtype=jnp.bfloat16, max_pad: float = 4.5,
-    bps: int = 1, cap="auto", base=None, df: bool = False,
-) -> WindowCSR:
-    """Batched-UNPACKED window prepare (WindowCSR.pairs == 0): legacy
-    Euler-coloring slot rows (optimal row count — no pair-q constraint),
-    but the step-batched assembly layout with the value-direct gather:
-    every 128-row tile is assembled full-residue from the f32 window (no
-    bf16 x rounding). For matrices whose pair-q structure fragments the
-    packed greedy (thermal2's fem_like scatter) while per-block tile
-    quantization still hurts."""
-    m, n = csr.shape
-    if csr.nnz == 0 or m == 0:
-        raise WindowError("empty matrix")
-    assert 2 <= g <= 64
-    if bps > 1 and g % 8:
-        raise WindowError("bps > 1 requires g % 8 == 0 (uniform staging)")
-    if base is None:
-        base = _base_fields(csr)
-    wr, nspecs, nblocks = _geometry(csr, g, base)
-    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
-    if bps > 1 and ns_tot * 8 > LANE:
-        raise WindowError(
-            f"batched bps={bps} needs the shared union window "
-            f"({ns_tot * 8} rows > 128)"
-        )
-    shared_w = bps > 1
-    q, blk, lane, jres, gid = _entry_fields(csr, g, base)
-    if cap == "auto":
-        cap = _scan_caps(csr, g, bps=bps, max_pad=max_pad, base=base)[0]
-    srow, k_c, v = _legacy_srow(blk, lane, jres, gid, nblocks, cap)
-
-    step_mult = LANE // int(np.gcd(bps, LANE))
-    k_pad = int(-(-(k_c + v) // step_mult) * step_mult)
-    if nblocks * k_pad * LANE > max_pad * csr.nnz:
-        raise WindowError(
-            f"padding {nblocks * k_pad * LANE / csr.nnz:.1f}x "
-            f"exceeds {max_pad}x cap"
-        )
-    if k_pad * bps > _K_CAP_PACKED:
-        raise WindowError(
-            f"bps={bps} x {k_pad} slot rows exceed the per-step VMEM cap"
-        )
-    step_tiles = (bps * k_pad) // LANE
-    rps = step_tiles * LANE  # all tiles full-residue (pairs = 0)
-
-    vals = np.zeros((nblocks * k_pad, LANE), dtype=np.float64)
-    sidx = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
-    gslab = np.zeros((nblocks * k_pad, LANE), dtype=np.int8)
-    n_steps = -(-nblocks // bps)
-    rsrc = np.zeros((n_steps * rps, LANE), dtype=np.int8)
-
-    slot_row = blk * k_pad + srow
-    vals[slot_row, lane] = csr.data
-    sidx[slot_row, lane] = jres.astype(np.int8)
-    gslab[slot_row, lane] = np.where(srow < k_c, gid // 8, gid).astype(
-        np.int8
-    )
-    t_step, j_in = np.divmod((blk % bps) * k_pad + srow, LANE)
-    dq = q - blk * g + wr
-    dq_staged = dq + ((blk % bps) * g if shared_w else (blk * g) % 8)
-    step = blk // bps
-    rsrc[step * rps + t_step * LANE + jres, j_in] = dq_staged.astype(np.int8)
-
-    nblocks_pad = n_steps * bps
-    if nblocks_pad > nblocks:
-        pad_rows = (nblocks_pad - nblocks) * k_pad
-        vals = np.concatenate([vals, np.zeros((pad_rows, LANE))])
-        sidx = np.concatenate([sidx, np.zeros((pad_rows, LANE), np.int8)])
-        gslab = np.concatenate([gslab, np.zeros((pad_rows, LANE), np.int8)])
-
-    if df:
-        from ..ops.dfloat import split_f64
-
-        vhi, vlo = split_f64(vals)
-        vals_j, vals_lo_j = jnp.asarray(vhi), jnp.asarray(vlo)
-    else:
-        vals_j, vals_lo_j = jnp.asarray(vals, dtype=vals_dtype), None
-
-    return WindowCSR(
-        vals=vals_j,
-        sidx=jnp.asarray(sidx),
-        gid=jnp.asarray(gslab),
-        rsrc=jnp.asarray(rsrc),
-        vals_lo=vals_lo_j,
-        shape=(m, n),
-        nnz=csr.nnz,
-        g=g,
-        k_pad=k_pad,
-        wr=wr,
-        nspecs=nspecs,
-        nblocks=nblocks_pad,
-        k_c=k_c,
-        bps=bps,
-        xdirect=False,
-        shared_w=shared_w,
-        packed=True,
-        pairs=0,
-    )
-
-
-#: packed-mode per-step slot-row cap (R = bps * k_pad): the packed kernel's
-#: VMEM residency is ~8.5 B/slot (bf16 vals + sidx + gid + rsrc/2 + f32
-#: product scratch), so 4096 rows is ~4.5 MB — the old 16-tile cap guarded
-#: the legacy kernel's larger per-block scratch set
-_K_CAP_PACKED = 4096
-
-#: measured packed-pipeline cost per slot element within PAIRED tiles
-#: (scripts/probe_pack2.py on-TPU: 6.35 ps incl. per-rep window packing;
-#: the engine packs once per step but adds the product-store pass)
-_C_PACK = 7.0
-
-
-def _cost_packed(g, k_pad, k_c, bps, nblocks) -> float:
-    """Packed-mode cost model (refit against the round-5 A/B once
-    measured): paired tiles at the probed packed rate, odd tile at the
-    legacy tile rate, same fold/overflow/step constants."""
-    nh = -(-g // 8)
-    tiles = (bps * k_pad) // LANE
-    pairs, odd = tiles // 2, tiles % 2
-    nsteps = -(-nblocks // bps)
-    return (
-        (pairs * 2 * LANE * LANE * _C_PACK + odd * LANE * LANE * _C_TILE)
-        * nsteps
-        + k_c * LANE * nblocks * _C_FOLD * nh
-        + (k_pad - k_c) * LANE * nblocks * _C_PASS * g
-        + nsteps * _C_BLOCK
-        + _C_PADCHAIN
-    )
-
-
-#: packed-mode group-size ladder (bps > 1 needs g % 8 == 0; the batched
-#: assembly makes small g viable — per-block tile quantization is gone)
-_G_LADDER_PACKED = (8, 16, 24, 32, 40, 48)
-
-
-def prepare_window_packed_auto(
-    csr: CSRMatrix, max_pad: float = 4.5, vals_dtype=jnp.bfloat16,
-) -> WindowCSR:
-    """Pick (g, bps) for the packed-pair engine: one pair-greedy per g
-    (the row assignment is bps-independent and reused by the final
-    prepare), then the packed cost model ranks (g, bps) pairs.
-    SPMV_WINDOW_PACK="g,bps" forces a packed config; "g,bps,b" forces the
-    batched-UNPACKED layout (prepare_window_batched)."""
-    import os
-
-    forced = os.environ.get("SPMV_WINDOW_PACK", "")
-    base = _base_fields(csr)
-    if forced:
-        parts = forced.split(",")
-        g, bps = int(parts[0]), int(parts[1])
-        if len(parts) > 2 and parts[2] == "b":
-            return prepare_window_batched(
-                csr, g=g, bps=bps, max_pad=max_pad, vals_dtype=vals_dtype,
-                base=base,
-            )
-        return prepare_window_packed(
-            csr, g=g, bps=bps, max_pad=max_pad, vals_dtype=vals_dtype,
-            base=base,
-        )
-    best = None  # (cost, g, bps, pair)
-    for g in _G_LADDER_PACKED:
-        try:
-            wr, nspecs, nblocks = _geometry(csr, g, base)
-        except WindowError:
-            continue
-        pair = None
-        for bps in (8, 4, 2, 1):
-            if bps > 1 and g % 8:
-                continue
-            ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
-            if bps > 1 and ns_tot * 8 > LANE:
-                continue
-            if bps > nblocks:
-                continue
-            if pair is None:
-                pair = _pair_srow(csr, g, nblocks, base)
-            _srow, k_c, mo = pair
-            step_mult = LANE // int(np.gcd(bps, LANE))
-            k_pad = int(-(-(k_c + mo) // step_mult) * step_mult)
-            if bps * k_pad > _K_CAP_PACKED:
-                continue
-            if nblocks * k_pad * LANE > max_pad * csr.nnz:
-                continue
-            cost = _cost_packed(g, k_pad, k_c, bps, nblocks)
-            if best is None or cost < best[0]:
-                best = (cost, g, bps, pair)
-    if best is None:
-        raise WindowError("no feasible packed window configuration")
-    _cost, g, bps, pair = best
-    return prepare_window_packed(
-        csr, g=g, bps=bps, max_pad=max_pad, vals_dtype=vals_dtype,
-        base=base, _pair=pair,
-    )
 
 
 def prepare_window(
@@ -1125,20 +716,7 @@ def prepare_window_auto(
     """Pick group size g, packing cap and blocks-per-step by the
     exact-slots cost model. bps=None follows the policy (SPMV_WINDOW_BPS
     env override; see _BPS_POLICY_DEFAULT); an explicit bps pins it and
-    the scan only picks (g, cap).
-
-    df=True honors SPMV_WINDOW_BATCHED_DF="g,bps" (round-5 A/B hook):
-    forces the step-batched df layout (prepare_window_batched, df=True)
-    instead of the legacy per-block kernel."""
-    import os
-
-    if df:
-        forced = os.environ.get("SPMV_WINDOW_BATCHED_DF", "")
-        if forced:
-            fg, fbps = (int(v) for v in forced.split(","))
-            return prepare_window_batched(
-                csr, g=fg, bps=fbps, max_pad=max_pad, df=True
-            )
+    the scan only picks (g, cap)."""
     policy = str(bps) if bps is not None else _bps_policy()
     base = _base_fields(csr)
     by_g = {}
@@ -1493,348 +1071,6 @@ def window_kernel_call(
     return out
 
 
-def _reduce_prod(prod, gv, *, g, k_pad, k_c, o_ref, ob):
-    """Masked reduce of a sub-block's (k_pad, 128) product slab (f32):
-    mod-8 fold over the class rows, per-gid masked passes over the
-    overflow rows — the reduce half of _gather_reduce_block, shared by
-    the packed kernel whose products arrive precomputed in scratch."""
-    nh = -(-g // 8)
-    g_pad = nh * 8
-
-    def masked(h_sel, lo, hi):
-        return jnp.where(gv[lo:hi] == h_sel, prod[lo:hi], 0.0)
-
-    def halve(parts):
-        while len(parts) > 1:
-            parts = [
-                parts[i] + parts[i + 1] if i + 1 < len(parts) else parts[i]
-                for i in range(0, len(parts), 2)
-            ]
-        return parts[0]
-
-    if k_c:
-        tiles = [
-            halve(
-                [masked(h, 0, k_c)[i * 8 : (i + 1) * 8] for i in range(k_c // 8)]
-            )
-            for h in range(nh)
-        ]
-        out = jnp.concatenate(tiles, axis=0)
-    else:
-        out = jnp.zeros((g_pad, LANE), jnp.float32)
-    if k_pad > k_c:
-        grows = [
-            jnp.sum(masked(gg, k_c, k_pad), axis=0, keepdims=True)
-            for gg in range(g)
-        ]
-        if g_pad > g:
-            grows.append(jnp.zeros((g_pad - g, LANE), jnp.float32))
-        out = out + jnp.concatenate(grows, axis=0)
-    o_ref[ob : ob + g_pad, :] = out
-
-
-def _reduce_prod_df(prod, prod_lo, gv, *, g, k_pad, k_c, o_ref, olo_ref, ob):
-    """Double-float twin of _reduce_prod: error-compensated (TwoSum) trees
-    over precomputed (hi, lo) product slabs."""
-    nh = -(-g // 8)
-    g_pad = nh * 8
-
-    def masked(h_sel, lo, hi):
-        m = gv[lo:hi] == h_sel
-        return (
-            jnp.where(m, prod[lo:hi], 0.0),
-            jnp.where(m, prod_lo[lo:hi], 0.0),
-        )
-
-    add = lambda a, b: _df_add(a[0], a[1], b[0], b[1])  # noqa: E731
-
-    def rows_of(t2, r):
-        return tuple(v[r * 8 : (r + 1) * 8] for v in t2)
-
-    if k_c:
-        tiles = []
-        for h in range(nh):
-            m8 = masked(h, 0, k_c)
-            tiles.append(
-                _halve_pairs([rows_of(m8, i) for i in range(k_c // 8)], add)
-            )
-        out = tuple(
-            jnp.concatenate([t[j] for t in tiles], axis=0) for j in range(2)
-        )
-    else:
-        out = tuple(jnp.zeros((g_pad, LANE), jnp.float32) for _ in range(2))
-    if k_pad > k_c:
-        v_rows = k_pad - k_c
-        grows = []
-        for gg in range(g):
-            mv = masked(gg, k_c, k_pad)
-            t8 = _halve_pairs(
-                [rows_of(mv, i) for i in range(v_rows // 8)], add
-            )
-            srow = _halve_pairs(
-                [tuple(v[j : j + 1] for v in t8) for j in range(8)], add
-            )
-            grows.append(srow)
-        if g_pad > g:
-            grows.append(
-                tuple(
-                    jnp.zeros((g_pad - g, LANE), jnp.float32)
-                    for _ in range(2)
-                )
-            )
-        ovf = tuple(
-            jnp.concatenate([r[j] for r in grows], axis=0) for j in range(2)
-        )
-        out = add(out, ovf)
-    o_ref[ob : ob + g_pad, :] = out[0]
-    olo_ref[ob : ob + g_pad, :] = out[1]
-
-
-def _window_packed_call(
-    mat: WindowCSR, xp2: jax.Array, xp2_lo: jax.Array | None = None
-):
-    """Packed-pair batched kernel (WindowCSR.packed): per grid step, the
-    bps*k_pad slot rows assemble in 128-row tiles — tile PAIRS share one
-    int32 taa on the packed (2 x bf16 residues per lane) window + one
-    transpose, and each tile's source values gather straight from the
-    transposed assembly VALUE (no src scratch round trip; probed 6.35 vs
-    10.27 ps/slot-elem, scripts/probe_pack2.py). Products land in one
-    (bps*k_pad, 128) scratch the per-sub-block masked reduce consumes."""
-    g, k_pad, k_c, bps = mat.g, mat.k_pad, mat.k_c, mat.bps
-    nspecs, nblocks = mat.nspecs, mat.nblocks
-    ns_tot = (bps - 1) * (g // 8) + nspecs if bps > 1 else nspecs
-    n_pairs, n_odd = mat.pairs, mat.n_odd
-    rps = (n_pairs + n_odd) * LANE
-    nh = -(-g // 8)
-    g_pad = nh * 8
-    r_step = bps * k_pad
-    assert r_step % LANE == 0, "prepare pads k_pad to tile the step"
-    df = mat.vals_lo is not None
-    assert not df or n_pairs == 0, "df rides the batched-UNPACKED layout"
-    # Kernel-shape variants (round-5 A/B):
-    #   0 = value-direct per-tile gathers (thermal2 16,4,b: 364 us)
-    #   1 = multi-consumer values staged through scratch refs (363.6 us —
-    #       staging changed nothing, rematerialization ruled out)
-    #   2 = batched ASSEMBLY only: tiles store st.T into one step-wide src
-    #       scratch, then the LEGACY shape per sub-block — one big gather
-    #       taa + in-value masked reduce (no product scratch round trip,
-    #       no per-tile 128-row taa's). pairs == 0 only.
-    stage_env = os.environ.get("SPMV_WINDOW_PACK_STAGE", "2")
-    stage_mode = int(stage_env) if stage_env.isdigit() else 2
-    if stage_mode == 2 and n_pairs:
-        stage_mode = 1  # packed pairs keep the per-tile unpack path
-    stage = stage_mode == 1
-
-    def kernel(*refs):
-        refs_l = list(refs)
-        xrefs = [refs_l.pop(0) for _ in range(ns_tot)]
-        xlrefs = [refs_l.pop(0) for _ in range(ns_tot)] if df else None
-        vals_ref = refs_l.pop(0)
-        vlo_ref = refs_l.pop(0) if df else None
-        sidx_ref, gid_ref, rsrc_ref, o_ref = refs_l[:4]
-        refs_l = refs_l[4:]
-        olo_ref = refs_l.pop(0) if df else None
-        w_ref = refs_l.pop(0)
-        wl_ref = refs_l.pop(0) if df else None
-        prod_ref = refs_l.pop(0)
-        prodl_ref = refs_l.pop(0) if df else None
-        wt_ref = refs_l.pop(0) if stage else None
-        wtl_ref = refs_l.pop(0) if stage and df else None
-        wp2_ref = refs_l.pop(0) if stage and n_pairs else None
-        atp_ref = refs_l.pop(0) if stage and n_pairs else None
-        at_ref = refs_l.pop(0) if stage and n_odd else None
-        if ns_tot * 8 < LANE:
-            z = jnp.zeros((LANE - ns_tot * 8, LANE), jnp.float32)
-            w_ref[ns_tot * 8 :, :] = z
-            if df:
-                wl_ref[ns_tot * 8 :, :] = z
-        for j in range(ns_tot):
-            w_ref[j * 8 : (j + 1) * 8, :] = xrefs[j][:]
-            if df:
-                wl_ref[j * 8 : (j + 1) * 8, :] = xlrefs[j][:]
-        if stage:
-            wt_ref[:] = w_ref[:].T
-            wt = None
-            if df:
-                wtl_ref[:] = wl_ref[:].T
-        else:
-            wt = w_ref[:].T
-            wtl = wl_ref[:].T if df else None
-
-        def read_wt():
-            return wt_ref[:] if stage else wt
-
-        def read_wtl():
-            return wtl_ref[:] if stage else wtl
-
-        if stage_mode == 2:
-            # batched assembly into one step-wide src scratch (prod_ref
-            # doubles as src_ref — same shape), then the legacy shape per
-            # sub-block: one big gather taa + in-value masked reduce
-            for t in range(n_pairs * 2 + n_odd):
-                qv = rsrc_ref[t * LANE : (t + 1) * LANE, :].astype(jnp.int32)
-                st = jnp.take_along_axis(wt, qv, axis=1)
-                prod_ref[t * LANE : (t + 1) * LANE, :] = st.T
-                if df:
-                    stl = jnp.take_along_axis(wtl, qv, axis=1)
-                    prodl_ref[t * LANE : (t + 1) * LANE, :] = stl.T
-            for b in range(bps):
-                sl = slice(b * k_pad, (b + 1) * k_pad)
-                sv = sidx_ref[sl, :].astype(jnp.int32)
-                gathered = jnp.take_along_axis(prod_ref[sl, :], sv, axis=1)
-                vh = vals_ref[sl, :].astype(jnp.float32)
-                gv = jnp.bitwise_and(
-                    gid_ref[sl, :].astype(jnp.int32), 127
-                )
-                if df:
-                    from ..ops.dfloat import two_prod
-
-                    g_lo = jnp.take_along_axis(
-                        prodl_ref[sl, :], sv, axis=1
-                    )
-                    vl = vlo_ref[sl, :]
-                    ph, pe = two_prod(vh, gathered)
-                    _reduce_prod_df(
-                        ph, pe + (vh * g_lo + vl * gathered), gv, g=g,
-                        k_pad=k_pad, k_c=k_c, o_ref=o_ref, olo_ref=olo_ref,
-                        ob=b * g_pad,
-                    )
-                else:
-                    _reduce_prod(
-                        vh * gathered, gv, g=g, k_pad=k_pad, k_c=k_c,
-                        o_ref=o_ref, ob=b * g_pad,
-                    )
-            return
-
-        if n_pairs:
-            # packed window: int32 lane q of pair row r2 carries
-            # (bf16 bits of residue r2+64) << 16 | bf16 bits of r2,
-            # duplicated vertically so pair Q maps index one source
-            bb = read_wt().astype(jnp.bfloat16).astype(jnp.float32)
-            bits = jax.lax.bitcast_convert_type(bb, jnp.int32)
-            lo = jax.lax.shift_right_logical(bits[0:64, :], 16)
-            hi = jnp.bitwise_and(bits[64:128, :], jnp.int32(-65536))
-            wp = jnp.bitwise_or(lo, hi)
-            wp2 = jnp.concatenate([wp, wp], axis=0)
-            if stage:
-                wp2_ref[:] = wp2
-        for p in range(n_pairs):
-            qv = rsrc_ref[p * LANE : (p + 1) * LANE, :].astype(jnp.int32)
-            st = jnp.take_along_axis(
-                wp2_ref[:] if stage else wp2, qv, axis=1
-            )
-            if stage:
-                atp_ref[:] = st.T
-                at = None
-            else:
-                at = st.T
-            for h in range(2):
-                t = 2 * p + h
-                rows = slice(t * LANE, (t + 1) * LANE)
-                sv = sidx_ref[rows, :].astype(jnp.int32)
-                gth = jnp.take_along_axis(
-                    atp_ref[:] if stage else at, sv, axis=1
-                )
-                g32 = gid_ref[rows, :].astype(jnp.int32)
-                vlo = jax.lax.bitcast_convert_type(
-                    jax.lax.shift_left(gth, 16), jnp.float32
-                )
-                vhi = jax.lax.bitcast_convert_type(
-                    jnp.bitwise_and(gth, jnp.int32(-65536)), jnp.float32
-                )
-                v = jnp.where(g32 < 0, vhi, vlo)  # gid bit 7 = parity
-                prod_ref[rows, :] = (
-                    vals_ref[rows, :].astype(jnp.float32) * v
-                )
-        for o in range(n_odd):
-            qv = rsrc_ref[
-                (n_pairs + o) * LANE : (n_pairs + o + 1) * LANE, :
-            ].astype(jnp.int32)
-            st = jnp.take_along_axis(read_wt(), qv, axis=1)
-            t = 2 * n_pairs + o
-            rows = slice(t * LANE, (t + 1) * LANE)
-            sv = sidx_ref[rows, :].astype(jnp.int32)
-            if stage:
-                at_ref[:] = st.T
-                gth = jnp.take_along_axis(at_ref[:], sv, axis=1)
-            else:
-                gth = jnp.take_along_axis(st.T, sv, axis=1)
-            vh = vals_ref[rows, :].astype(jnp.float32)
-            if df:
-                from ..ops.dfloat import two_prod
-
-                stl = jnp.take_along_axis(read_wtl(), qv, axis=1)
-                if stage:
-                    ph, pe = two_prod(vh, gth)
-                    prod_ref[rows, :] = ph
-                    at_ref[:] = stl.T
-                    gtl = jnp.take_along_axis(at_ref[:], sv, axis=1)
-                else:
-                    gtl = jnp.take_along_axis(stl.T, sv, axis=1)
-                    ph, pe = two_prod(vh, gth)
-                    prod_ref[rows, :] = ph
-                vl = vlo_ref[rows, :]
-                prodl_ref[rows, :] = pe + (vh * gtl + vl * gth)
-            else:
-                prod_ref[rows, :] = vh * gth
-        for b in range(bps):
-            sl = slice(b * k_pad, (b + 1) * k_pad)
-            gv = jnp.bitwise_and(gid_ref[sl, :].astype(jnp.int32), 127)
-            if df:
-                _reduce_prod_df(
-                    prod_ref[sl, :], prodl_ref[sl, :], gv, g=g, k_pad=k_pad,
-                    k_c=k_c, o_ref=o_ref, olo_ref=olo_ref, ob=b * g_pad,
-                )
-            else:
-                _reduce_prod(
-                    prod_ref[sl, :], gv, g=g, k_pad=k_pad, k_c=k_c,
-                    o_ref=o_ref, ob=b * g_pad,
-                )
-
-    xspecs = [
-        pl.BlockSpec(
-            (8, LANE),
-            functools.partial(lambda j, i: ((i * bps * g) // 8 + j, 0), j),
-        )
-        for j in range(ns_tot)
-    ]
-    kspec = pl.BlockSpec(
-        (bps * k_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    rspec = pl.BlockSpec(
-        (rps, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    ospec = pl.BlockSpec(
-        (bps * g_pad, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    oshape = jax.ShapeDtypeStruct((nblocks * g_pad, LANE), jnp.float32)
-    in_specs = xspecs + (xspecs if df else []) + [kspec] * (3 + df) + [rspec]
-    scratch = [pltpu.VMEM((LANE, LANE), jnp.float32)] * (1 + df) + [
-        pltpu.VMEM((r_step, LANE), jnp.float32)
-    ] * (1 + df)
-    if stage:
-        scratch += [pltpu.VMEM((LANE, LANE), jnp.float32)] * (1 + df)
-        if n_pairs:
-            scratch += [pltpu.VMEM((LANE, LANE), jnp.int32)] * 2
-        if n_odd:
-            scratch += [pltpu.VMEM((LANE, LANE), jnp.float32)]
-    args = [xp2] * ns_tot
-    if df:
-        args += [xp2_lo] * ns_tot
-    args += [mat.vals] + ([mat.vals_lo] if df else []) + [
-        mat.sidx, mat.gid, mat.rsrc,
-    ]
-    return pl.pallas_call(
-        kernel,
-        grid=(nblocks // bps,),
-        in_specs=in_specs,
-        out_specs=[ospec, ospec] if df else ospec,
-        out_shape=[oshape, oshape] if df else oshape,
-        scratch_shapes=scratch,
-        interpret=_interp(),
-    )(*args)
-
-
 def _window_single_call(
     vals, sidx, gid, rsrc, x2d, *, g, k_pad, k_c, vals_lo=None, x2d_lo=None
 ):
@@ -1977,13 +1213,6 @@ def _window_spmv_32(mat, xh, xl, _finish, acc_dtype):
             (wr * LANE,),
         )
         return xp.reshape(total_rows, LANE)
-
-    if mat.packed:
-        return _finish(
-            _window_packed_call(
-                mat, _padded(xh), _padded(xl) if df else None
-            )
-        )
 
     out = window_kernel_call(
         mat.vals, mat.sidx, mat.gid, mat.rsrc, _padded(xh),

@@ -256,45 +256,6 @@ def rank_in_group_native(
     return out
 
 
-def window_pair_greedy_native(
-    rq: np.ndarray, lane: np.ndarray, q: np.ndarray, jres: np.ndarray,
-    g: int, nblocks: int, budget: int = 0,
-):
-    """Packed-pair window coloring (formats/window.py packed mode): greedy
-    per-(block, class) bundle packing under the one-q-per-(row, residue-
-    pair) constraint, spilling past `budget` rows into a class-free
-    overflow pool. Returns (srow, rows_used, max_class, max_over) with
-    overflow slots marked srow < 0 as -(ovfrow+1); None when the library
-    is not built (caller runs the Python greedy)."""
-    lib = load_library()
-    if lib is None or not hasattr(lib, "spmv_window_pair_greedy"):
-        return None
-    fn = lib.spmv_window_pair_greedy
-    fn.restype = ctypes.c_int
-    arrs = [
-        np.ascontiguousarray(a, dtype=np.int64) for a in (rq, lane, q, jres)
-    ]
-    nnz = rq.shape[0]
-    srow = np.empty(nnz, dtype=np.int64)
-    rows_used = np.zeros(nblocks * 8, dtype=np.int64)
-    mc = ctypes.c_int64()
-    mo = ctypes.c_int64()
-    rc = fn(
-        ctypes.c_int64(nnz),
-        *(a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for a in arrs),
-        ctypes.c_int64(g),
-        ctypes.c_int64(nblocks),
-        ctypes.c_int64(budget),
-        srow.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        rows_used.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.byref(mc),
-        ctypes.byref(mo),
-    )
-    if rc != 0:
-        return None
-    return srow, rows_used.reshape(nblocks, 8), int(mc.value), int(mo.value)
-
-
 def window_fill_native(
     rq: np.ndarray, lane: np.ndarray, q: np.ndarray, jres: np.ndarray,
     srow: np.ndarray, data: np.ndarray, g: int, k_pad: int, k_c: int,

@@ -833,23 +833,6 @@ def _register() -> None:
             f64=True,
         )
     )
-    from ..formats.window import prepare_window_packed_auto
-
-    register(
-        KernelSpec(
-            name="PL_CSR_WINDOW_PACK",
-            fmt="csr",
-            impl="pallas",
-            prepare=lambda csr, ell, cfg: prepare_window_packed_auto(csr),
-            run=window_spmv,
-            doc="packed-pair windowed gather (round 5): bf16 x window "
-            "packed as int32 residue pairs, step-batched assembly tiles "
-            "with shared taa+transpose per tile pair and value-direct "
-            "gather (probed 6.35 vs 10.27 ps/slot-elem); slot rows from "
-            "the capacity-aware pair greedy (native "
-            "spmv_window_pair_greedy)",
-        )
-    )
     register(
         KernelSpec(
             name="PL_CSR_WINDOW_BF16",

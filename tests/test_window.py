@@ -286,111 +286,3 @@ def test_cap_bands_decomposition():
         W._cap_bands((12, 4))  # non-pow2 band
     with pytest.raises(WindowError):
         W._cap_bands(0)
-
-
-# ---------------------------------------------------------------------------
-# packed-pair mode (round 5): int32 window lanes carrying 2 bf16 residues,
-# batched step assembly (WindowCSR.packed, prepare_window_packed)
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("g,bps", [(8, 1), (10, 1), (16, 2), (8, 4)])
-def test_window_packed(g, bps):
-    coo = synth.fem_like(m=6000, n=6000, nnz=60000, spread=500, lo=5, hi=20,
-                         seed=3)
-    csr = S.coo_to_csr(coo)
-    try:
-        mat = W.prepare_window_packed(csr, g=g, bps=bps, max_pad=30.0)
-    except WindowError as e:
-        pytest.skip(f"config infeasible for this synth: {e}")
-    assert mat.packed and (mat.bps * mat.k_pad) % 128 == 0
-    _check(csr, mat)
-
-
-def test_window_packed_matches_unpacked_at_bf16():
-    coo = synth.banded(3000, 3000, 30, fill=0.9, seed=9)
-    csr = S.coo_to_csr(coo)
-    x = fill_rnd_vector(csr.shape[1], seed=2)
-    mp = W.prepare_window_packed(csr, g=8, max_pad=30.0)
-    mu = W.prepare_window(csr, g=8, vals_dtype=jnp.bfloat16, max_pad=30.0)
-    yp = np.asarray(W.window_spmv(mp, jnp.asarray(x, jnp.float32)), np.float64)
-    yu = np.asarray(W.window_spmv(mu, jnp.asarray(x, jnp.float32)), np.float64)
-    oracle = serial_csr_spmv(csr, x)
-    # both carry bf16 rounding; packed additionally rounds the x window
-    assert vectors_diff(yp, oracle).ok
-    assert vectors_diff(yu, oracle).ok
-
-
-def test_window_packed_greedy_py_matches_native_constraints():
-    # the Python fallback must satisfy the same constraint set the native
-    # greedy guarantees (lane-unique rows, one q per (row, residue pair))
-    coo = synth.fem_like(m=2000, n=2000, nnz=16000, spread=300, lo=3, hi=12,
-                         seed=11)
-    csr = S.coo_to_csr(coo)
-    base = W._base_fields(csr)
-    q, blk, lane, jres, gid = W._entry_fields(csr, 8, base)
-    nblocks = -(-csr.shape[0] // (8 * 128))
-    srow, _, mc, mo = W._pair_greedy_py(base[0], lane, q, jres, 8, nblocks)
-    k_c = 8 * mc
-    srow = np.where(srow < 0, k_c + (-srow - 1), srow)
-    rowkey = blk * (k_c + mo) + srow
-    cell_lane = rowkey * 128 + lane
-    assert np.unique(cell_lane).size == cell_lane.size
-    cell = rowkey * 64 + (jres % 64)
-    u = np.unique(np.stack([cell, q]), axis=1)
-    assert (np.bincount(u[0]) <= 1).all()
-    assert ((srow[srow < k_c] % 8) == (gid % 8)[srow < k_c]).all()
-
-
-def test_window_packed_serialize_roundtrip(tmp_path):
-    from spmv_openmp_cuda_tpu.formats import serialize
-
-    coo = synth.banded(1500, 1500, 20, fill=0.9, seed=4)
-    csr = S.coo_to_csr(coo)
-    mat = W.prepare_window_packed(csr, g=8, max_pad=30.0)
-    p = tmp_path / "w.npz"
-    serialize.save_prepared(str(p), mat)
-    mat2 = serialize.load_prepared(str(p))
-    assert mat2.packed and mat2.k_pad == mat.k_pad and mat2.k_c == mat.k_c
-    x = fill_rnd_vector(csr.shape[1], seed=1)
-    y1 = np.asarray(W.window_spmv(mat, jnp.asarray(x, jnp.float32)))
-    y2 = np.asarray(W.window_spmv(mat2, jnp.asarray(x, jnp.float32)))
-    assert np.array_equal(y1, y2)
-
-
-@pytest.mark.parametrize("g,bps", [(8, 1), (16, 2), (8, 4)])
-def test_window_batched_unpacked(g, bps):
-    coo = synth.fem_like(m=6000, n=6000, nnz=60000, spread=500, lo=5, hi=20,
-                         seed=3)
-    csr = S.coo_to_csr(coo)
-    try:
-        mat = W.prepare_window_batched(csr, g=g, bps=bps, max_pad=30.0,
-                                       vals_dtype=jnp.float32)
-    except WindowError as e:
-        pytest.skip(f"config infeasible for this synth: {e}")
-    assert mat.packed and mat.pairs == 0
-    _check(csr, mat)
-
-
-def test_window_batched_matches_legacy_exactly():
-    # pairs=0 keeps the f32 window: same rounding as the legacy kernel on
-    # the same Euler slot rows
-    coo = synth.banded(3000, 3000, 30, fill=0.9, seed=9)
-    csr = S.coo_to_csr(coo)
-    x = fill_rnd_vector(csr.shape[1], seed=2)
-    mb = W.prepare_window_batched(csr, g=8, max_pad=30.0,
-                                  vals_dtype=jnp.float32)
-    yb = np.asarray(W.window_spmv(mb, jnp.asarray(x, jnp.float32)), np.float64)
-    assert vectors_diff(yb, serial_csr_spmv(csr, x)).ok
-
-
-def test_window_batched_df():
-    coo = synth.fem_like(m=4000, n=4000, nnz=40000, spread=500, lo=5, hi=20,
-                         seed=5)
-    csr = S.coo_to_csr(coo)
-    mat = W.prepare_window_batched(csr, g=8, bps=2, df=True, max_pad=30.0)
-    assert mat.packed and mat.pairs == 0 and mat.vals_lo is not None
-    x = fill_rnd_vector(csr.shape[1], seed=1)
-    y = np.asarray(W.window_spmv(mat, jnp.asarray(x, jnp.float64)))
-    err = np.abs(y - serial_csr_spmv(csr, x)).max()
-    assert err < 1e-10, err  # double-float accuracy, far beyond f32
