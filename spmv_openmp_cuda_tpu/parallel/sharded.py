@@ -447,6 +447,123 @@ def make_dia_sharded(mesh: Mesh, op_meta: ShardedDIA):
 
 
 # ---------------------------------------------------------------------------
+# 4b) Row-sharded DOUBLE-FLOAT DIA with halo exchange — the reference's
+# native double precision (macros.h:63-76) carried multi-device: both (hi,
+# lo) f32 slab planes are row-sharded, both x planes halo-exchange, and the
+# per-diagonal accumulation runs the Dekker/Knuth compensated arithmetic
+# (ops/dfloat.py) at the XLA level — f64 semantics with no f64 datapath on
+# any chip of the mesh.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "data_lo"],
+    meta_fields=["offsets", "shape", "nnz", "pad_sub", "s_local"],
+)
+@dataclasses.dataclass
+class ShardedDIADF:
+    """ShardedDIA twin carrying the (hi, lo) double-float slab pair."""
+
+    data: jax.Array  # (D, S_pad, LANE) f32 hi words, P(None, rows, None)
+    data_lo: jax.Array  # (D, S_pad, LANE) f32 lo words, same sharding
+    offsets: Tuple[int, ...]
+    shape: Tuple[int, int] = (0, 0)
+    nnz: int = 0
+    pad_sub: int = 0
+    s_local: int = 0
+
+
+def prepare_dia_sharded_df(mat, mesh: Mesh) -> ShardedDIADF:
+    """Shard a DeviceDIADF's sublane-row axis across mesh[ROWS]."""
+    nd = mesh.shape[ROWS]
+    d, s, _ = mat.data.shape
+    s_pad = _ceil_to(max(s, nd * SUBLANE), nd * SUBLANE)
+    s_local = s_pad // nd
+    if mat.pad_sub > s_local:
+        raise ValueError(
+            f"diagonal reach {mat.pad_sub} rows exceeds local shard {s_local}"
+        )
+    sh = NamedSharding(mesh, P(None, ROWS, None))
+    pad = ((0, 0), (0, s_pad - s), (0, 0))
+    return ShardedDIADF(
+        data=jax.device_put(jnp.pad(mat.data, pad), sh),
+        data_lo=jax.device_put(jnp.pad(mat.data_lo, pad), sh),
+        offsets=mat.offsets,
+        shape=mat.shape,
+        nnz=mat.nnz,
+        pad_sub=mat.pad_sub,
+        s_local=s_local,
+    )
+
+
+def pad_x_for_dia_sharded_df(x, op: ShardedDIADF, mesh: Mesh):
+    """f64 x -> row-sharded (hi, lo) f32 plane pair."""
+    from ..ops.dfloat import split_f64
+
+    nd = mesh.shape[ROWS]
+    s_pad = op.s_local * nd
+    xp = np.zeros(s_pad * LANE, dtype=np.float64)
+    xp[: x.shape[0]] = np.asarray(x, np.float64)
+    xh, xl = split_f64(xp)
+    sh = NamedSharding(mesh, P(ROWS, None))
+    return (
+        jax.device_put(jnp.asarray(xh).reshape(s_pad, LANE), sh),
+        jax.device_put(jnp.asarray(xl).reshape(s_pad, LANE), sh),
+    )
+
+
+def make_dia_sharded_df(mesh: Mesh, op_meta: ShardedDIADF):
+    """(y_hi, y_lo) = A @ x in double-float, row-sharded with halo."""
+    from ..formats.dia import shifted_view
+    from ..ops.dfloat import two_prod, two_sum
+
+    nd = mesh.shape[ROWS]
+    ps = op_meta.pad_sub
+    offsets = op_meta.offsets
+    s_local = op_meta.s_local
+
+    def _halo(x_loc):
+        left = jax.lax.ppermute(
+            x_loc[-ps:], ROWS, [(j, (j + 1) % nd) for j in range(nd)]
+        )
+        right = jax.lax.ppermute(
+            x_loc[:ps], ROWS, [(j, (j - 1) % nd) for j in range(nd)]
+        )
+        return jnp.concatenate([left, x_loc, right], axis=0)
+
+    def local(dh, dl, xh_loc, xl_loc):
+        xh = _halo(xh_loc)
+        xl = _halo(xl_loc)
+        acc_h = jnp.zeros((s_local, LANE), jnp.float32)
+        acc_l = jnp.zeros((s_local, LANE), jnp.float32)
+        for k, off in enumerate(offsets):
+            vh = shifted_view(xh, off, s_local, ps)
+            vl = shifted_view(xl, off, s_local, ps)
+            ph, pe = two_prod(dh[k], vh)
+            plo = pe + (dh[k] * vl + dl[k] * vh)
+            acc_h, e = two_sum(acc_h, ph)
+            acc_l = acc_l + (plo + e)
+        return acc_h, acc_l
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, ROWS, None), P(None, ROWS, None),
+            P(ROWS, None), P(ROWS, None),
+        ),
+        out_specs=(P(ROWS, None), P(ROWS, None)),
+    )
+
+    @jax.jit
+    def spmv(op: ShardedDIADF, xh_padded, xl_padded):
+        return f(op.data, op.data_lo, xh_padded, xl_padded)
+
+    return spmv
+
+
+# ---------------------------------------------------------------------------
 # 5) Row-sharded windowed local-gather engine — block-DP + halo exchange
 # ---------------------------------------------------------------------------
 

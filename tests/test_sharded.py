@@ -204,3 +204,29 @@ def test_ring_overlap_dependency_structure():
             and any(o in u for o in ("mul", "dot_general", "add_any"))
         ]
         assert not bad, f"ppermute output {v} feeds arithmetic: {bad}"
+
+
+def test_dia_sharded_halo_df():
+    """Double-float multi-device path (round-5 task 7): (hi, lo) slab
+    pairs sharded with halo exchange — f64 semantics across the mesh."""
+    from spmv_openmp_cuda_tpu.formats.dia import prepare_dia_df
+    from spmv_openmp_cuda_tpu.parallel.sharded import (
+        make_dia_sharded_df,
+        pad_x_for_dia_sharded_df,
+        prepare_dia_sharded_df,
+    )
+
+    mesh = M.make_mesh((8, 1))
+    coo = synth.banded(5000, 5000, 140, fill=0.3, seed=7)
+    csr = S.coo_to_csr(coo)
+    mat = prepare_dia_df(csr, max_fill_ratio=1e9)
+    x = fill_rnd_vector(5000, seed=8)
+    op = prepare_dia_sharded_df(mat, mesh)
+    xh, xl = pad_x_for_dia_sharded_df(np.asarray(x), op, mesh)
+    yh, yl = make_dia_sharded_df(mesh, op)(op, xh, xl)
+    y = (
+        np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    ).reshape(-1)[: csr.shape[0]]
+    err = np.abs(y - serial_csr_spmv(csr, x)).max()
+    # double-float accuracy: far beyond the f32 path's ~1e-7 level
+    assert err < 1e-10, err
