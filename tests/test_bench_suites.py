@@ -178,3 +178,15 @@ def test_orchestrator_never_touches_repo_record(tmp_path):
     after = open(record).read() if os.path.exists(record) else None
     assert before == after, "stub run overwrote the committed record"
     assert (tmp_path / "BENCH_DETAILS.json").exists()
+
+
+def test_build_suite_bench_cands_pins_candidates(monkeypatch):
+    """BENCH_CANDS (round-5 A/B hook) replaces every selected proxy's
+    candidate list verbatim."""
+    import bench as B
+
+    monkeypatch.setenv("BENCH_ONLY", "thermal2_like")
+    monkeypatch.setenv("BENCH_CANDS", "PL_CSR_WINDOW,PL_CSR_ROUTED")
+    suite, _fb, _ext, _dt, _n = B.build_suite()
+    assert [s[0] for s in suite] == ["thermal2_like"]
+    assert suite[0][2] == ["PL_CSR_WINDOW", "PL_CSR_ROUTED"]
