@@ -165,6 +165,33 @@ def run_scaling(preset: str, device_counts: List[int], path: str):
                 return chain
 
             y = np.asarray(spmv(op, xs), np.float64).reshape(-1)[:m]
+        elif path == "dia_halo_df":
+            from ..formats.dia import prepare_dia_df
+
+            mat = prepare_dia_df(csr, max_fill_ratio=1e9)
+            op = sh.prepare_dia_sharded_df(mat, mesh)
+            xh, xl = sh.pad_x_for_dia_sharded_df(np.asarray(x), op, mesh)
+            spmv2 = sh.make_dia_sharded_df(mesh, op)
+            m = csr.shape[0]
+
+            def mk(steps, spmv2=spmv2, op=op, xl=xl):
+                import jax as _jax
+
+                @_jax.jit
+                def chain(xv):
+                    def body(i, xv):
+                        yh, yl = spmv2(op, xv, xl)
+                        return xv * (1.0 + jnp.sum(yh) * 1e-30)
+
+                    return _jax.lax.fori_loop(0, steps, body, xv, unroll=False)
+
+                return chain
+
+            yh, yl = spmv2(op, xh, xl)
+            y = (
+                np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+            ).reshape(-1)[:m]
+            xs = xh
         elif path == "dia_halo":
             mat = prepare_dia(csr, max_fill_ratio=1e9)
             op = sh.prepare_dia_sharded(mat, mesh)
@@ -260,8 +287,8 @@ def main(argv=None):
     ap.add_argument(
         "--path",
         choices=[
-            "dia_halo", "ell_ring", "ell_rows", "csr_psum", "routed_md",
-            "window_halo", "routed_spmd",
+            "dia_halo", "dia_halo_df", "ell_ring", "ell_rows", "csr_psum",
+            "routed_md", "window_halo", "routed_spmd",
         ],
         default="dia_halo",
     )
