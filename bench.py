@@ -457,15 +457,23 @@ def emit(details, extended, dtype, base_len):
         if dtype == "float64"
         else "BENCH_DETAILS.json"
     )
-    if len(details) == base_len:  # partial runs must not clobber the record
-        # BENCH_DETAILS_DIR redirects the record (tests MUST set it: a stub
-        # run once overwrote the committed record with fake rows)
-        ddir = os.environ.get("BENCH_DETAILS_DIR", REPO)
-        try:
-            with open(os.path.join(ddir, details_file), "w") as f:
-                json.dump(details, f, indent=1)
-        except OSError:
-            pass
+    # BENCH_DETAILS_DIR redirects the record (tests MUST set it: a stub
+    # run once overwrote the committed record with fake rows). Partial
+    # runs must not clobber the record — they persist under a .partial
+    # name so their measured rows survive for manual merging (round 5:
+    # a webbase-f64 compile-server OOM cost an otherwise-complete
+    # extended-f64 run its file).
+    ddir = os.environ.get("BENCH_DETAILS_DIR", REPO)
+    out_name = (
+        details_file
+        if len(details) == base_len
+        else details_file + ".partial"
+    )
+    try:
+        with open(os.path.join(ddir, out_name), "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
     rec = {
         "metric": (
             "spmv_gflops_geomean_omp_baseline_proxies"
