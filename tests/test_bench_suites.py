@@ -190,3 +190,25 @@ def test_build_suite_bench_cands_pins_candidates(monkeypatch):
     suite, _fb, _ext, _dt, _n = B.build_suite()
     assert [s[0] for s in suite] == ["thermal2_like"]
     assert suite[0][2] == ["PL_CSR_WINDOW", "PL_CSR_ROUTED"]
+
+
+def test_emit_partial_writes_dot_partial(tmp_path, monkeypatch, capsys):
+    """Incomplete suites persist under a .partial name (round 5): measured
+    rows survive infrastructure failures without clobbering the record."""
+    import json
+
+    import bench as B
+
+    monkeypatch.setenv("BENCH_DETAILS_DIR", str(tmp_path))
+    rows = [
+        {"matrix": "a", "ratio": 2.0, "gflops": 10.0},
+        {"matrix": "b", "ratio": 4.0, "gflops": 20.0},
+    ]
+    B.emit(rows, extended=True, dtype="float64", base_len=5)
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["proxies_measured"] == 2 and rec["proxies_total"] == 5
+    p = tmp_path / "BENCH_DETAILS_EXTENDED_F64.json.partial"
+    assert p.exists()
+    assert not (tmp_path / "BENCH_DETAILS_EXTENDED_F64.json").exists()
+    assert json.loads(p.read_text()) == rows
